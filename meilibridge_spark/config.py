@@ -1,0 +1,147 @@
+"""Index + analyzer configuration.
+
+Mirrors the reference's ``IndexConfig`` / ``Settings`` surface
+(``config/type.go:48-96`` in /root/reference) re-shaped for a Spark
+engine: the sync-bridge knobs (searchable/displayed/filterable/sortable
+attributes, stop words, synonyms, distinct attribute, pagination cap,
+primary key) become build/query parameters of our own inverted index,
+and validation mirrors ``config/config.go:26-115``
+(ErrPrimaryKeyIsRequire etc., ``config/err.go``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: Default Unicode-aware token pattern: runs of word chars excluding '_'
+#: (Meilisearch-style default segmentation: split on whitespace/punct).
+DEFAULT_TOKEN_PATTERN = r"[^\W_]+"
+
+#: ASCII-only pattern used when oracle parity with DuckDB's RE2 regexes
+#: matters (the driver's `documents` fixture is ASCII word soup).
+ASCII_TOKEN_PATTERN = r"[a-z0-9]+"
+
+#: BM25 constants (standard Robertson/Okapi; SURVEY.md §2B Q11).
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+#: Meilisearch pagination.max_total_hits default (config/type.go:82-84).
+DEFAULT_MAX_TOTAL_HITS = 1000
+
+#: Postings block size (docs per compressed block, block-max metadata).
+DEFAULT_BLOCK_SIZE = 128
+
+
+class ConfigError(ValueError):
+    """Mirrors the reference's config validation errors (config/err.go)."""
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenization settings (SURVEY.md §2B Q1-Q4).
+
+    - ``token_pattern``: regex; matches are terms (on lowercased text when
+      ``lowercase``). Reference: Meilisearch default segmentation — the
+      reference's separator_tokens / non_separator_tokens YAML knobs are
+      silently dropped by its Settings struct (config/type.go:55-68), so
+      defaults apply; we expose the pattern directly instead.
+    - ``dictionary``: compound terms tokenized as single terms via a
+      longest-match alternation pre-pended to the pattern (Q2).
+    - ``stop_words``: dropped at index and query time (config/type.go:60).
+    - ``synonyms``: query-side expansion word -> group (config/type.go:61).
+    """
+
+    token_pattern: str = DEFAULT_TOKEN_PATTERN
+    lowercase: bool = True
+    stop_words: tuple[str, ...] = ()
+    synonyms: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    dictionary: tuple[str, ...] = ()
+
+    @staticmethod
+    def make(
+        token_pattern: str = DEFAULT_TOKEN_PATTERN,
+        lowercase: bool = True,
+        stop_words: "tuple[str, ...] | list[str] | set[str]" = (),
+        synonyms: "dict[str, list[str]] | None" = None,
+        dictionary: "tuple[str, ...] | list[str]" = (),
+    ) -> "AnalyzerConfig":
+        syn = tuple(
+            sorted((w, tuple(sorted(g))) for w, g in (synonyms or {}).items())
+        )
+        return AnalyzerConfig(
+            token_pattern=token_pattern,
+            lowercase=lowercase,
+            stop_words=tuple(sorted(set(stop_words))),
+            synonyms=syn,
+            dictionary=tuple(dictionary),
+        )
+
+    def synonym_map(self) -> dict[str, tuple[str, ...]]:
+        return dict(self.synonyms)
+
+
+#: Analyzer whose output is reproducible in DuckDB SQL
+#: (lower + regexp_extract_all('[a-z0-9]+')).
+ASCII_ANALYZER = AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Per-index build/query plan — the analog of the reference's
+    ``IndexConfig{IndexName, PrimaryKey, Fields, Settings}``
+    (config/type.go:48-68) plus our engine-internal knobs (SURVEY §2C).
+    """
+
+    index_name: str
+    #: column(s) forming doc identity; for transcripts: ("conv_id", "turn_idx")
+    primary_key: tuple[str, ...] = ("conv_id", "turn_idx")
+    #: projection/rename map applied before indexing (S7, bridge/helper.go:18-41);
+    #: empty = keep all columns. key -> new name ('' = keep name).
+    fields: tuple[tuple[str, str], ...] = ()
+    #: columns concatenated into the indexed text, order = importance (Q5)
+    searchable_attributes: tuple[str, ...] = ("text",)
+    displayed_attributes: tuple[str, ...] = ()
+    filterable_attributes: tuple[str, ...] = ()
+    sortable_attributes: tuple[str, ...] = ()
+    distinct_attribute: str | None = None
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    k1: float = DEFAULT_K1
+    b: float = DEFAULT_B
+    max_total_hits: int = DEFAULT_MAX_TOTAL_HITS
+    #: salted two-stage posting build: number of doc-range salts (skew defuse)
+    n_salts: int = 8
+    block_size: int = DEFAULT_BLOCK_SIZE
+
+    def validate(self) -> None:
+        """Mirror config/config.go:26-115 validation semantics."""
+        if not self.index_name:
+            raise ConfigError("index name is required")  # ErrIndexNameRequire
+        if not self.primary_key:
+            raise ConfigError("primary key is required")  # ErrPrimaryKeyIsRequire
+        if not self.searchable_attributes:
+            raise ConfigError("at least one searchable attribute is required")
+        if self.fields:
+            keys = [k for k, _ in self.fields]
+            if len(set(keys)) != len(keys):
+                raise ConfigError("duplicate field in projection map")
+            kept = {(v or k) for k, v in self.fields}
+            for pk in self.primary_key:
+                if pk not in kept:
+                    # reference: pk must survive the projection
+                    # (config/config.go:96-109)
+                    raise ConfigError(
+                        f"primary key column {pk!r} dropped by fields projection"
+                    )
+        if self.block_size < 2:
+            raise ConfigError("block_size must be >= 2")
+        if self.n_salts < 1:
+            raise ConfigError("n_salts must be >= 1")
+
+    def normalized_name(self) -> str:
+        """Reference normalizes names: spaces -> dashes (config/config.go)."""
+        return self.index_name.strip().replace(" ", "-")
+
+    def projection(self) -> list[tuple[str, str]]:
+        """(source_col, out_col) pairs; S7 updateItemKeys semantics:
+        keep only listed keys, rename when value non-empty."""
+        return [(k, v or k) for k, v in self.fields]

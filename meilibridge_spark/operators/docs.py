@@ -1,0 +1,160 @@
+"""Document assembly: projection, dense docID assignment, tokenization,
+doc/corpus statistics (SURVEY.md §7 stage 2).
+
+Reference parity:
+- projection/rename map == the reference's ``updateItemKeys``
+  (pkg/bridge/helper.go:18-41, S7): keep only listed keys, rename when
+  the mapped value is non-empty.
+- docID == the reference's required primary key (config/config.go:96-109,
+  S17/Q17): for transcripts a dense rank over (conv_id, turn_idx).
+
+Scale note (the hard part, SURVEY §7(a)): a naive
+``row_number().over(Window.orderBy(...))`` collapses to ONE partition.
+We instead do the canonical two-pass dense-id assignment:
+range-repartition + sort within partitions (one shuffle — ordering is
+part of the contract), count rows per partition (tiny driver-side
+collect of num_partitions longs), broadcast the cumulative offsets,
+then per-partition row_number + offset. O(1) driver state, no global
+sort bottleneck, deterministic because (conv_id, turn_idx) is a total
+order regardless of sampled range boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from meilibridge_spark.config import AnalyzerConfig, IndexConfig
+from meilibridge_spark.functions.tokenizer import term_freq_series
+
+TERMS_FIELD = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def apply_projection(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """S7 updateItemKeys: keep-only + rename. Empty map = passthrough."""
+    proj = cfg.projection()
+    if not proj:
+        return df
+    return df.select([F.col(src).alias(dst) for src, dst in proj])
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: "tuple[str, ...]",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Add a dense 0-based ``doc_id`` ranking rows by ``order_cols``.
+
+    Two-pass scalable dense rank (see module docstring). The returned
+    DataFrame is range-partitioned and sorted by ``order_cols`` with
+    doc_id ascending within and across partitions.
+    """
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    parts = int(parts)
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # pass 1: per-partition counts (num_partitions rows -> driver)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # pass 2: row_number within partition + broadcast offset
+    offs = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.withColumn(
+            "doc_id",
+            (F.row_number().over(w) - 1 + offs[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def make_term_freq_udf(analyzer: AnalyzerConfig):
+    """Scalar pandas UDF: text -> array<struct<term,tf>> (per-doc tf
+    combined Python-side = map-side combine, SURVEY §2C)."""
+
+    @F.pandas_udf(TERMS_FIELD)
+    def term_freq_udf(texts: pd.Series) -> pd.Series:
+        return term_freq_series(texts, analyzer)
+
+    return term_freq_udf
+
+
+def searchable_text(df: DataFrame, cfg: IndexConfig) -> "F.Column":
+    """Concatenate searchable attributes in importance order (Q5) into
+    the indexed text. Single attribute -> the column itself."""
+    attrs = cfg.searchable_attributes
+    if len(attrs) == 1:
+        return F.coalesce(F.col(attrs[0]), F.lit(""))
+    return F.concat_ws(" ", *[F.coalesce(F.col(a), F.lit("")) for a in attrs])
+
+
+def assemble_docs(
+    df: DataFrame,
+    cfg: IndexConfig,
+    doc_id_col: "str | None" = None,
+) -> DataFrame:
+    """source rows -> docs table: doc_id, original columns, terms
+    (array<struct<term,tf>>), dl (token count after stop removal).
+
+    ``doc_id_col``: use an existing unique int column as docID (e.g. the
+    driver's `documents.doc_id`); otherwise dense-rank primary_key.
+    """
+    cfg.validate()
+    df = apply_projection(df, cfg)
+    if doc_id_col is None:
+        df = assign_doc_ids(df, cfg.primary_key)
+    elif doc_id_col != "doc_id":
+        df = df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
+    tf_udf = make_term_freq_udf(cfg.analyzer)
+    return (
+        df.withColumn("_searchable", searchable_text(df, cfg))
+        .withColumn("terms", tf_udf(F.col("_searchable")))
+        .drop("_searchable")
+        .withColumn(
+            "dl",
+            F.coalesce(
+                F.aggregate(
+                    F.col("terms"), F.lit(0), lambda acc, x: acc + x["tf"]
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "dl")
+
+
+def corpus_stats(docs: DataFrame) -> "tuple[int, float]":
+    """(N, avgdl) — one tiny agg (groupBy().agg, SURVEY §2C)."""
+    row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)

@@ -1,0 +1,104 @@
+"""Block-max WAND == exhaustive scoring (lossless pruning, FIXTURES.md §6),
+plus BM25 formula golden values (SURVEY.md §5 item 1)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from meilibridge_spark.functions.bm25 import bm25_score, idf, impact_upper_bound, tf_norm
+from meilibridge_spark.functions.wand import TermPostings, exhaustive_topk, wand_topk
+
+
+def test_bm25_hand_computed():
+    # N=10 docs, df=3, tf=2, dl=8, avgdl=10, k1=1.2, b=0.75
+    want_idf = math.log(1 + (10 - 3 + 0.5) / (3 + 0.5))
+    assert idf(10, 3) == pytest.approx(want_idf)
+    denom = 2 + 1.2 * (1 - 0.75 + 0.75 * 8 / 10)
+    want = want_idf * 2 * 2.2 / denom
+    got = bm25_score(np.array([2]), np.array([8]), 10, 3, 10.0)
+    assert got[0] == pytest.approx(want, rel=1e-12)
+
+
+def test_impact_bound_dominates():
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 30, 500)
+    dls = rng.integers(1, 300, 500)
+    for avgdl in (5.0, 50.0, 500.0):
+        bound = impact_upper_bound(tfs.max(), dls.min(), avgdl)
+        actual = tf_norm(tfs, dls, avgdl)
+        assert (actual <= bound + 1e-12).all()
+
+
+def _random_terms(rng, n_docs, n_terms, block_size=16, avgdl=None):
+    """Build random TermPostings sharing a doc universe with consistent dl."""
+    dls_univ = rng.integers(1, 120, size=n_docs).astype(np.int64)
+    avgdl = avgdl or float(dls_univ.mean())
+    terms = []
+    for i in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 10, size=df).astype(np.int64)
+        dls = dls_univ[docs]
+        t_idf = float(idf(n_docs, df))
+        terms.append(
+            TermPostings.from_arrays(f"t{i}", t_idf, docs, tfs, dls, block_size, avgdl)
+        )
+    return terms, avgdl
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("k", [1, 5, 37])
+def test_wand_equals_exhaustive_random(seed, k):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(20, 400))
+    n_terms = int(rng.integers(1, 6))
+    terms, avgdl = _random_terms(rng, n_docs, n_terms)
+    got = wand_topk(terms, k, avgdl)
+    want = exhaustive_topk(terms, k, avgdl)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+    )
+
+
+def test_wand_skewed_hot_term():
+    # one hot term in every doc + one rare term: pruning must stay exact
+    rng = np.random.default_rng(42)
+    n_docs = 2000
+    dls = rng.integers(5, 100, n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    hot_docs = np.arange(n_docs, dtype=np.int64)
+    hot = TermPostings.from_arrays(
+        "hot",
+        float(idf(n_docs, n_docs)),
+        hot_docs,
+        rng.integers(1, 5, n_docs).astype(np.int64),
+        dls,
+        128,
+        avgdl,
+    )
+    rare_docs = np.sort(rng.choice(n_docs, 7, replace=False)).astype(np.int64)
+    rare = TermPostings.from_arrays(
+        "rare",
+        float(idf(n_docs, 7)),
+        rare_docs,
+        rng.integers(1, 5, 7).astype(np.int64),
+        dls[rare_docs],
+        128,
+        avgdl,
+    )
+    got = wand_topk([hot, rare], 10, avgdl)
+    want = exhaustive_topk([hot, rare], 10, avgdl)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_wand_edge_cases():
+    assert wand_topk([], 10, 10.0) == []
+    rng = np.random.default_rng(1)
+    terms, avgdl = _random_terms(rng, 10, 2)
+    assert wand_topk(terms, 0, avgdl) == []
+    # k larger than corpus
+    got = wand_topk(terms, 1000, avgdl)
+    want = exhaustive_topk(terms, 1000, avgdl)
+    assert [d for d, _ in got] == [d for d, _ in want]
