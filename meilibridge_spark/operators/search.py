@@ -1,0 +1,236 @@
+"""BM25 top-k query execution (SURVEY.md §3.3 'fourth lifecycle').
+
+Three paths over the same postings tables, all rank-identical (tested):
+
+- ``search``        distributed DataFrame path: filter postings to the
+                    query's terms (parquet row-group pruning via the
+                    term-sorted layout), decode via mapInPandas, score
+                    JVM-side, groupBy(doc_id) + orderBy + limit(k).
+- ``search_many``   batch of queries in ONE job — the throughput path:
+                    decode the union of needed terms once, broadcast-join
+                    the (query_id, term, idf) plan, window top-k per query.
+- ``search_wand``   driver-side block-max WAND over the collected term
+                    postings — the serving path; exact (WAND-on ==
+                    WAND-off, FIXTURES.md §6).
+
+Scores: sum_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), ordering
+(score desc, doc_id asc); `score` is rounded to 1e-9 only at comparison
+boundaries (tests / oracles), not here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.functions.bm25 import idf as idf_fn
+from meilibridge_spark.functions.bm25 import impact_upper_bound
+from meilibridge_spark.functions.codec import decode_block
+from meilibridge_spark.functions.tokenizer import parse_query
+from meilibridge_spark.functions.wand import TermPostings, wand_topk
+from meilibridge_spark.sources.tables import InvertedIndex
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Posting blocks -> (term, doc_id, tf, dl) rows via mapInPandas
+    (numpy varint decode, Arrow-batched)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms, docs, tfs, dls = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, dl = decode_block(
+                    row.first_doc, row.docs_bin, row.tfs_bin, row.dls_bin
+                )
+                terms.append(np.repeat(row.term, d.size))
+                docs.append(d)
+                tfs.append(t)
+                dls.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return postings.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def _idf_map(index: InvertedIndex, q_terms: "list[str]") -> "dict[str, float]":
+    """Tiny driver-side lookup of the query terms' df -> idf (term
+    metadata broadcast, SURVEY §3 note)."""
+    if not q_terms:
+        return {}
+    rows = index.terms.filter(F.col("term").isin(q_terms)).collect()
+    return {r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows}
+
+
+def _contrib_col(index: InvertedIndex) -> "F.Column":
+    k1, b = index.cfg.k1, index.cfg.b
+    dl_norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+    )
+    return F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + dl_norm)
+
+
+def candidate_rows(index: InvertedIndex, q_terms: "list[str]") -> DataFrame:
+    """Decoded candidate postings for the query terms. The term filter
+    lands on the parquet scan (sorted-by-term layout -> row-group skip)."""
+    return decode_postings(index.postings.filter(F.col("term").isin(q_terms)))
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    k: "int | None" = None,
+    filter_docs: "DataFrame | None" = None,
+) -> DataFrame:
+    """Top-k hits as a DataFrame (doc_id, score, matched_terms).
+
+    ``filter_docs``: optional DataFrame with a doc_id column restricting
+    candidates (Q7 filterable attributes -> pre-score semi-join); BM25
+    stats stay corpus-global (Meilisearch filter semantics).
+    """
+    k = k or index.cfg.max_total_hits
+    q_terms = parse_query(query, index.cfg.analyzer)
+    idf_map = _idf_map(index, q_terms)
+    spark = index.postings.sparkSession
+    if not idf_map:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, matched_terms int"
+        )
+    rows = candidate_rows(index, list(idf_map))
+    if filter_docs is not None:
+        rows = rows.join(
+            F.broadcast(filter_docs.select("doc_id")), "doc_id", "left_semi"
+        )
+    idf_expr = F.create_map(
+        *[x for t, v in idf_map.items() for x in (F.lit(t), F.lit(v))]
+    )
+    scored = rows.withColumn("idf", idf_expr[F.col("term")]).withColumn(
+        "contrib", _contrib_col(index)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").cast("int").alias("matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_many(
+    index: InvertedIndex,
+    queries: "list[tuple[str, str]]",
+    k: "int | None" = None,
+) -> DataFrame:
+    """Score a batch of (query_id, query_text) in one Spark job ->
+    (query_id, doc_id, score, rank<=k). Decodes each needed term's
+    postings once; the per-query term plan is a broadcast join."""
+    from pyspark.sql.window import Window
+
+    k = k or index.cfg.max_total_hits
+    spark = index.postings.sparkSession
+    plan: list[tuple[str, str]] = []
+    all_terms: set[str] = set()
+    for qid, text in queries:
+        terms = parse_query(text, index.cfg.analyzer)
+        all_terms.update(terms)
+        plan.extend((qid, t) for t in terms)
+    if not plan:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    idf_map = _idf_map(index, sorted(all_terms))
+    plan_df = spark.createDataFrame(
+        [(qid, t, idf_map[t]) for qid, t in plan if t in idf_map],
+        "query_id string, term string, idf double",
+    )
+    rows = candidate_rows(index, sorted(idf_map))
+    scored = rows.join(F.broadcast(plan_df), "term").withColumn(
+        "contrib", _contrib_col(index)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def collect_term_postings(
+    index: InvertedIndex, q_terms: "list[str]"
+) -> "list[TermPostings]":
+    """Fetch + decode the query terms' blocks to the driver, preserving
+    the stored per-block (max_tf, min_dl) metadata for WAND bounds."""
+    idf_map = _idf_map(index, q_terms)
+    if not idf_map:
+        return []
+    rows = (
+        index.postings.filter(F.col("term").isin(list(idf_map)))
+        .collect()
+    )
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    out = []
+    for term, blks in by_term.items():
+        blks.sort(key=lambda r: r["block_id"])
+        docs, tfs, dls, starts, last_doc, ubs = [], [], [], [], [], []
+        off = 0
+        for r in blks:
+            d, t, dl = decode_block(
+                r["first_doc"], bytes(r["docs_bin"]), bytes(r["tfs_bin"]), bytes(r["dls_bin"])
+            )
+            docs.append(d)
+            tfs.append(t)
+            dls.append(dl)
+            starts.append(off)
+            off += d.size
+            last_doc.append(r["last_doc"])
+            ubs.append(
+                idf_map[term]
+                * float(
+                    impact_upper_bound(
+                        r["max_tf"], r["min_dl"], index.avgdl, index.cfg.k1, index.cfg.b
+                    )
+                )
+            )
+        out.append(
+            TermPostings(
+                term=term,
+                idf=idf_map[term],
+                doc_ids=np.concatenate(docs),
+                tfs=np.concatenate(tfs),
+                dls=np.concatenate(dls),
+                block_starts=np.asarray(starts, dtype=np.int64),
+                block_last_doc=np.asarray(last_doc, dtype=np.int64),
+                block_ub=np.asarray(ubs),
+            )
+        )
+    return out
+
+
+def search_wand(
+    index: InvertedIndex, query: str, k: "int | None" = None
+) -> "list[tuple[int, float]]":
+    """Driver-side exact top-k with block-max WAND pruning."""
+    k = k or index.cfg.max_total_hits
+    q_terms = parse_query(query, index.cfg.analyzer)
+    terms = collect_term_postings(index, q_terms)
+    return wand_topk(terms, k, index.avgdl, index.cfg.k1, index.cfg.b)

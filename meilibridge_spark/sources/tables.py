@@ -1,0 +1,200 @@
+"""Index storage: parquet tables + JSON snapshot manifest.
+
+Iceberg-style snapshot semantics without the Iceberg runtime (the
+sandbox has no iceberg-spark-runtime jar — SURVEY.md §7 stage 1): the
+manifest records snapshot_id, parent_snapshot_id, per-table paths,
+corpus stats, per-partition lineage and build metrics. Swapping in real
+Iceberg later is a config-only change (same commit points).
+
+The reference analog: index lifecycle create/recreate/exists
+(pkg/meilisearch/meilisearch.go:82-119, pkg/bridge/helper.go:43-67,
+S16) and the stat stream (pkg/bridge/type.go:22-26, S28) — here a
+manifest + metrics dict instead of HTTP calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import IndexConfig
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class InvertedIndex:
+    """An index snapshot bound to a SparkSession: lazy DataFrames over
+    the snapshot's tables plus scalar corpus stats."""
+
+    cfg: IndexConfig
+    docs: DataFrame  # doc_id, source cols..., dl
+    postings: DataFrame  # POSTINGS_SCHEMA (operators/postings.py)
+    terms: DataFrame  # term, df, cf
+    n_docs: int
+    avgdl: float
+    snapshot_id: "int | None" = None
+    index_dir: "str | None" = None
+    metrics: dict = field(default_factory=dict)
+
+
+def _read_manifest(index_dir: str) -> dict:
+    path = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(path):
+        return {"snapshots": [], "current": None, "index": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    path = os.path.join(index_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, path)  # atomic commit point
+
+
+def index_exists(index_dir: str) -> bool:
+    """S16 IsExistsIndex analog."""
+    return _read_manifest(index_dir)["current"] is not None
+
+
+def delete_index(index_dir: str) -> None:
+    """S16 DeleteIndex analog."""
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
+
+def partition_lineage(df: DataFrame) -> "list[dict]":
+    """Per-partition row counts — the per-partition lineage record the
+    north_star asks for (and the reference's pagination invariant:
+    sum(partition counts) == total, integration/sql/mysql_test.go:115)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["count"])} for r in rows]
+
+
+def save_snapshot(
+    index: InvertedIndex,
+    index_dir: str,
+    parent_id: "int | None" = None,
+    extra_metrics: "dict | None" = None,
+    max_ts: "str | None" = None,
+) -> int:
+    """Write all index tables + commit a new manifest snapshot.
+
+    Layout per snapshot: snap-{id:06d}/{docs,postings,terms}/ parquet.
+    postings are range-partitioned + sorted by (term, block_id) so
+    term-filtered queries prune parquet row groups; docs sorted by
+    doc_id for the hits join.
+    """
+    manifest = _read_manifest(index_dir)
+    snap_id = (manifest["current"] or 0) + 1
+    snap = f"snap-{snap_id:06d}"
+    base = os.path.join(index_dir, snap)
+    t0 = time.time()
+
+    postings_sorted = index.postings.repartitionByRange(
+        _n_write_parts(index.n_docs), "term"
+    ).sortWithinPartitions("term", "block_id")
+    postings_sorted.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+
+    docs_out = index.docs.drop("terms")
+    docs_out.repartitionByRange(
+        _n_write_parts(index.n_docs), "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+        os.path.join(base, "docs")
+    )
+    index.terms.write.mode("overwrite").parquet(os.path.join(base, "terms"))
+
+    spark = index.postings.sparkSession
+    postings_persisted = spark.read.parquet(os.path.join(base, "postings"))
+    metrics = {
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "n_terms": index.terms.count(),
+        "n_blocks": postings_persisted.count(),
+        "postings_bytes": _dir_bytes(os.path.join(base, "postings")),
+        "docs_bytes": _dir_bytes(os.path.join(base, "docs")),
+        "save_seconds": round(time.time() - t0, 3),
+        **(extra_metrics or {}),
+    }
+    entry = {
+        "snapshot_id": snap_id,
+        "parent_snapshot_id": parent_id,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "max_ts": max_ts,
+        "tables": {
+            "docs": f"{snap}/docs",
+            "postings": f"{snap}/postings",
+            "terms": f"{snap}/terms",
+        },
+        "lineage": {"postings": partition_lineage(postings_persisted)},
+        "metrics": metrics,
+    }
+    manifest["snapshots"].append(entry)
+    manifest["current"] = snap_id
+    manifest["index"] = {
+        "name": index.cfg.normalized_name(),
+        "primary_key": list(index.cfg.primary_key),
+    }
+    _write_manifest(index_dir, manifest)
+    index.snapshot_id = snap_id
+    index.index_dir = index_dir
+    index.metrics = metrics
+    return snap_id
+
+
+def load_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig,
+    snapshot_id: "int | None" = None,
+) -> InvertedIndex:
+    manifest = _read_manifest(index_dir)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshot in {index_dir}")
+    sid = snapshot_id or manifest["current"]
+    entry = next(s for s in manifest["snapshots"] if s["snapshot_id"] == sid)
+    t = entry["tables"]
+    return InvertedIndex(
+        cfg=cfg,
+        docs=spark.read.parquet(os.path.join(index_dir, t["docs"])),
+        postings=spark.read.parquet(os.path.join(index_dir, t["postings"])),
+        terms=spark.read.parquet(os.path.join(index_dir, t["terms"])),
+        n_docs=int(entry["n_docs"]),
+        avgdl=float(entry["avgdl"]),
+        snapshot_id=sid,
+        index_dir=index_dir,
+        metrics=entry.get("metrics", {}),
+    )
+
+
+def snapshot_log(index_dir: str) -> "list[dict]":
+    """S27 stats/introspection analog."""
+    return _read_manifest(index_dir)["snapshots"]
+
+
+def _n_write_parts(n_docs: int) -> int:
+    # ~1M docs per output partition at scale; >=4 for local parallelism
+    return max(4, n_docs // 1_000_000)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total

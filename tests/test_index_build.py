@@ -1,0 +1,167 @@
+"""End-to-end rank-identity: Spark engine vs pinned pure-Python oracle
+(SURVEY.md §5 items 2-3, FIXTURES.md §5-6) on the synthetic transcripts
+table, plus structural invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import AnalyzerConfig, IndexConfig
+from meilibridge_spark.functions.bm25 import score_round
+from meilibridge_spark.operators.search import search, search_many, search_wand
+from meilibridge_spark.plans.build import build_index
+from meilibridge_spark.sources.transcripts import (
+    generate_transcripts,
+    generate_transcripts_pdf,
+)
+from tests.oracle import BM25Oracle
+
+N_CONVS = 40
+SEED = 42
+
+CFG = IndexConfig(
+    index_name="transcripts test",
+    primary_key=("conv_id", "turn_idx"),
+    analyzer=AnalyzerConfig.make(
+        stop_words=["ba", "ce"],
+        synonyms={"difo": ["digu"]},
+    ),
+)
+
+# mix of: hot Zipf-head terms, rare terms, absent terms, stopword-only,
+# synonym-hitting, unicode, repeated, mixed-case (FIXTURES.md §5)
+QUERIES = [
+    "baba",
+    "baba cedi",
+    "BABA difo",
+    "ba ce",            # stop-word-only -> empty
+    "zzznotaterm",
+    "difo",             # synonym-expanded to digu
+    "café 東京",
+    "baba baba cedi",   # repeated query terms
+    "haki loba mune",
+    "dine fodi gune haki",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    sdf = generate_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    index = build_index(sdf, CFG)
+    index.postings = index.postings.persist()
+    index.postings.count()
+    return index
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = generate_transcripts_pdf(n_convs=N_CONVS, seed=SEED)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    docs = list(enumerate(pdf["text"].tolist()))
+    return BM25Oracle(docs, CFG.analyzer)
+
+
+def test_generator_is_partition_independent(spark):
+    a = generate_transcripts(spark, n_convs=10, seed=7, num_partitions=1).toPandas()
+    b = generate_transcripts(spark, n_convs=10, seed=7, num_partitions=5).toPandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_doc_ids_dense_and_ordered(built):
+    rows = built.docs.select("doc_id", "conv_id", "turn_idx").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_per_turn_text_equality_vs_source(spark, built):
+    """BASELINE.json input_hint row-level invariant: per-turn text
+    equality docs-table vs source under stable (conv_id, turn_idx)."""
+    src = generate_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    joined = built.docs.alias("d").join(
+        src.alias("s"), on=["conv_id", "turn_idx"], how="full"
+    )
+    mismatches = joined.filter(
+        ~(F.col("d.text").eqNullSafe(F.col("s.text")))
+    ).count()
+    assert mismatches == 0
+    assert built.docs.count() == src.count()
+
+
+def test_corpus_stats_match_oracle(built, oracle):
+    assert built.n_docs == oracle.N
+    assert built.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_df_invariant(built, oracle):
+    """postings df(term) == number of docs containing term (FIXTURES §6)."""
+    got = {r["term"]: r["df"] for r in built.terms.collect()}
+    assert got == dict(oracle.df)
+
+
+def test_pagination_invariant(built):
+    """sum(per-partition counts) == total (mysql_test.go:115 analog)."""
+    from meilibridge_spark.sources.tables import partition_lineage
+
+    lineage = partition_lineage(built.docs)
+    assert sum(e["rows"] for e in lineage) == built.n_docs
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_identity_dataframe_path(built, oracle, k):
+    for q in QUERIES:
+        want = oracle.topk(q, k)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(built, q, k).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r} k={k}"
+        np.testing.assert_allclose(
+            score_round([s for _, s in got]),
+            score_round([s for _, s in want]),
+            rtol=0,
+            atol=1e-9,
+            err_msg=f"query={q!r}",
+        )
+
+
+def test_rank_identity_wand_path(built, oracle):
+    for q in QUERIES:
+        want = oracle.topk(q, 10)
+        got = search_wand(built, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r}"
+        np.testing.assert_allclose(
+            score_round([s for _, s in got]),
+            score_round([s for _, s in want]),
+            rtol=0,
+            atol=1e-9,
+        )
+
+
+def test_search_many_matches_single(built):
+    batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
+    res = search_many(built, batch, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, text in batch:
+        single = [(r["doc_id"], r["score"]) for r in search(built, text, 10).collect()]
+        many = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert [d for d, _ in many] == [d for d, _ in single], f"{qid}: {text!r}"
+
+
+def test_filtered_search(built, oracle, spark):
+    """Q7: filter restricts candidates; scores stay corpus-global."""
+    q = "baba cedi"
+    filt = built.docs.filter(F.col("role") == "user").select("doc_id")
+    got = [(r["doc_id"], r["score"]) for r in search(built, q, 20, filter_docs=filt).collect()]
+    allowed = {r["doc_id"] for r in filt.collect()}
+    want = [(d, s) for d, s in oracle.topk(q, 10**9) if d in allowed][:20]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        score_round([s for _, s in got]),
+        score_round([s for _, s in want]),
+        rtol=0, atol=1e-9,
+    )
