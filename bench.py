@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus derived throughput fields}.
+
+Workloads:
+  build_transcripts   full inverted-index build over the deterministic
+                      synthetic transcripts table (~1.5k turns per sf
+                      unit x 100) -> turns/sec
+  build_documents     index build over {sf_dir}/documents.parquet
+  query_batch         ~50-query reference set in ONE Spark job
+                      (search_many) -> queries/sec
+  query_wand          driver-side block-max WAND serving path, same
+                      queries sequentially
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+sys.path.insert(0, REPO)
+
+
+def reference_queries() -> "list[tuple[str, str]]":
+    """~50 queries over the transcripts vocabulary (FIXTURES.md §5):
+    hot Zipf-head, mid, rare, multi-term, absent, unicode, repeated."""
+    from meilibridge_spark.sources.transcripts import build_vocab
+
+    vocab = build_vocab(500)
+    qs: list[str] = []
+    # single-term: head / mid / tail of the Zipf distribution
+    qs += [vocab[i] for i in (0, 1, 2, 5, 10, 20, 50, 100, 200, 350, 480)]
+    # two-term combos mixing frequencies
+    qs += [f"{vocab[i]} {vocab[j]}" for i, j in
+           [(0, 3), (1, 50), (2, 200), (10, 300), (5, 5), (0, 499)]]
+    # three/four-term
+    qs += [
+        " ".join(vocab[i] for i in (0, 7, 31)),
+        " ".join(vocab[i] for i in (2, 90, 180, 410)),
+        " ".join(vocab[i] for i in (4, 44, 444)),
+    ]
+    # absent, unicode, mixed-case, repeated
+    qs += ["zzznotaterm", "café 東京", vocab[3].upper(), f"{vocab[0]} {vocab[0]}"]
+    # pad to 50 with rotating picks
+    i = 0
+    while len(qs) < 50:
+        qs.append(f"{vocab[(i * 37) % 500]} {vocab[(i * 91 + 13) % 500]}")
+        i += 1
+    return [(f"q{n:02d}", q) for n, q in enumerate(qs)]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_convs = max(200, int(200_000 * sf))
+
+    from meilibridge_spark.config import (
+        ASCII_TOKEN_PATTERN,
+        AnalyzerConfig,
+        IndexConfig,
+    )
+    from meilibridge_spark.operators.search import search_many, search_wand
+    from meilibridge_spark.plans.build import build_index
+    from meilibridge_spark.session import build_session
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    spark = build_session("bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # --- index build over synthetic transcripts
+    t0 = time.time()
+    src = generate_transcripts(spark, n_convs=n_convs, seed=42).persist()
+    n_turns = src.count()  # materialize source outside the build timing
+    t0 = time.time()
+    cfg = IndexConfig(index_name="bench-transcripts")
+    idx = build_index(src, cfg)
+    idx.postings = idx.postings.persist()
+    n_blocks = idx.postings.count()
+    idx.terms = idx.terms.persist()
+    idx.terms.count()
+    timings["build_transcripts"] = time.time() - t0
+
+    # --- index build over the driver's documents table
+    t0 = time.time()
+    dcfg = IndexConfig(
+        index_name="bench-documents",
+        primary_key=("doc_id",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    didx = build_index(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), dcfg, doc_id_col="doc_id"
+    )
+    didx.postings.count()
+    timings["build_documents"] = time.time() - t0
+
+    # --- batch query throughput (one distributed job, 50 queries)
+    queries = reference_queries()
+    t0 = time.time()
+    n_hits = search_many(idx, queries, k=10).count()
+    timings["query_batch"] = time.time() - t0
+
+    # --- driver-side WAND serving path
+    t0 = time.time()
+    wand_hits = 0
+    for _, q in queries[:20]:
+        wand_hits += len(search_wand(idx, q, 10))
+    timings["query_wand"] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "bm25_engine_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "n_blocks": n_blocks,
+        "build_turns_per_sec": round(n_turns / timings["build_transcripts"], 1),
+        "batch_queries_per_sec": round(len(queries) / timings["query_batch"], 2),
+        "wand_queries_per_sec": round(20 / timings["query_wand"], 2),
+        "batch_hits": n_hits,
+        "wand_hits": wand_hits,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,15 @@ def assign_doc_ids(
     parts = int(parts)
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    # CRITICAL: pin the partitioning. repartitionByRange SAMPLES its
+    # boundaries per execution; the count pass and the window pass below
+    # would otherwise re-execute the lineage with different boundaries
+    # and hand out overlapping ids. Eager localCheckpoint materializes
+    # the ranged partitions once; a lost block fails the job instead of
+    # silently recomputing with new boundaries. (On a real cluster with
+    # a checkpoint dir, reliable .checkpoint() or a staged table write
+    # is the same commit point.)
+    ranged = ranged.localCheckpoint(eager=True)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     # pass 1: per-partition counts (num_partitions rows -> driver)
     sizes = {
