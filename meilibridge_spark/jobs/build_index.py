@@ -1,0 +1,76 @@
+"""spark-submit job: bulk index build (the reference's `sync bulk`).
+
+Usage:
+  spark-submit --py-files meilibridge_spark.zip \
+      meilibridge_spark/jobs/build_index.py \
+      --source /path/to/transcripts.parquet \
+      --index-dir /path/to/index \
+      [--continue] [--synthetic-convs N] [--stop-words w1,w2] [--k1 1.2] [--b 0.75]
+
+`--continue` resumes from staging / requires an existing index
+(reference: --continue, cmd/meilibridge/commands/sync.go:62-107).
+With --synthetic-convs the deterministic generator supplies the source
+(no external data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", default=None)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--continue", dest="cont", action="store_true")
+    ap.add_argument("--synthetic-convs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--stop-words", default="")
+    ap.add_argument("--k1", type=float, default=1.2)
+    ap.add_argument("--b", type=float, default=0.75)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from meilibridge_spark.config import AnalyzerConfig, IndexConfig
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.session import build_session
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    spark = build_session("build_index", cores=args.cores)
+    cfg = IndexConfig(
+        index_name="transcripts",
+        analyzer=AnalyzerConfig.make(
+            stop_words=[w for w in args.stop_words.split(",") if w]
+        ),
+        k1=args.k1,
+        b=args.b,
+    )
+    if args.synthetic_convs:
+        source = generate_transcripts(spark, n_convs=args.synthetic_convs, seed=args.seed)
+    elif args.source:
+        source = spark.read.parquet(args.source)
+    else:
+        ap.error("--source or --synthetic-convs required")
+        return
+
+    t0 = time.time()
+    index = build_and_save(
+        spark, source, cfg, args.index_dir, recreate=not args.cont
+    )
+    print(
+        json.dumps(
+            {
+                "snapshot_id": index.snapshot_id,
+                "n_docs": index.n_docs,
+                "avgdl": round(index.avgdl, 4),
+                "seconds": round(time.time() - t0, 3),
+                "metrics": index.metrics,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

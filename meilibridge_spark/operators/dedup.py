@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, n-gram Jaccard, SimHash.
+
+Design constraints:
+- fully distributed Catalyst plans (explode/groupBy/join) — the
+  pairwise work is always LSH-bucketed, never all-pairs, so the plans
+  survive 100x scale-up (candidate generation is a bucket equi-join);
+- hash functions are md5-based so every operator has an exact DuckDB
+  oracle (Spark md5 == DuckDB md5; min over hex strings is
+  lexicographic in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.operators.textstats import TOKEN_RX
+
+
+def _tokens(text_col: str) -> "F.Column":
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RX}', 0)")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with count
+    and canonical (min) id. Map-side partial agg makes this a single
+    cheap shuffle on the 16-byte hash."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias(f"canonical_{id_col}"),
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash over word shingles.
+
+    h_i(doc) = min over shingles s of md5(i || ':' || s) — k independent
+    hash families via the salt prefix; min is over hex strings
+    (lexicographic — identical semantics in the SQL oracle). One explode
+    + one groupBy(doc) with k min-aggregates (map-side combine)."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Signature -> (id, band_id, band_hash): band j hashes rows
+    [j*r, (j+1)*r). Docs agreeing on any band become candidates."""
+    n_bands = k // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for j in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band_id"), F.col("b.band_hash"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing >= 1 band: self equi-join on
+    (band_id, band_hash) — a bucket join, never a cross join. Skew note:
+    a degenerate band value (e.g. many empty docs) would hot-spot; at
+    scale cap bucket size or salt the join (AQE skew-join handles the
+    rest)."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-SET Jaccard for given candidate pairs:
+    |A ∩ B| via an equi-join on token, |A|,|B| from per-doc distinct
+    counts. Cost ∝ shared-token postings of the candidate docs."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("t")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    docs_needed = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    toks = toks.join(docs_needed, id_col, "left_semi")
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), "t")
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash with tf weights: bit_j = sign of
+    sum_t tf(t) * (bit_j(h32(t)) * 2 - 1), h32 = first 8 hex of md5.
+    Integer-exact (doubles only as 2^j carriers < 2^53) so the SQL
+    oracle matches bit-for-bit. Plan: explode terms -> per-(doc, term)
+    tf -> explode 32 bit positions -> two groupBys."""
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    bits = (
+        tf.withColumn("h", h)
+        .select(
+            id_col,
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        )
+        .withColumn(
+            "bit",
+            (F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2,
+        )
+        .withColumn("w", (F.col("bit") * 2 - 1) * F.col("tf"))
+    )
+    per_bit = bits.groupBy(id_col, "j").agg(F.sum("w").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash32"))
+    )

@@ -82,6 +82,8 @@ def assign_doc_ids(
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    if not sizes:  # empty input: preserve schema, no rows
+        return df.withColumn("doc_id", F.lit(0).cast("long"))
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(sizes):

@@ -1,0 +1,190 @@
+"""Incremental index maintenance — exact MERGE of CDC batches
+(SURVEY.md S9-S15 Spark shape, §3.2).
+
+The reference handles each change event with a point HTTP upsert into
+Meilisearch; our engine owns the index, so a CDC batch becomes an exact
+incremental MERGE:
+
+  1. fold events -> final row-state per touched key (sources/cdc.py)
+  2. docs MERGE (emulated: anti-join + union — no Delta in sandbox)
+     - existing keys keep their doc_id (stable identity, Q17)
+     - new keys get doc_ids max_id+1.. in (conv_id, turn_idx) order
+  3. affected terms = union(old text terms, new text terms) of touched
+     docs; every OTHER term's postings pass through untouched
+  4. per affected term, a cogrouped pandas merge: decode old blocks,
+     drop all touched doc_ids, insert the new (doc_id, tf, dl) entries,
+     re-encode. Encoding is content-deterministic, so the result is
+     byte-identical to a fresh build of the final state with the same
+     doc_id assignment (tested).
+  5. term dictionary + corpus stats (N, avgdl) recomputed exactly
+
+Cost ∝ |touched docs| + |postings of affected terms| — not corpus size.
+Re-applying the same batch is a no-op (idempotent retry, S14).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import IndexConfig
+from meilibridge_spark.functions.codec import decode_block, encode_blocks
+from meilibridge_spark.operators.docs import assign_doc_ids, make_term_freq_udf
+from meilibridge_spark.operators.postings import (
+    POSTING_COLUMNS,
+    POSTINGS_SCHEMA,
+    term_stats,
+)
+from meilibridge_spark.sources.cdc import fold_events
+from meilibridge_spark.sources.tables import InvertedIndex
+
+
+def _make_merger(block_size: int):
+    def merge(key, old_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        term = key[0]
+        # decode surviving old entries
+        doc_ids = [np.empty(0, dtype=np.int64)]
+        tfs = [np.empty(0, dtype=np.int64)]
+        dls = [np.empty(0, dtype=np.int64)]
+        if not old_pdf.empty:
+            for row in old_pdf.sort_values("block_id").itertuples(index=False):
+                d, t, l = decode_block(
+                    row.first_doc, row.docs_bin, row.tfs_bin, row.dls_bin
+                )
+                doc_ids.append(d)
+                tfs.append(t)
+                dls.append(l)
+        d = np.concatenate(doc_ids)
+        t = np.concatenate(tfs)
+        l = np.concatenate(dls)
+        touched = delta_pdf["doc_id"].to_numpy(dtype=np.int64)
+        keep = ~np.isin(d, touched)
+        d, t, l = d[keep], t[keep], l[keep]
+        adds = delta_pdf[delta_pdf["is_add"]]
+        if not adds.empty:
+            d = np.concatenate([d, adds["doc_id"].to_numpy(dtype=np.int64)])
+            t = np.concatenate([t, adds["tf"].to_numpy(dtype=np.int64)])
+            l = np.concatenate([l, adds["dl"].to_numpy(dtype=np.int64)])
+            order = np.argsort(d, kind="stable")
+            d, t, l = d[order], t[order], l[order]
+        if d.size == 0:
+            return pd.DataFrame(columns=POSTING_COLUMNS)
+        out = pd.DataFrame(encode_blocks(d, t, l, block_size))
+        out.insert(0, "term", term)
+        return out[POSTING_COLUMNS]
+
+    return merge
+
+
+def apply_cdc(
+    index: InvertedIndex,
+    cdc: DataFrame,
+    cfg: "IndexConfig | None" = None,
+) -> InvertedIndex:
+    """MERGE a CDC batch into the index -> new in-memory InvertedIndex
+    (persist/save via sources.tables.save_snapshot)."""
+    cfg = cfg or index.cfg
+    spark = cdc.sparkSession
+    docs = index.docs
+    tf_udf = make_term_freq_udf(cfg.analyzer)
+
+    folded = fold_events(cdc, docs).persist()
+    keys = folded.select("conv_id", "turn_idx")
+
+    # --- doc_id assignment: keep existing, append new
+    existing = docs.join(keys, ["conv_id", "turn_idx"], "inner").select(
+        "conv_id", "turn_idx", "doc_id", "text"
+    ).persist()
+    live = folded.filter(~F.col("deleted"))
+    new_keys = live.join(
+        existing.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    base = (int(max_id) + 1) if max_id is not None else 0
+    new_with_ids = assign_doc_ids(
+        new_keys, ("conv_id", "turn_idx")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+
+    upserts = (
+        live.join(
+            existing.select("conv_id", "turn_idx", "doc_id"),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .join(
+            new_with_ids.select(
+                "conv_id", "turn_idx", F.col("doc_id").alias("_new_id")
+            ),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .withColumn("doc_id", F.coalesce("doc_id", "_new_id"))
+        .drop("_new_id", "deleted")
+    )
+    upserts = (
+        upserts.withColumn("terms", tf_udf(F.coalesce(F.col("text"), F.lit(""))))
+        .withColumn(
+            "dl",
+            F.coalesce(
+                F.aggregate(F.col("terms"), F.lit(0), lambda a, x: a + x["tf"]),
+                F.lit(0),
+            ),
+        )
+        .persist()
+    )
+
+    # --- delta rows: removals (old text of touched docs) + additions
+    old_terms = (
+        existing.withColumn("terms", tf_udf(F.coalesce(F.col("text"), F.lit(""))))
+        .select("doc_id", F.explode("terms").alias("_t"))
+        .select(
+            F.col("_t.term").alias("term"),
+            "doc_id",
+            F.lit(0).alias("tf"),
+            F.lit(0).alias("dl"),
+            F.lit(False).alias("is_add"),
+        )
+    )
+    add_terms = upserts.select("doc_id", "dl", F.explode("terms").alias("_t")).select(
+        F.col("_t.term").alias("term"),
+        "doc_id",
+        F.col("_t.tf").alias("tf"),
+        "dl",
+        F.lit(True).alias("is_add"),
+    )
+    delta = old_terms.unionByName(add_terms).persist()
+    affected = delta.select("term").distinct()
+
+    # --- postings MERGE (affected terms only; others pass through)
+    old_affected = index.postings.join(affected, "term", "left_semi")
+    untouched = index.postings.join(affected, "term", "left_anti")
+    merged = (
+        old_affected.groupBy("term")
+        .cogroup(delta.groupBy("term"))
+        .applyInPandas(_make_merger(cfg.block_size), schema=POSTINGS_SCHEMA)
+    )
+    postings_new = untouched.unionByName(merged)
+
+    # --- docs MERGE
+    src_cols = [c for c in docs.columns if c not in ("terms",)]
+    docs_new = docs.join(keys, ["conv_id", "turn_idx"], "left_anti").select(
+        src_cols
+    ).unionByName(upserts.select(src_cols))
+    docs_new = docs_new.persist()
+
+    # --- exact stats refresh
+    row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    terms_new = index.terms.join(affected, "term", "left_anti").unionByName(
+        term_stats(merged)
+    )
+    return InvertedIndex(
+        cfg=cfg,
+        docs=docs_new,
+        postings=postings_new,
+        terms=terms_new,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )

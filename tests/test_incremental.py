@@ -1,0 +1,142 @@
+"""Incremental MERGE (S9-S15) + resume correctness:
+- apply_cdc == fresh rebuild of final state (byte-identical postings)
+- idempotent re-apply (S14)
+- rank-identity vs oracle on the post-CDC corpus
+- staged resume reproduces a byte-identical index (north_star)
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import IndexConfig
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_and_save, build_index
+from meilibridge_spark.plans.incremental import apply_cdc
+from meilibridge_spark.sources.cdc import generate_cdc_batch
+from meilibridge_spark.sources.transcripts import generate_transcripts
+from tests.oracle import BM25Oracle
+
+CFG = IndexConfig(index_name="inc")
+N_CONVS = 25
+
+
+def _postings_pdf(postings) -> pd.DataFrame:
+    pdf = postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def incremental(spark):
+    src = generate_transcripts(spark, n_convs=N_CONVS, seed=42).persist()
+    base = build_index(src, CFG)
+    base.docs = base.docs.persist()
+    base.postings = base.postings.persist()
+    cdc = generate_cdc_batch(spark, src, seed=7).persist()
+    new = apply_cdc(base, cdc)
+    new.docs = new.docs.persist()
+    new.postings = new.postings.persist()
+    new.postings.count()
+    return src, base, cdc, new
+
+
+def test_docs_merge_semantics(spark, incremental):
+    src, base, cdc, new = incremental
+    events = cdc.collect()
+    docs = {(r["conv_id"], r["turn_idx"]): r for r in new.docs.collect()}
+    base_keys = {(r["conv_id"], r["turn_idx"]) for r in base.docs.collect()}
+    for e in events:
+        key = (e["conv_id"], e["turn_idx"])
+        if e["op"] == "delete":
+            assert key not in docs, f"deleted key {key} still present"
+        elif e["op"] == "insert":
+            assert key in docs and docs[key]["text"] == e["full_document"]["text"]
+        elif e["op"] == "replace":
+            if key in docs:  # not later deleted
+                assert docs[key]["text"] == e["full_document"]["text"]
+        elif e["op"] == "update" and key in docs:
+            assert docs[key]["text"] == e["updated_fields"]["text"]
+            assert docs[key]["tool"] is None  # removed_fields
+    # untouched rows unchanged
+    touched = {(e["conv_id"], e["turn_idx"]) for e in events}
+    src_rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in src.collect()}
+    for key, row in docs.items():
+        if key not in touched:
+            assert row["text"] == src_rows[key]
+            assert key in base_keys
+
+
+def test_existing_doc_ids_stable(incremental):
+    _, base, _, new = incremental
+    old_ids = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in base.docs.collect()}
+    for r in new.docs.collect():
+        key = (r["conv_id"], r["turn_idx"])
+        if key in old_ids:
+            assert r["doc_id"] == old_ids[key]
+
+
+def test_incremental_equals_fresh_rebuild(spark, incremental):
+    """The merged index must be byte-identical to a from-scratch build
+    of the final doc set with the same doc_id assignment."""
+    _, _, _, new = incremental
+    final_src = new.docs.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_id"
+    )
+    fresh = build_index(final_src, CFG, doc_id_col="doc_id")
+    a = _postings_pdf(new.postings)
+    b = _postings_pdf(fresh.postings)
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"postings column {col} differs"
+    ta = new.terms.toPandas().sort_values("term").reset_index(drop=True)
+    tb = fresh.terms.toPandas().sort_values("term").reset_index(drop=True)
+    assert ta.equals(tb)
+    assert new.n_docs == fresh.n_docs
+    assert new.avgdl == pytest.approx(fresh.avgdl, rel=1e-12)
+
+
+def test_idempotent_reapply(spark, incremental):
+    """S14: applying the same batch twice == once."""
+    _, _, cdc, new = incremental
+    again = apply_cdc(new, cdc)
+    a = _postings_pdf(new.postings)
+    b = _postings_pdf(again.postings)
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"column {col} differs"
+    assert again.n_docs == new.n_docs
+
+
+def test_rank_identity_after_cdc(spark, incremental):
+    _, _, _, new = incremental
+    rows = new.docs.select("doc_id", "text").collect()
+    oracle = BM25Oracle([(r["doc_id"], r["text"]) for r in rows], CFG.analyzer)
+    for q in ["baba cedi", "spark merge", "inserted query filter", "replaced join"]:
+        want = oracle.topk(q, 10)
+        got = [(r["doc_id"], r["score"]) for r in search(new, q, 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_staged_resume_byte_identical(spark, tmp_index_dir):
+    """Kill-after-stage-1 resume: a build that finds completed staging
+    skips recompute and commits a byte-identical index (north_star)."""
+    import os
+    import shutil
+
+    src = generate_transcripts(spark, n_convs=10, seed=3)
+    dir_a = os.path.join(tmp_index_dir, "a")
+    dir_b = os.path.join(tmp_index_dir, "b")
+    full = build_and_save(spark, src, CFG, dir_a)
+
+    # simulate a run killed after stage 1: staging docs exist, no snapshot
+    os.makedirs(dir_b)
+    shutil.copytree(
+        os.path.join(dir_a, "_staging", "docs"),
+        os.path.join(dir_b, "_staging", "docs"),
+    )
+    resumed = build_and_save(spark, src, CFG, dir_b, recreate=False)
+    a = _postings_pdf(full.postings)
+    b = _postings_pdf(resumed.postings)
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"column {col} differs"
