@@ -297,6 +297,98 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.textstats import token_counts
+
+    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.textstats import quality_scores
+
+    return quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.textstats import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.textstats import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(df)))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.dedup import jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = df.filter(F.col("doc_id") < 40).select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return jaccard_pairs(df, pairs, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.dedup import simhash32
+
+    return simhash32(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, q, k=5)
+
+
+def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.similarity import sign_lsh_buckets
+
+    return sign_lsh_buckets(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.multimodal import extract_features, synth_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(synth_assets(docs)).select(
+        "asset_id", "kind", "n_bytes", "digest"
+    )
+
+
+def _q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.multimodal import frame_sample_plan, synth_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample_plan(synth_assets(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
@@ -319,7 +411,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_count": _q_scan_count,
         "cdc_projection": _q_cdc_projection,
         "dedup_exact": _q_dedup_exact,
+        "ts_token_counts": _q_token_counts,
+        "ts_quality": _q_quality,
+        "ts_lang_id": _q_lang_id,
+        "ts_fingerprint": _q_fingerprint,
+        "dd_minhash_signatures": _q_minhash,
+        "dd_lsh_candidates": _q_lsh_candidates,
+        "dd_jaccard_pairs": _q_jaccard_pairs,
+        "dd_simhash32": _q_simhash,
+        "sim_cosine_topk": _q_cosine_topk,
+        "sim_lsh_buckets": _q_lsh_buckets,
+        "mm_features": _q_mm_features,
+        "mm_frame_plan": _q_mm_frame_plan,
     }
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_QSTOP = "('a','and','in','is','of','the','to')"
+
+_SQL_MINHASH_SIG = f"""
+toksrc AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> array_to_string(t[(i+1)::INT:(i+3)::INT], ' '))
+         ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toksrc
+),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_SQL_COS = (
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -394,4 +526,131 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
             "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs, "
             "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"
         ),
+        "ts_token_counts": (
+            r"SELECT doc_id, "
+            r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens, "
+            f"len({_TOKS})::BIGINT AS n_re_tokens FROM documents"
+        ),
+        "ts_quality": f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, len({_TOKS}) AS n_tok,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter({_TOKS}, t -> t IN {_QSTOP})) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_tok,
+    CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS stop_ratio
+  FROM base
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tok::BIGINT AS n_tokens,
+  round(punct_ratio, 6)::DOUBLE AS punct_ratio,
+  round(stop_ratio, 6)::DOUBLE AS stop_ratio,
+  round(least(n_tok / 100.0, 1.0) * (1.0 - punct_ratio)
+        * (1.0 - abs(stop_ratio - 0.4)), 6)::DOUBLE AS quality
+FROM r
+""",
+        "ts_lang_id": f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter({_TOKS}, t -> t IN ('the','and','of','is','to','in')))::BIGINT AS score_en,
+    len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist','nicht')))::BIGINT AS score_de,
+    len(list_filter({_TOKS}, t -> t IN ('le','la','et','est','les','des')))::BIGINT AS score_fr,
+    len(list_filter({_TOKS}, t -> t IN ('el','los','es','y','que','una')))::BIGINT AS score_es
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
+""",
+        "ts_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) "
+            "AS fingerprint FROM documents"
+        ),
+        "dd_minhash_signatures": (
+            f"WITH {_SQL_MINHASH_SIG} SELECT * FROM sig"
+        ),
+        "dd_lsh_candidates": f"""
+WITH {_SQL_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS bh FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_id, bh)
+WHERE a.doc_id < b.doc_id
+""",
+        "dd_jaccard_pairs": f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS term
+  FROM documents WHERE doc_id < 40
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM t GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM t a JOIN t b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+""",
+        "dd_simhash32": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substring(md5(t), 1, 8))::BIGINT AS h32 FROM tf),
+bits AS (
+  SELECT doc_id, j,
+         sum(((CAST(floor(h32 / (2**j)) AS BIGINT) % 2) * 2 - 1) * tf) AS s
+  FROM h, range(0, 32) r(j) GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END)::BIGINT AS simhash32
+FROM bits GROUP BY doc_id
+""",
+        "sim_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_SQL_COS} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6)::DOUBLE AS cos, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "sim_lsh_buckets": """
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(0, 8),
+       j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN 2**j ELSE 0 END)) AS BIGINT) AS bucket
+FROM embeddings
+""",
+        "mm_features": """
+SELECT doc_id AS asset_id,
+       (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+        "mm_frame_plan": """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         greatest(1, CAST(floor(length(text) / 100.0 / 1.0) AS INT)) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+, frames AS (SELECT asset_id, unnest(range(0, nf)) AS j FROM v)
+SELECT asset_id, j::INT AS frame_idx, (j * 1.0)::DOUBLE AS frame_ts_s
+FROM frames
+""",
     }

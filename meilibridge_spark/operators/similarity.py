@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact cosine top-k — the correctness
+  baseline. Dot products via F.zip_with + F.aggregate (JVM-side fold,
+  no Python); queries are broadcast, so the plan is a single scan of
+  the embeddings table regardless of query count.
+- ``sign_lsh_buckets`` + ``lsh_ann_topk``: the scale path — bucket
+  vectors by the sign pattern of the first n_bits coordinates
+  (axis-aligned hyperplane LSH; deterministic and oracle-expressible),
+  then do exact cosine only within the probe buckets. At 100 TB the
+  bucket join replaces the full scan; recall is traded via n_bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: "F.Column", b: "F.Column") -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: "F.Column") -> "F.Column":
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    -> (query_id, vec_id, cos) with rank <= k, excluding self-matches
+    when ids collide. Broadcast the (small) query side; one pass over
+    the embeddings."""
+    scored = emb.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def sign_lsh_buckets(
+    emb: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """bucket = sum_j 2^j * [v[j] > 0] over the first n_bits dims."""
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), 1, n_bits),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j.cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: exact scoring restricted to vectors in
+    the query's sign-LSH bucket (single-probe). Same output shape as
+    cosine_topk; recall < 1 by design — the bench compares both."""
+    emb_b = emb.join(sign_lsh_buckets(emb, n_bits, id_col, vec_col), id_col)
+    q_b = queries.select(
+        query_id_col,
+        query_vec_col,
+    ).join(
+        sign_lsh_buckets(
+            queries.select(
+                F.col(query_id_col).alias("vec_id"),
+                F.col(query_vec_col).alias("embedding"),
+            ),
+            n_bits,
+        ).select(F.col("vec_id").alias(query_id_col), "bucket"),
+        query_id_col,
+    )
+    scored = emb_b.join(F.broadcast(q_b), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed
+    (pairs only within a bucket — no all-pairs join)."""
+    withb = emb.join(sign_lsh_buckets(emb, n_bits, id_col, vec_col), id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,105 @@
+"""Engine-level checks for the training-data pipeline operators beyond
+the DuckDB oracle gate (which covers value correctness at sf0.01)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_lsh_ann_subset_of_exact(spark, emb):
+    """ANN hits must be a subset of the brute-force candidate scores:
+    every (query, vec) pair returned by LSH carries the same cosine the
+    exact path computes (recall<=1, precision of scores exact)."""
+    from meilibridge_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in cosine_topk(emb, q, k=500).collect()
+    }
+    ann = lsh_ann_topk(emb, q, k=5).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact
+        assert r["cos"] == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_near_dups_bucketed(spark, emb):
+    from meilibridge_spark.operators.similarity import embedding_near_dups
+
+    dups = embedding_near_dups(emb, threshold=0.0, n_bits=10).limit(50).collect()
+    for r in dups:
+        assert r["id_a"] < r["id_b"]
+        assert -1.0 <= r["cos"] <= 1.0
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    from meilibridge_spark.operators.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(docs.limit(5))
+    with pytest.raises(Exception) as ei:
+        extract_features(assets, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoding" in str(ei.value)
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    from meilibridge_spark.operators.multimodal import extract_features, synth_assets
+
+    a = extract_features(synth_assets(docs)).orderBy("asset_id").collect()
+    b = extract_features(synth_assets(docs)).orderBy("asset_id").collect()
+    assert a == b
+    assert all(len(r["feat"]) == 8 for r in a)
+    assert {r["kind"] for r in a} == {"image", "audio", "video"}
+
+
+def test_minhash_detects_true_duplicates(spark):
+    """Inject an exact duplicate + a near-duplicate: LSH must surface
+    both as candidates."""
+    from meilibridge_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base + " with one extra tail"),  # near dup
+        (4, "completely different content about spark query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(df)))
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, cands).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+
+
+def test_exact_dedup_counts(spark):
+    from meilibridge_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    got = {r["canonical_doc_id"]: r["n_docs"] for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
