@@ -40,6 +40,10 @@ def _docs_index(spark: SparkSession, sf_dir: str, flavor: str = "plain"):
         return _CACHE[key]
     if flavor == "plain":
         analyzer = AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN)
+    elif flavor == "dict":
+        analyzer = AnalyzerConfig.make(
+            token_pattern=ASCII_TOKEN_PATTERN, dictionary=["key order", "table scan"]
+        )
     elif flavor == "stop":
         analyzer = AnalyzerConfig.make(
             token_pattern=ASCII_TOKEN_PATTERN, stop_words=_STOP
@@ -80,13 +84,13 @@ def _search_hits(spark, sf_dir, terms_text, k, flavor="plain", filter_df_fn=None
 # --------------------------------------------------------------------------
 
 
-def _sql_tok(stop: "tuple[str, ...]" = ()) -> str:
+def _sql_tok(stop: "tuple[str, ...]" = (), pattern: str = "[a-z0-9]+") -> str:
     stop_clause = (
         " WHERE term NOT IN (%s)" % ", ".join(f"'{s}'" for s in stop) if stop else ""
     )
     return f"""
 tok0 AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pattern}')) AS term
   FROM documents
 ),
 tok AS (SELECT * FROM tok0{stop_clause}),
@@ -101,10 +105,15 @@ dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
 
 
-def _sql_scores(terms: "list[str]", stop: "tuple[str, ...]" = ()) -> str:
-    inlist = ", ".join(f"'{t}'" for t in terms)
+def _sql_scores(
+    terms: "list[str]",
+    stop: "tuple[str, ...]" = (),
+    pattern: str = "[a-z0-9]+",
+    term_filter: "str | None" = None,
+) -> str:
+    inlist = term_filter or ("(" + ", ".join(f"'{t}'" for t in terms) + ")")
     return f"""
-WITH {_sql_tok(stop)},
+WITH {_sql_tok(stop, pattern)},
 scores AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -114,15 +123,21 @@ scores AS (
   JOIN dfreq USING (term)
   JOIN alldl USING (doc_id)
   CROSS JOIN stats
-  WHERE tf.term IN ({inlist})
+  WHERE tf.term IN {inlist}
   GROUP BY tf.doc_id
 )
 """
 
 
-def _sql_topk(terms: "list[str]", k: int, stop: "tuple[str, ...]" = ()) -> str:
+def _sql_topk(
+    terms: "list[str]",
+    k: int,
+    stop: "tuple[str, ...]" = (),
+    pattern: str = "[a-z0-9]+",
+    term_filter: "str | None" = None,
+) -> str:
     return (
-        _sql_scores(terms, stop)
+        _sql_scores(terms, stop, pattern, term_filter)
         + f"SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "
         f"ORDER BY s DESC, doc_id LIMIT {k}"
     )
@@ -297,6 +312,20 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_typo(terms_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_typo
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        return search_typo(idx, terms_text, k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.textstats import token_counts
 
@@ -398,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
+        "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
+        "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_facet_lang": _q_facet("spark join", "lang"),
         "ft_distinct_source": _q_distinct("spark join", "source"),
@@ -466,6 +497,21 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_absent_term": _sql_topk(["zzzmissing", "spark"], 10),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
+        "ft_bm25_dictionary": _sql_topk(
+            ["key order", "merge"],
+            10,
+            pattern="key order|table scan|[a-z0-9]+",
+        ),
+        "ft_bm25_typo": _sql_topk(
+            [],
+            10,
+            term_filter=(
+                "(SELECT term FROM dfreq "
+                "WHERE levenshtein(term, 'spakr') <= 1 "
+                "   OR levenshtein(term, 'window') <= 1 "
+                "UNION SELECT 'spakr' UNION SELECT 'jion' UNION SELECT 'window')"
+            ),
+        ),
         "ft_bm25_filtered": (
             _sql_scores(["spark", "join"])
             + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "

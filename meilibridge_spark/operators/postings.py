@@ -1,28 +1,41 @@
 """Term-partitioned posting-list construction (SURVEY.md §2C, §7 stages 3-5).
 
-Two-stage salted build to defuse hot-term skew (the transcripts vocab is
-Zipfian — a vanilla ``groupBy(term)`` straggles on head terms):
+Two-stage build with partition-local partial runs:
 
-  stage 1 (JVM only): salt = doc-range bucket; ``groupBy(term, salt)``
-      + ``sort_array(collect_list(struct(doc_id, tf, dl)))`` builds
-      docID-sorted partial runs with map-side combine — a hot term's
-      postings are built by ``n_salts`` parallel tasks.
-  stage 2 (grouped-map pandas UDF): ``groupBy(term)`` over the compact
-      partial runs (n_salts rows/term, arrays not scalars) concatenates
-      runs in salt order — salts are doc_id RANGES, so concatenation in
-      salt order IS the globally sorted run — then delta-gap+varint
-      block-encodes (functions/codec.py).
+  stage 1 (mapInPandas, Arrow batch = the unit of locality): within
+      each batch, flatten the per-doc (term, tf) arrays and group by
+      term with one stable numpy argsort — emitting ONE compact row per
+      (term, batch): (term, first_doc, doc_ids[], tfs[], dls[]). The
+      docs DataFrame is range-partitioned by doc_id (assign_doc_ids's
+      layout), so batches are disjoint doc_id ranges — the batch ID is
+      a natural salt: a hot Zipf-head term's postings are built by
+      every input partition in parallel instead of one straggler task.
+  stage 2 (groupBy(term).applyInPandas): concatenate a term's partial
+      runs, argsort by doc_id (correct under ANY input layout; ~free
+      when runs arrive range-ordered), delta-gap + varint block encode
+      (functions/codec.py).
 
-The shuffle that moves raw (term, doc_id, tf, dl) tuples is stage 1's
-only wide exchange; stage 2 shuffles ~n_salts compressed array rows per
-term. Encoding is content-deterministic, so the same corpus always
-yields byte-identical postings (resume/identity tests rely on this).
+Compared to the textbook salted groupBy (shuffle every (term, doc_id,
+tf, dl) tuple, then merge), the only wide exchange here moves ~(terms x
+batches) compressed ARRAY rows — orders of magnitude fewer rows at any
+scale, and skew-free by construction.
+
+Encoding is content-deterministic: the same corpus yields byte-identical
+postings regardless of partitioning (resume/identity tests rely on it).
+
+Scale note (10^12 turns): a single row per term bounds a hot term's
+postings to one stage-2 task. The evolution path is doc-range index
+shards (Lucene-segment style: postings per (shard, term), queries merge
+per-shard top-k exactly) — the stage-1 output here already IS that
+sharded form.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,11 +62,17 @@ POSTING_COLUMNS = [
     "dls_bin",
 ]
 
+PARTIAL_SCHEMA = (
+    "term string, first_doc long, doc_ids array<long>, "
+    "tfs array<long>, dls array<long>"
+)
+
 
 def explode_terms(docs: DataFrame) -> DataFrame:
     """docs(doc_id, terms array<struct<term,tf>>, dl) ->
-    (doc_id, term, tf, dl) — tf already per-doc combined (no extra
-    groupBy shuffle; Catalyst prunes every other docs column)."""
+    (doc_id, term, tf, dl) rows — kept for operators that want the
+    relational form; the posting build itself uses the compact
+    partial-run path below."""
     return docs.select(
         "doc_id",
         "dl",
@@ -66,51 +85,83 @@ def explode_terms(docs: DataFrame) -> DataFrame:
     )
 
 
+def _partial_runs(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        terms_col = pdf["terms"]
+        lens = np.fromiter((len(x) for x in terms_col), dtype=np.int64, count=len(pdf))
+        if lens.sum() == 0:
+            continue
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+        flat_terms = np.fromiter(
+            (e["term"] for row in terms_col for e in row),
+            dtype=object,
+            count=int(lens.sum()),
+        )
+        flat_tfs = np.fromiter(
+            (e["tf"] for row in terms_col for e in row),
+            dtype=np.int64,
+            count=int(lens.sum()),
+        )
+        # stable sort by term keeps the batch's doc order within a term
+        order = np.argsort(flat_terms, kind="stable")
+        st, sd, stf, sdl = (
+            flat_terms[order],
+            doc_ids[order],
+            flat_tfs[order],
+            dls[order],
+        )
+        uniq, starts = np.unique(st, return_index=True)
+        bounds = np.append(starts, st.size)
+        yield pd.DataFrame(
+            {
+                "term": uniq,
+                "first_doc": sd[starts],
+                "doc_ids": [sd[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
+                "tfs": [stf[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
+                "dls": [sdl[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
+            }
+        )
+
+
 def _make_encoder(block_size: int):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("salt")
-        doc_ids = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["doc_ids"]])
+        doc_ids = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in pdf["doc_ids"]]
+        )
         tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["tfs"]])
         dls = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["dls"]])
-        term = pdf["term"].iloc[0]
+        # runs are disjoint doc ranges when the input was range-laid-out;
+        # the argsort makes the result correct for any layout
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
         blocks = encode_blocks(doc_ids, tfs, dls, block_size)
         out = pd.DataFrame(blocks)
-        out.insert(0, "term", term)
+        out.insert(0, "term", pdf["term"].iloc[0])
         return out[POSTING_COLUMNS]
 
     return encode
 
 
 def build_postings(
-    term_rows: DataFrame,
+    docs: DataFrame,
     cfg: IndexConfig,
-    n_docs: int,
+    doc_sorted: bool = True,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) -> postings blocks (POSTINGS_SCHEMA).
+    """docs(doc_id, terms, dl) -> postings blocks (POSTINGS_SCHEMA).
 
-    ``n_docs`` sizes the doc-range salt so stage-2 concatenation in
-    salt order preserves global docID order.
-    """
-    n_salts = max(1, cfg.n_salts)
-    range_size = max(1, -(-n_docs // n_salts))  # ceil
-    salted = term_rows.withColumn(
-        "salt", (F.col("doc_id") / F.lit(range_size)).cast("int")
-    )
-    partial = (
-        salted.groupBy("term", "salt")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "dl"))
-            ).alias("run")
+    ``doc_sorted=False`` forces a range repartition by doc_id first so
+    stage-1 batches are contiguous ranges (inputs that didn't come from
+    assign_doc_ids, e.g. a table with pre-existing ids)."""
+    src = docs.select("doc_id", "terms", "dl")
+    if not doc_sorted:
+        parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        .select(
-            "term",
-            "salt",
-            F.col("run.doc_id").alias("doc_ids"),
-            F.col("run.tf").alias("tfs"),
-            F.col("run.dl").alias("dls"),
-        )
-    )
+        src = src.repartitionByRange(parts, "doc_id").sortWithinPartitions("doc_id")
+    partial = src.mapInPandas(_partial_runs, schema=PARTIAL_SCHEMA)
     return partial.groupBy("term").applyInPandas(
         _make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA
     )

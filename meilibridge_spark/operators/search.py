@@ -41,6 +41,12 @@ def decode_postings(postings: DataFrame) -> DataFrame:
     """Posting blocks -> (term, doc_id, tf, dl) rows via mapInPandas
     (numpy varint decode, Arrow-batched)."""
 
+    # manual column pruning: mapInPandas consumes every input column, so
+    # without this select the parquet scan reads all block metadata too
+    postings = postings.select(
+        "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
+    )
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -173,29 +179,27 @@ def search_many(
     )
 
 
-def collect_term_postings(
-    index: InvertedIndex, q_terms: "list[str]"
-) -> "list[TermPostings]":
-    """Fetch + decode the query terms' blocks to the driver, preserving
-    the stored per-block (max_tf, min_dl) metadata for WAND bounds."""
-    idf_map = _idf_map(index, q_terms)
-    if not idf_map:
-        return []
-    rows = (
-        index.postings.filter(F.col("term").isin(list(idf_map)))
-        .collect()
-    )
+def _fetch_raw(index: InvertedIndex, terms: "list[str]") -> "dict[str, dict]":
+    """Fetch + decode the terms' blocks to the driver (one Spark job),
+    keeping the stored per-block (max_tf, min_dl) metadata raw so
+    bounds can be rebuilt under any (idf, avgdl)."""
+    if not terms:
+        return {}
+    rows = index.postings.filter(F.col("term").isin(terms)).collect()
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
-    out = []
+    out: dict[str, dict] = {}
     for term, blks in by_term.items():
         blks.sort(key=lambda r: r["block_id"])
-        docs, tfs, dls, starts, last_doc, ubs = [], [], [], [], [], []
+        docs, tfs, dls, starts, last_doc, max_tf, min_dl = [], [], [], [], [], [], []
         off = 0
         for r in blks:
             d, t, dl = decode_block(
-                r["first_doc"], bytes(r["docs_bin"]), bytes(r["tfs_bin"]), bytes(r["dls_bin"])
+                r["first_doc"],
+                bytes(r["docs_bin"]),
+                bytes(r["tfs_bin"]),
+                bytes(r["dls_bin"]),
             )
             docs.append(d)
             tfs.append(t)
@@ -203,27 +207,46 @@ def collect_term_postings(
             starts.append(off)
             off += d.size
             last_doc.append(r["last_doc"])
-            ubs.append(
-                idf_map[term]
-                * float(
-                    impact_upper_bound(
-                        r["max_tf"], r["min_dl"], index.avgdl, index.cfg.k1, index.cfg.b
-                    )
-                )
-            )
-        out.append(
-            TermPostings(
-                term=term,
-                idf=idf_map[term],
-                doc_ids=np.concatenate(docs),
-                tfs=np.concatenate(tfs),
-                dls=np.concatenate(dls),
-                block_starts=np.asarray(starts, dtype=np.int64),
-                block_last_doc=np.asarray(last_doc, dtype=np.int64),
-                block_ub=np.asarray(ubs),
-            )
-        )
+            max_tf.append(r["max_tf"])
+            min_dl.append(r["min_dl"])
+        out[term] = {
+            "doc_ids": np.concatenate(docs),
+            "tfs": np.concatenate(tfs),
+            "dls": np.concatenate(dls),
+            "block_starts": np.asarray(starts, dtype=np.int64),
+            "block_last_doc": np.asarray(last_doc, dtype=np.int64),
+            "max_tf": np.asarray(max_tf, dtype=np.int64),
+            "min_dl": np.asarray(min_dl, dtype=np.int64),
+        }
     return out
+
+
+def _to_term_postings(
+    term: str, raw: dict, idf: float, index: InvertedIndex
+) -> TermPostings:
+    ub = idf * impact_upper_bound(
+        raw["max_tf"], raw["min_dl"], index.avgdl, index.cfg.k1, index.cfg.b
+    )
+    return TermPostings(
+        term=term,
+        idf=idf,
+        doc_ids=raw["doc_ids"],
+        tfs=raw["tfs"],
+        dls=raw["dls"],
+        block_starts=raw["block_starts"],
+        block_last_doc=raw["block_last_doc"],
+        block_ub=np.asarray(ub),
+    )
+
+
+def collect_term_postings(
+    index: InvertedIndex, q_terms: "list[str]"
+) -> "list[TermPostings]":
+    idf_map = _idf_map(index, q_terms)
+    raws = _fetch_raw(index, list(idf_map))
+    return [
+        _to_term_postings(t, raw, idf_map[t], index) for t, raw in raws.items()
+    ]
 
 
 def search_wand(
@@ -234,3 +257,96 @@ def search_wand(
     q_terms = parse_query(query, index.cfg.analyzer)
     terms = collect_term_postings(index, q_terms)
     return wand_topk(terms, k, index.avgdl, index.cfg.k1, index.cfg.b)
+
+
+def typo_expand_terms(
+    index: InvertedIndex,
+    q_terms: "list[str]",
+    one_typo_min_len: int = 5,
+    two_typo_min_len: int = 9,
+) -> "list[str]":
+    """Q12 typo tolerance (off by default; Meilisearch defaults
+    min_word_size_for_typos one=5/two=9, config/type.go:70-80): expand
+    each query term with dictionary terms within edit distance 1
+    (len >= 5) or 2 (len >= 9). One small scan over the term dictionary
+    with JVM levenshtein — no Python."""
+    fuzzy = [t for t in q_terms if len(t) >= one_typo_min_len]
+    out = list(dict.fromkeys(q_terms))
+    if not fuzzy:
+        return out
+    conds = None
+    for t in fuzzy:
+        d = 2 if len(t) >= two_typo_min_len else 1
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
+        conds = c if conds is None else (conds | c)
+    for r in index.terms.filter(conds).select("term").orderBy("term").collect():
+        if r["term"] not in out:
+            out.append(r["term"])
+    return out
+
+
+def search_typo(
+    index: InvertedIndex,
+    query: str,
+    k: "int | None" = None,
+) -> DataFrame:
+    """BM25 top-k with typo-tolerant term expansion (each expanded term
+    scores with its own idf)."""
+    q_terms = parse_query(query, index.cfg.analyzer)
+    expanded = typo_expand_terms(index, q_terms)
+    return search(index, " ".join(expanded), k)
+
+
+class DriverSearcher:
+    """Low-latency serving path: the term dictionary (term -> df) is
+    collected once and the decoded postings of recently-used terms are
+    LRU-cached on the driver, so a warm query costs zero Spark jobs.
+
+    Scale note: the dictionary is ~vocab-sized (fine up to tens of
+    millions of terms); at larger vocabularies swap the dict for a
+    postings-backed lookup with a bloom filter — the cache interface
+    stays the same. Cache capacity bounds memory, hot Zipf terms make
+    the hit rate high by construction.
+    """
+
+    def __init__(self, index: InvertedIndex, cache_capacity: int = 4096) -> None:
+        from collections import OrderedDict
+
+        self.index = index
+        self._df_map = {
+            r["term"]: int(r["df"])
+            for r in index.terms.select("term", "df").collect()
+        }
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._capacity = cache_capacity
+
+    def _get_raw(self, terms: "list[str]") -> "dict[str, dict]":
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            fetched = _fetch_raw(self.index, missing)
+            for t in missing:
+                if t in fetched:
+                    self._cache[t] = fetched[t]
+                    if len(self._cache) > self._capacity:
+                        self._cache.popitem(last=False)
+        out = {}
+        for t in terms:
+            if t in self._cache:
+                self._cache.move_to_end(t)
+                out[t] = self._cache[t]
+        return out
+
+    def search(self, query: str, k: "int | None" = None) -> "list[tuple[int, float]]":
+        k = k or self.index.cfg.max_total_hits
+        q_terms = [
+            t
+            for t in parse_query(query, self.index.cfg.analyzer)
+            if t in self._df_map
+        ]
+        raws = self._get_raw(q_terms)
+        n = self.index.n_docs
+        tps = [
+            _to_term_postings(t, raw, float(idf_fn(n, self._df_map[t])), self.index)
+            for t, raw in raws.items()
+        ]
+        return wand_topk(tps, k, self.index.avgdl, self.index.cfg.k1, self.index.cfg.b)

@@ -23,11 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from meilibridge_spark.config import IndexConfig
 from meilibridge_spark.operators.docs import assemble_docs, corpus_stats
-from meilibridge_spark.operators.postings import (
-    build_postings,
-    explode_terms,
-    term_stats,
-)
+from meilibridge_spark.operators.postings import build_postings, term_stats
 from meilibridge_spark.sources.tables import (
     InvertedIndex,
     delete_index,
@@ -45,7 +41,7 @@ def build_index(
     docs = assemble_docs(source, cfg, doc_id_col=doc_id_col)
     docs = docs.persist()
     n_docs, avgdl = corpus_stats(docs)
-    postings = build_postings(explode_terms(docs), cfg, n_docs)
+    postings = build_postings(docs, cfg, doc_sorted=doc_id_col is None)
     terms = term_stats(postings)
     return InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
@@ -96,7 +92,8 @@ def build_and_save(
 
     # stage 2: postings blocks
     if not _success(postings_path):
-        postings = build_postings(explode_terms(docs), cfg, n_docs)
+        # staged docs parquet loses the range layout -> re-range inside
+        postings = build_postings(docs, cfg, doc_sorted=False)
         postings.write.mode("overwrite").parquet(postings_path)
     postings = spark.read.parquet(postings_path)
 

@@ -140,6 +140,18 @@ def test_rank_identity_wand_path(built, oracle):
         )
 
 
+def test_driver_searcher_matches_wand(built, oracle):
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    for q in QUERIES:
+        want = oracle.topk(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r}"
+        got2 = s.search(q, 10)  # warm cache path
+        assert got2 == got
+
+
 def test_search_many_matches_single(built):
     batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
     res = search_many(built, batch, k=10).collect()
