@@ -111,6 +111,10 @@ class IndexConfig:
     #: salted two-stage posting build: number of doc-range salts (skew defuse)
     n_salts: int = 8
     block_size: int = DEFAULT_BLOCK_SIZE
+    #: docs per posting shard: hot terms encode one task per shard, and
+    #: block segmentation restarts at shard boundaries so the layout is
+    #: a canonical function of content (byte-identity across build paths)
+    shard_range: int = 1 << 16
 
     def validate(self) -> None:
         """Mirror config/config.go:26-115 validation semantics."""

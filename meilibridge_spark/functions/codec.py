@@ -69,8 +69,17 @@ def encode_blocks(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int,
+    shard_range: "int | None" = None,
 ) -> "list[dict]":
     """Split a docID-sorted posting run into compressed blocks.
+
+    With ``shard_range`` set, block segmentation restarts at every
+    doc_id multiple of shard_range and block_id = shard_index *
+    (shard_range // block_size) + local index. This makes the block
+    layout a CANONICAL function of posting content alone — independent
+    of whether a term was encoded in one task or one task per shard —
+    so the parallel sharded build, a fresh rebuild, and the incremental
+    merger all produce byte-identical rows (SURVEY §7 hard part (d)).
 
     Returns a list of dicts matching the postings table schema fields
     (block_id, n, first_doc, last_doc, max_tf, min_dl, sum_tf,
@@ -82,25 +91,40 @@ def encode_blocks(
     n = doc_ids.size
     if n and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
-    blocks = []
-    for bi, s in enumerate(range(0, n, block_size)):
-        e = min(s + block_size, n)
-        d = doc_ids[s:e]
-        gaps = np.diff(d).astype(np.uint64)
-        blocks.append(
-            {
-                "block_id": bi,
-                "n": int(e - s),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
-                "max_tf": int(tfs[s:e].max()),
-                "min_dl": int(dls[s:e].min()),
-                "sum_tf": int(tfs[s:e].sum()),
-                "docs_bin": encode_varints(gaps),
-                "tfs_bin": encode_varints(tfs[s:e]),
-                "dls_bin": encode_varints(dls[s:e]),
-            }
-        )
+    blocks: list[dict] = []
+    if n == 0:
+        return blocks
+
+    def _emit(lo: int, hi: int, id_base: int) -> None:
+        for local, s in enumerate(range(lo, hi, block_size)):
+            e = min(s + block_size, hi)
+            d = doc_ids[s:e]
+            gaps = np.diff(d).astype(np.uint64)
+            blocks.append(
+                {
+                    "block_id": id_base + local,
+                    "n": int(e - s),
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "max_tf": int(tfs[s:e].max()),
+                    "min_dl": int(dls[s:e].min()),
+                    "sum_tf": int(tfs[s:e].sum()),
+                    "docs_bin": encode_varints(gaps),
+                    "tfs_bin": encode_varints(tfs[s:e]),
+                    "dls_bin": encode_varints(dls[s:e]),
+                }
+            )
+
+    if shard_range is None:
+        _emit(0, n, 0)
+        return blocks
+    per_shard = -(-shard_range // block_size)  # blocks per full shard
+    shards = doc_ids // shard_range
+    starts = np.unique(shards, return_index=True)[1]
+    bounds = np.append(starts, n)
+    for i in range(starts.size):
+        lo = int(bounds[i])
+        _emit(lo, int(bounds[i + 1]), int(shards[lo]) * per_shard)
     return blocks
 
 

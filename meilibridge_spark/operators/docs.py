@@ -103,6 +103,76 @@ def assign_doc_ids(
     )
 
 
+def assign_doc_ids_contiguous(
+    df: DataFrame, conv_col: str, turn_col: str
+) -> "DataFrame | None":
+    """Fast path for the transcripts contract: when ``turn_col`` is
+    contiguous 0..n-1 within every conversation (a transcript by
+    definition), the dense rank over (conv, turn) equals
+    cumsum(conv sizes in conv order) + turn — computed with one
+    conv-LEVEL aggregation + a conv-level cumsum + a join, instead of
+    range-sorting and checkpointing every turn row. At 10^12 turns this
+    replaces the full-row global sort with an aggregation that is ~10x
+    smaller and a broadcast-or-shuffle join Catalyst picks itself.
+
+    Returns None when contiguity doesn't hold (caller falls back to the
+    sort-based general path)."""
+    sizes = (
+        df.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(turn_col).alias("_mn"),
+            F.max(turn_col).alias("_mx"),
+        )
+        .persist()
+    )
+    bad = (
+        sizes.filter((F.col("_mn") != 0) | (F.col("_mx") != F.col("_cnt") - 1))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        sizes.unpersist()
+        return None
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        sizes.select(conv_col, "_cnt")
+        .repartitionByRange(parts, F.col(conv_col))
+        .sortWithinPartitions(conv_col)
+        .localCheckpoint(eager=True)  # pin sampled boundaries (see above)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    psums = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    if not offsets:
+        return df.withColumn("doc_id", F.lit(0).cast("long"))
+    offs = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(conv_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv_off = with_pid.withColumn(
+        "_off",
+        (F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + offs[F.col("_pid")]).cast(
+            "long"
+        ),
+    ).select(conv_col, "_off")
+    out = df.join(conv_off, conv_col).withColumn(
+        "doc_id", (F.col("_off") + F.col(turn_col)).cast("long")
+    ).drop("_off")
+    return out
+
+
 def make_term_freq_udf(analyzer: AnalyzerConfig):
     """Scalar pandas UDF: text -> array<struct<term,tf>> (per-doc tf
     combined Python-side = map-side combine, SURVEY §2C)."""
@@ -137,7 +207,10 @@ def assemble_docs(
     cfg.validate()
     df = apply_projection(df, cfg)
     if doc_id_col is None:
-        df = assign_doc_ids(df, cfg.primary_key)
+        fast = None
+        if len(cfg.primary_key) == 2:
+            fast = assign_doc_ids_contiguous(df, *cfg.primary_key)
+        df = fast if fast is not None else assign_doc_ids(df, cfg.primary_key)
     elif doc_id_col != "doc_id":
         df = df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:

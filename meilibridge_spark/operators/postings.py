@@ -43,7 +43,7 @@ from meilibridge_spark.config import IndexConfig
 from meilibridge_spark.functions.codec import encode_blocks
 
 POSTINGS_SCHEMA = (
-    "term string, block_id int, n int, first_doc long, last_doc long, "
+    "term string, block_id long, n int, first_doc long, last_doc long, "
     "max_tf int, min_dl long, sum_tf long, "
     "docs_bin binary, tfs_bin binary, dls_bin binary"
 )
@@ -63,7 +63,7 @@ POSTING_COLUMNS = [
 ]
 
 PARTIAL_SCHEMA = (
-    "term string, first_doc long, doc_ids array<long>, "
+    "term string, shard long, doc_ids array<long>, "
     "tfs array<long>, dls array<long>"
 )
 
@@ -85,59 +85,73 @@ def explode_terms(docs: DataFrame) -> DataFrame:
     )
 
 
-def _partial_runs(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        terms_col = pdf["terms"]
-        lens = np.fromiter((len(x) for x in terms_col), dtype=np.int64, count=len(pdf))
-        if lens.sum() == 0:
-            continue
-        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
-        flat_terms = np.fromiter(
-            (e["term"] for row in terms_col for e in row),
-            dtype=object,
-            count=int(lens.sum()),
-        )
-        flat_tfs = np.fromiter(
-            (e["tf"] for row in terms_col for e in row),
-            dtype=np.int64,
-            count=int(lens.sum()),
-        )
-        # stable sort by term keeps the batch's doc order within a term
-        order = np.argsort(flat_terms, kind="stable")
-        st, sd, stf, sdl = (
-            flat_terms[order],
-            doc_ids[order],
-            flat_tfs[order],
-            dls[order],
-        )
-        uniq, starts = np.unique(st, return_index=True)
-        bounds = np.append(starts, st.size)
-        yield pd.DataFrame(
-            {
-                "term": uniq,
-                "first_doc": sd[starts],
-                "doc_ids": [sd[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
-                "tfs": [stf[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
-                "dls": [sdl[bounds[i] : bounds[i + 1]] for i in range(uniq.size)],
-            }
-        )
+def _make_partial_runs(shard_range: int):
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms_col = pdf["terms"]
+            lens = np.fromiter(
+                (len(x) for x in terms_col), dtype=np.int64, count=len(pdf)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+            dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+            flat_terms = np.fromiter(
+                (e["term"] for row in terms_col for e in row),
+                dtype=object,
+                count=total,
+            )
+            flat_tfs = np.fromiter(
+                (e["tf"] for row in terms_col for e in row),
+                dtype=np.int64,
+                count=total,
+            )
+            shards = doc_ids // shard_range
+            # one stable sort groups by (term, shard), keeping the
+            # batch's doc order within each group
+            codes, uniq_terms = pd.factorize(flat_terms, sort=True)
+            key = codes.astype(np.int64) * (shards.max() + 1) + shards
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            sd, stf, sdl = doc_ids[order], flat_tfs[order], dls[order]
+            starts = np.unique(sk, return_index=True)[1]
+            bounds = np.append(starts, sk.size)
+            yield pd.DataFrame(
+                {
+                    "term": uniq_terms[
+                        (sk[starts] // (shards.max() + 1)).astype(np.int64)
+                    ],
+                    "shard": sk[starts] % (shards.max() + 1),
+                    "doc_ids": [
+                        sd[bounds[i] : bounds[i + 1]] for i in range(starts.size)
+                    ],
+                    "tfs": [
+                        stf[bounds[i] : bounds[i + 1]] for i in range(starts.size)
+                    ],
+                    "dls": [
+                        sdl[bounds[i] : bounds[i + 1]] for i in range(starts.size)
+                    ],
+                }
+            )
+
+    return run
 
 
-def _make_encoder(block_size: int):
+def _make_encoder(block_size: int, shard_range: int):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_ids = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in pdf["doc_ids"]]
         )
         tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["tfs"]])
         dls = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["dls"]])
-        # runs are disjoint doc ranges when the input was range-laid-out;
-        # the argsort makes the result correct for any layout
+        # runs arrive in arbitrary batch order; one vectorized argsort
+        # restores global doc order (correct for any input layout)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        blocks = encode_blocks(doc_ids, tfs, dls, block_size)
+        blocks = encode_blocks(doc_ids, tfs, dls, block_size, shard_range)
         out = pd.DataFrame(blocks)
         out.insert(0, "term", pdf["term"].iloc[0])
         return out[POSTING_COLUMNS]
@@ -152,18 +166,18 @@ def build_postings(
 ) -> DataFrame:
     """docs(doc_id, terms, dl) -> postings blocks (POSTINGS_SCHEMA).
 
-    ``doc_sorted=False`` forces a range repartition by doc_id first so
-    stage-1 batches are contiguous ranges (inputs that didn't come from
-    assign_doc_ids, e.g. a table with pre-existing ids)."""
+    Stage-2 parallelism is per (term, doc-shard), so a hot Zipf-head
+    term encodes in n_docs/shard_range parallel tasks; canonical
+    shard-aligned block ids keep the output byte-identical to any other
+    build path. ``doc_sorted`` is advisory only (kept for callers that
+    know their layout; correctness never depends on it)."""
+    del doc_sorted
     src = docs.select("doc_id", "terms", "dl")
-    if not doc_sorted:
-        parts = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        src = src.repartitionByRange(parts, "doc_id").sortWithinPartitions("doc_id")
-    partial = src.mapInPandas(_partial_runs, schema=PARTIAL_SCHEMA)
-    return partial.groupBy("term").applyInPandas(
-        _make_encoder(cfg.block_size), schema=POSTINGS_SCHEMA
+    partial = src.mapInPandas(
+        _make_partial_runs(cfg.shard_range), schema=PARTIAL_SCHEMA
+    )
+    return partial.groupBy("term", "shard").applyInPandas(
+        _make_encoder(cfg.block_size, cfg.shard_range), schema=POSTINGS_SCHEMA
     )
 
 

@@ -168,14 +168,28 @@ def search_many(
     scored = rows.join(F.broadcast(plan_df), "term").withColumn(
         "contrib", _contrib_col(index)
     )
-    w = Window.partitionBy("query_id").orderBy(
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    # exact two-level top-k: a hot single-term query has ~df(term)
+    # candidates, and one row_number window per query would sort them
+    # all in ONE task (the per-query skew straggler). Level 1 takes a
+    # local top-k per (query, doc-hash salt) — parallel across S
+    # partitions per query; level 2 ranks only S*k survivors.
+    n_salts = 32
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
-        scored.groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        per_doc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
+        .drop("_salt", "_lr")
     )
 
 

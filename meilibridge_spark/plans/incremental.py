@@ -41,7 +41,7 @@ from meilibridge_spark.sources.cdc import fold_events
 from meilibridge_spark.sources.tables import InvertedIndex
 
 
-def _make_merger(block_size: int):
+def _make_merger(block_size: int, shard_range: int):
     def merge(key, old_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
         term = key[0]
         # decode surviving old entries
@@ -71,7 +71,7 @@ def _make_merger(block_size: int):
             d, t, l = d[order], t[order], l[order]
         if d.size == 0:
             return pd.DataFrame(columns=POSTING_COLUMNS)
-        out = pd.DataFrame(encode_blocks(d, t, l, block_size))
+        out = pd.DataFrame(encode_blocks(d, t, l, block_size, shard_range))
         out.insert(0, "term", term)
         return out[POSTING_COLUMNS]
 
@@ -163,7 +163,9 @@ def apply_cdc(
     merged = (
         old_affected.groupBy("term")
         .cogroup(delta.groupBy("term"))
-        .applyInPandas(_make_merger(cfg.block_size), schema=POSTINGS_SCHEMA)
+        .applyInPandas(
+            _make_merger(cfg.block_size, cfg.shard_range), schema=POSTINGS_SCHEMA
+        )
     )
     postings_new = untouched.unionByName(merged)
 
