@@ -30,15 +30,14 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from meilibridge_spark.config import AnalyzerConfig, IndexConfig
-from meilibridge_spark.functions.tokenizer import term_freq_series
+from meilibridge_spark.functions.tokenizer import term_freq_frame
 
-TERMS_FIELD = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("tf", T.IntegerType(), False),
-        ]
-    )
+#: struct-of-arrays term-frequency layout (cheap through Arrow)
+TERMS_FIELD = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+    ]
 )
 
 
@@ -178,8 +177,8 @@ def make_term_freq_udf(analyzer: AnalyzerConfig):
     combined Python-side = map-side combine, SURVEY §2C)."""
 
     @F.pandas_udf(TERMS_FIELD)
-    def term_freq_udf(texts: pd.Series) -> pd.Series:
-        return term_freq_series(texts, analyzer)
+    def term_freq_udf(texts: pd.Series) -> pd.DataFrame:
+        return term_freq_frame(texts, analyzer)
 
     return term_freq_udf
 
@@ -224,7 +223,7 @@ def assemble_docs(
             "dl",
             F.coalesce(
                 F.aggregate(
-                    F.col("terms"), F.lit(0), lambda acc, x: acc + x["tf"]
+                    F.col("terms.tfs"), F.lit(0), lambda acc, x: acc + x
                 ),
                 F.lit(0),
             ),

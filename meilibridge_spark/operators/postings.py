@@ -69,14 +69,19 @@ PARTIAL_SCHEMA = (
 
 
 def explode_terms(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, terms array<struct<term,tf>>, dl) ->
+    """docs(doc_id, terms struct<terms,tfs>, dl) ->
     (doc_id, term, tf, dl) rows — kept for operators that want the
     relational form; the posting build itself uses the compact
     partial-run path below."""
     return docs.select(
         "doc_id",
         "dl",
-        F.explode("terms").alias("_t"),
+        F.explode(
+            F.arrays_zip(
+                F.col("terms.terms").alias("term"),
+                F.col("terms.tfs").alias("tf"),
+            )
+        ).alias("_t"),
     ).select(
         "doc_id",
         F.col("_t.term").alias("term"),
@@ -90,7 +95,8 @@ def _make_partial_runs(shard_range: int):
         for pdf in batches:
             if pdf.empty:
                 continue
-            terms_col = pdf["terms"]
+            terms_col = pdf["terms_arr"]
+            tfs_col = pdf["tfs_arr"]
             lens = np.fromiter(
                 (len(x) for x in terms_col), dtype=np.int64, count=len(pdf)
             )
@@ -99,15 +105,11 @@ def _make_partial_runs(shard_range: int):
                 continue
             doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
             dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
-            flat_terms = np.fromiter(
-                (e["term"] for row in terms_col for e in row),
-                dtype=object,
-                count=total,
+            flat_terms = np.concatenate(
+                [np.asarray(x, dtype=object) for x in terms_col]
             )
-            flat_tfs = np.fromiter(
-                (e["tf"] for row in terms_col for e in row),
-                dtype=np.int64,
-                count=total,
+            flat_tfs = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in tfs_col]
             )
             shards = doc_ids // shard_range
             # one stable sort groups by (term, shard), keeping the
@@ -172,7 +174,12 @@ def build_postings(
     build path. ``doc_sorted`` is advisory only (kept for callers that
     know their layout; correctness never depends on it)."""
     del doc_sorted
-    src = docs.select("doc_id", "terms", "dl")
+    src = docs.select(
+        "doc_id",
+        F.col("terms.terms").alias("terms_arr"),
+        F.col("terms.tfs").alias("tfs_arr"),
+        "dl",
+    )
     partial = src.mapInPandas(
         _make_partial_runs(cfg.shard_range), schema=PARTIAL_SCHEMA
     )

@@ -128,7 +128,7 @@ def apply_cdc(
         .withColumn(
             "dl",
             F.coalesce(
-                F.aggregate(F.col("terms"), F.lit(0), lambda a, x: a + x["tf"]),
+                F.aggregate(F.col("terms.tfs"), F.lit(0), lambda a, x: a + x),
                 F.lit(0),
             ),
         )
@@ -138,16 +138,24 @@ def apply_cdc(
     # --- delta rows: removals (old text of touched docs) + additions
     old_terms = (
         existing.withColumn("terms", tf_udf(F.coalesce(F.col("text"), F.lit(""))))
-        .select("doc_id", F.explode("terms").alias("_t"))
+        .select("doc_id", F.explode("terms.terms").alias("term"))
         .select(
-            F.col("_t.term").alias("term"),
+            "term",
             "doc_id",
             F.lit(0).alias("tf"),
             F.lit(0).alias("dl"),
             F.lit(False).alias("is_add"),
         )
     )
-    add_terms = upserts.select("doc_id", "dl", F.explode("terms").alias("_t")).select(
+    add_terms = upserts.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.arrays_zip(
+                F.col("terms.terms").alias("term"), F.col("terms.tfs").alias("tf")
+            )
+        ).alias("_t"),
+    ).select(
         F.col("_t.term").alias("term"),
         "doc_id",
         F.col("_t.tf").alias("tf"),

@@ -30,9 +30,13 @@ from meilibridge_spark.session import build_session
 from meilibridge_spark.sources.transcripts import generate_transcripts
 
 cores = int(sys.argv[1]); n_convs = int(sys.argv[2])
-spark = build_session(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores * 2)
+# Partitioning is a property of the DATA, not the cluster size: both
+# runs use the same partition count (as a real cluster would when
+# scaling executors against a fixed input), so only parallelism varies.
+PARTS = 64
+spark = build_session(f"scaling-{{cores}}", cores=cores, shuffle_partitions=PARTS)
 src = generate_transcripts(spark, n_convs=n_convs, seed=42,
-                           num_partitions=cores * 2).persist()
+                           num_partitions=PARTS).persist()
 n_turns = src.count()
 t0 = time.time()
 idx = build_index(src, IndexConfig(index_name="scaling"))
