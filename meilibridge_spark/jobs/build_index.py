@@ -25,6 +25,16 @@ def main() -> None:
     ap.add_argument("--source", default=None)
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--continue", dest="cont", action="store_true")
+    ap.add_argument(
+        "--auto",
+        type=int,
+        default=None,
+        metavar="SECONDS",
+        help="S20 auto-bulk: re-run an incremental build every N seconds "
+        "(reference default 1800, clamped >=1; config/config.go:31-33)",
+    )
+    ap.add_argument("--auto-rounds", type=int, default=0,
+                    help="stop --auto after this many rounds (0 = forever)")
     ap.add_argument("--synthetic-convs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--stop-words", default="")
@@ -55,21 +65,32 @@ def main() -> None:
         ap.error("--source or --synthetic-convs required")
         return
 
-    t0 = time.time()
-    index = build_and_save(
-        spark, source, cfg, args.index_dir, recreate=not args.cont
-    )
-    print(
-        json.dumps(
-            {
-                "snapshot_id": index.snapshot_id,
-                "n_docs": index.n_docs,
-                "avgdl": round(index.avgdl, 4),
-                "seconds": round(time.time() - t0, 3),
-                "metrics": index.metrics,
-            }
+    def one_build(is_continue: bool) -> None:
+        t0 = time.time()
+        index = build_and_save(
+            spark, source, cfg, args.index_dir, recreate=not is_continue
         )
-    )
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": index.snapshot_id,
+                    "n_docs": index.n_docs,
+                    "avgdl": round(index.avgdl, 4),
+                    "seconds": round(time.time() - t0, 3),
+                    "metrics": index.metrics,
+                }
+            ),
+            flush=True,
+        )
+
+    one_build(args.cont)
+    if args.auto is not None:
+        interval = max(1, args.auto)  # reference clamps >=1
+        rounds = 0
+        while args.auto_rounds == 0 or rounds < args.auto_rounds:
+            time.sleep(interval)
+            one_build(True)
+            rounds += 1
 
 
 if __name__ == "__main__":

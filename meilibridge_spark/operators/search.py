@@ -149,47 +149,83 @@ def search_many(
 
     k = k or index.cfg.max_total_hits
     spark = index.postings.sparkSession
-    plan: list[tuple[str, str]] = []
-    all_terms: set[str] = set()
+    # dedup queries by their normalized term set: identical queries (and
+    # rewordings hitting the same terms) are scored once and fanned back
+    # out at the end — contributions are query-independent
+    key_of: dict[str, str] = {}
+    key_terms: dict[str, tuple[str, ...]] = {}
     for qid, text in queries:
-        terms = parse_query(text, index.cfg.analyzer)
-        all_terms.update(terms)
-        plan.extend((qid, t) for t in terms)
+        terms = tuple(parse_query(text, index.cfg.analyzer))
+        key = "\x1f".join(terms)
+        key_of[qid] = key
+        key_terms[key] = terms
+    all_terms = sorted({t for ts in key_terms.values() for t in ts})
+    idf_map = _idf_map(index, all_terms)
+    plan = [
+        (key, t, idf_map[t])
+        for key, ts in key_terms.items()
+        for t in ts
+        if t in idf_map
+    ]
     if not plan:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
-    idf_map = _idf_map(index, sorted(all_terms))
-    plan_df = spark.createDataFrame(
-        [(qid, t, idf_map[t]) for qid, t in plan if t in idf_map],
-        "query_id string, term string, idf double",
-    )
-    rows = candidate_rows(index, sorted(idf_map))
-    scored = rows.join(F.broadcast(plan_df), "term").withColumn(
-        "contrib", _contrib_col(index)
-    )
-    per_doc = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").alias("score")
-    )
+    live_terms = {key: [t for t in ts if t in idf_map] for key, ts in key_terms.items()}
+    single = {key for key, ts in live_terms.items() if len(ts) == 1}
+    plan_multi = [p for p in plan if p[0] not in single]
+    plan_single = [p for p in plan if p[0] in single]
+
+    rows = candidate_rows(index, sorted(idf_map)).persist()
+    parts = []
+    if plan_multi:
+        plan_df = spark.createDataFrame(
+            plan_multi, "qkey string, term string, idf double"
+        )
+        scored = rows.join(F.broadcast(plan_df), "term").withColumn(
+            "contrib", _contrib_col(index)
+        )
+        parts.append(
+            scored.groupBy("qkey", "doc_id").agg(F.sum("contrib").alias("score"))
+        )
+    if plan_single:
+        # single-term queries: doc_id is unique within a term's postings,
+        # so the per-doc sum (and its shuffle) is unnecessary
+        plan_df1 = spark.createDataFrame(
+            plan_single, "qkey string, term string, idf double"
+        )
+        parts.append(
+            rows.join(F.broadcast(plan_df1), "term")
+            .withColumn("score", _contrib_col(index))
+            .select("qkey", "doc_id", "score")
+        )
+    per_doc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
     # exact two-level top-k: a hot single-term query has ~df(term)
     # candidates, and one row_number window per query would sort them
     # all in ONE task (the per-query skew straggler). Level 1 takes a
     # local top-k per (query, doc-hash salt) — parallel across S
     # partitions per query; level 2 ranks only S*k survivors.
     n_salts = 32
-    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+    w_local = Window.partitionBy("qkey", "_salt").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    w_global = Window.partitionBy("query_id").orderBy(
+    w_global = Window.partitionBy("qkey").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    per_key = (
         per_doc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
         .withColumn("_lr", F.row_number().over(w_local))
         .filter(F.col("_lr") <= k)
         .withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
         .drop("_salt", "_lr")
+    )
+    mapping = spark.createDataFrame(
+        list(key_of.items()), "query_id string, qkey string"
+    )
+    return per_key.join(F.broadcast(mapping), "qkey").select(
+        "query_id", "doc_id", "score", "rank"
     )
 
 

@@ -44,9 +44,13 @@ idx.postings = idx.postings.persist()
 idx.postings.count()
 build_s = time.time() - t0
 idx.terms = idx.terms.persist(); idx.terms.count()
-queries = [(f"q{{i}}", q) for i, q in enumerate(
-    ["baba", "baba cedi", "difo gupa haki", "cedi fodi", "baba zaza kiki",
-     "negu pa qi", "roba suba", "taba veba wiba", "baba cedi difo gupa"] * 6)]
+from meilibridge_spark.sources.transcripts import build_vocab
+vocab = build_vocab(500)
+queries = [(f"s{{i}}", vocab[(i * 7) % 500]) for i in range(18)]
+queries += [(f"d{{i}}", f"{{vocab[(i * 13) % 500]}} {{vocab[(i * 29 + 3) % 500]}}")
+            for i in range(18)]
+queries += [(f"t{{i}}", " ".join(vocab[(i * j + 11) % 500] for j in (17, 31, 47)))
+            for i in range(18)]
 t0 = time.time()
 search_many(idx, queries, k=10).count()
 query_s = time.time() - t0
@@ -78,14 +82,22 @@ def run_at(cores: int, n_convs: int) -> dict:
     )
 
 
+def _best(trials: "list[dict]") -> dict:
+    """Take the fastest trial per level: JVM warmup, page cache and GC
+    make single local-mode runs noisy by +-30%; min wall time is the
+    standard noise-floor estimator."""
+    return min(trials, key=lambda r: r["build_s"] + r["query_s"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=40000)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
     args = ap.parse_args()
-    lo = run_at(args.n, args.convs)
-    hi = run_at(args.n * 4, args.convs)
+    lo = _best([run_at(args.n, args.convs) for _ in range(args.trials)])
+    hi = _best([run_at(args.n * 4, args.convs) for _ in range(args.trials)])
     factor = (args.n * 4) / args.n
     out = {
         "input_convs": args.convs,
