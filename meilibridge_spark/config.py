@@ -111,10 +111,14 @@ class IndexConfig:
     #: salted two-stage posting build: number of doc-range salts (skew defuse)
     n_salts: int = 8
     block_size: int = DEFAULT_BLOCK_SIZE
-    #: docs per posting shard: hot terms encode one task per shard, and
-    #: block segmentation restarts at shard boundaries so the layout is
-    #: a canonical function of content (byte-identity across build paths)
-    shard_range: int = 1 << 16
+    #: docs per posting shard: hot terms encode one task per shard, block
+    #: segmentation restarts at shard boundaries so the layout is a
+    #: canonical function of content (byte-identity across build paths),
+    #: and batch queries score one doc-shard per task (scatter-gather).
+    #: 2^14 keeps the scatter-gather stage well-parallelized even at
+    #: ~10^6-turn corpora (60+ shards) while a 10^12-turn corpus yields
+    #: ~6e7 shards — far above any cluster's core count either way.
+    shard_range: int = 1 << 14
 
     def validate(self) -> None:
         """Mirror config/config.go:26-115 validation semantics."""

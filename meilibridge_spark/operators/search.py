@@ -36,6 +36,8 @@ from meilibridge_spark.sources.tables import InvertedIndex
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
+SCORED_SCHEMA = "qkey string, doc_id long, score double"
+
 
 def decode_postings(postings: DataFrame) -> DataFrame:
     """Posting blocks -> (term, doc_id, tf, dl) rows via mapInPandas
@@ -137,14 +139,118 @@ def search(
     )
 
 
+def _make_shard_scorer(
+    plan: "list[tuple[str, list[tuple[int, float]]]]",
+    qkeys: "list[str]",
+    shard_range: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    query_chunk: int = 64,
+):
+    """Per-partition scatter-gather scorer (document-partitioned search,
+    the standard sharded-index query architecture).
+
+    Input rows: compressed posting blocks of the batch's query terms,
+    shuffled so one doc-shard's blocks land in one partition. For each
+    shard: decode each term ONCE, precompute its idf-independent BM25
+    impact, then accumulate every query's scores into a dense
+    (queries x shard_range) float64 array — doc offsets within a shard
+    index directly, so accumulation is pure numpy scatter-add. Exact
+    per-query top-k (score desc, doc_id asc tie-break) is selected per
+    shard; only n_shards*k rows per query leave the partition.
+
+    Queries are processed in chunks of ``query_chunk`` to bound the
+    dense array at chunk*shard_range*8 bytes (64*65536*8 = 32 MiB).
+    """
+    term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
+
+    def scorer(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # buffer the partition's (compressed) blocks grouped by shard
+        by_shard: "dict[int, list]" = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                by_shard.setdefault(int(row.first_doc) // shard_range, []).append(row)
+        for shard in sorted(by_shard):
+            rows = by_shard[shard]
+            base = shard * shard_range
+            # decode + impact once per term (idf-independent part)
+            per_term: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+            for r in rows:
+                offs, impact = per_term.get(r.term, (None, None))
+                d, t, dl = decode_block(
+                    r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
+                )
+                imp = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
+                o = d - base
+                if offs is None:
+                    per_term[r.term] = (o, imp)
+                else:
+                    per_term[r.term] = (
+                        np.concatenate((offs, o)),
+                        np.concatenate((impact, imp)),
+                    )
+            out_q, out_d, out_s = [], [], []
+            for c0 in range(0, len(qkeys), query_chunk):
+                chunk = qkeys[c0 : c0 + query_chunk]
+                scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
+                touched = np.zeros(len(chunk), dtype=bool)
+                for qi, qkey in enumerate(chunk):
+                    for term, idf in term_plan[qkey]:
+                        hit = per_term.get(term)
+                        if hit is None:
+                            continue
+                        # a term's doc offsets are unique within a shard,
+                        # so plain fancy-index += is a correct scatter-add
+                        scores[qi][hit[0]] += idf * hit[1]
+                        touched[qi] = True
+                for qi, qkey in enumerate(chunk):
+                    if not touched[qi]:
+                        continue
+                    row = scores[qi]
+                    pos = np.flatnonzero(row)
+                    vals = row[pos]
+                    if pos.size > k:
+                        kth = np.partition(vals, pos.size - k)[pos.size - k]
+                        keep = vals >= kth
+                        pos, vals = pos[keep], vals[keep]
+                    order = np.lexsort((pos, -vals))[:k]
+                    pos, vals = pos[order], vals[order]
+                    out_q.append(np.repeat(qkey, pos.size))
+                    out_d.append(pos + base)
+                    out_s.append(vals)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qkey": np.concatenate(out_q),
+                        "doc_id": np.concatenate(out_d),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return scorer
+
+
 def search_many(
     index: InvertedIndex,
     queries: "list[tuple[str, str]]",
     k: "int | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
-    (query_id, doc_id, score, rank<=k). Decodes each needed term's
-    postings once; the per-query term plan is a broadcast join."""
+    (query_id, doc_id, score, rank<=k).
+
+    Document-partitioned scatter-gather: the only shuffle moves the
+    batch's COMPRESSED posting blocks (grouped by doc-shard); each
+    shard scores all queries in one vectorized pass and emits its local
+    top-k, and the global merge ranks just n_shards*k rows per query.
+    Nothing doc-granular is ever shuffled or materialized, so the
+    heavy stage scales with shard count (= corpus size / 65536),
+    independent of query count or term hotness. At extreme shard
+    counts the final single-level merge generalizes to a tree merge;
+    at 10^12 turns the per-query merge input is n_shards*k rows,
+    which a two-level (salted) merge handles the same way.
+    """
     from pyspark.sql.window import Window
 
     k = k or index.cfg.max_total_hits
@@ -162,69 +268,48 @@ def search_many(
     all_terms = sorted({t for ts in key_terms.values() for t in ts})
     idf_map = _idf_map(index, all_terms)
     plan = [
-        (key, t, idf_map[t])
+        (key, sorted({(t, idf_map[t]) for t in ts if t in idf_map}))
         for key, ts in key_terms.items()
-        for t in ts
-        if t in idf_map
     ]
+    plan = [(key, terms) for key, terms in plan if terms]
     if not plan:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
-    live_terms = {key: [t for t in ts if t in idf_map] for key, ts in key_terms.items()}
-    single = {key for key, ts in live_terms.items() if len(ts) == 1}
-    plan_multi = [p for p in plan if p[0] not in single]
-    plan_single = [p for p in plan if p[0] in single]
+    qkeys = sorted(key for key, _ in plan)
 
-    rows = candidate_rows(index, sorted(idf_map)).persist()
-    parts = []
-    if plan_multi:
-        plan_df = spark.createDataFrame(
-            plan_multi, "qkey string, term string, idf double"
-        )
-        scored = rows.join(F.broadcast(plan_df), "term").withColumn(
-            "contrib", _contrib_col(index)
-        )
-        parts.append(
-            scored.groupBy("qkey", "doc_id").agg(F.sum("contrib").alias("score"))
-        )
-    if plan_single:
-        # single-term queries: doc_id is unique within a term's postings,
-        # so the per-doc sum (and its shuffle) is unnecessary
-        plan_df1 = spark.createDataFrame(
-            plan_single, "qkey string, term string, idf double"
-        )
-        parts.append(
-            rows.join(F.broadcast(plan_df1), "term")
-            .withColumn("score", _contrib_col(index))
-            .select("qkey", "doc_id", "score")
-        )
-    per_doc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-
-    # exact two-level top-k: a hot single-term query has ~df(term)
-    # candidates, and one row_number window per query would sort them
-    # all in ONE task (the per-query skew straggler). Level 1 takes a
-    # local top-k per (query, doc-hash salt) — parallel across S
-    # partitions per query; level 2 ranks only S*k survivors.
-    n_salts = 32
-    w_local = Window.partitionBy("qkey", "_salt").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+    blocks = index.postings.filter(F.col("term").isin(sorted(idf_map))).select(
+        "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sharded = blocks.repartition(
+        n_parts, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
+    )
+    per_key = sharded.mapInPandas(
+        _make_shard_scorer(
+            plan,
+            qkeys,
+            index.cfg.shard_range,
+            index.avgdl,
+            index.cfg.k1,
+            index.cfg.b,
+            k,
+        ),
+        schema=SCORED_SCHEMA,
     )
     w_global = Window.partitionBy("qkey").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    per_key = (
-        per_doc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
-        .withColumn("_lr", F.row_number().over(w_local))
-        .filter(F.col("_lr") <= k)
-        .withColumn("rank", F.row_number().over(w_global))
+    ranked = (
+        per_key.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
-        .drop("_salt", "_lr")
     )
     mapping = spark.createDataFrame(
         list(key_of.items()), "query_id string, qkey string"
     )
-    return per_key.join(F.broadcast(mapping), "qkey").select(
+    return ranked.join(F.broadcast(mapping), "qkey").select(
         "query_id", "doc_id", "score", "rank"
     )
 

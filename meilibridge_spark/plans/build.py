@@ -37,11 +37,18 @@ def build_index(
     cfg: IndexConfig,
     doc_id_col: "str | None" = None,
 ) -> InvertedIndex:
-    """In-memory build (no persistence): source rows -> InvertedIndex."""
+    """In-memory build (no persistence): source rows -> InvertedIndex.
+
+    Only the slim (doc_id, terms, dl) projection is cached: the build
+    consumes docs twice (corpus stats + postings), but caching the full
+    row (source text columns included) is pure memory-bandwidth waste —
+    at 100 TB the text dwarfs the term arrays. The full docs DataFrame
+    stays lazy; rarely-used paths (display, facets) recompute it.
+    """
     docs = assemble_docs(source, cfg, doc_id_col=doc_id_col)
-    docs = docs.persist()
-    n_docs, avgdl = corpus_stats(docs)
-    postings = build_postings(docs, cfg, doc_sorted=doc_id_col is None)
+    slim = docs.select("doc_id", "terms", "dl").persist()
+    n_docs, avgdl = corpus_stats(slim)
+    postings = build_postings(slim, cfg, doc_sorted=doc_id_col is None)
     terms = term_stats(postings)
     return InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,

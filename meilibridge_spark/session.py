@@ -36,6 +36,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ParallelGC: G1's concurrent refinement collapses under many
+        # allocating task threads (measured here: an allocation-heavy
+        # 32-thread stage ran 5x SLOWER than at 8 threads under G1;
+        # ParallelGC made it 11x faster and restored linear scaling).
+        # Applied to both driver (local mode) and executors (cluster).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
