@@ -240,6 +240,69 @@ def _q_displayed(terms_text: str, attrs: "tuple[str, ...]", k: int):
     return run
 
 
+def _q_phrase(phrase: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import (
+            build_positions,
+            phrase_search,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        pos = build_positions(idx.docs, idx.cfg, text_col="text")
+        return phrase_search(idx, pos, phrase, k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _sql_phrase(terms: "list[str]", k: int, pattern: str = "[a-z0-9]+") -> str:
+    """BM25 top-k restricted to docs containing ``terms`` as a
+    contiguous token sequence (positional adjacency in DuckDB via
+    zipped unnest of tokens and their subscripts)."""
+    joins, conds = [], [f"t0.term = '{terms[0]}'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i}"
+        )
+        conds.append(f"t{i}.term = '{terms[i]}'")
+    uniq = list(dict.fromkeys(terms))
+    inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {_sql_tok()},
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pattern}') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+  FROM arrs
+),
+phrase_docs AS (
+  SELECT DISTINCT t0.doc_id FROM tokpos t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {inlist}
+    AND tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _docs_index(spark, sf_dir)
     return idx.terms.select("term", "df", "cf")
@@ -429,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
+        "ft_phrase": _q_phrase("spark join", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_facet_lang": _q_facet("spark join", "lang"),
         "ft_distinct_source": _q_distinct("spark join", "source"),
@@ -495,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_bm25_repeated_terms": _sql_topk(["scan", "hash"], 15),
         "ft_bm25_absent_term": _sql_topk(["zzzmissing", "spark"], 10),
+        "ft_phrase": _sql_phrase(["spark", "join"], 10),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
         "ft_bm25_dictionary": _sql_topk(

@@ -1,0 +1,141 @@
+"""Positional postings + phrase search (extension beyond SURVEY §2B Q14).
+
+The reference documents ``proximity_precision`` but never maps it
+(config.example.yml:104-107 vs config/type.go:55-68 — a no-op there),
+so proximity RANKING stays a recorded non-goal. Phrase MATCHING is
+still useful on transcripts, and position data is cheap to carry, so
+this module adds it as a self-contained optional table:
+
+  positions(term, doc_id, positions array<int>)
+
+- positions index the RAW token stream (stop words occupy a slot but
+  emit no posting), so adjacency means "nothing but separators between
+  the tokens" regardless of stop-word config.
+- The table is built with one mapInPandas pass (per-doc grouping is
+  partition-local — no shuffle); at 10^12 turns it is written alongside
+  the postings snapshot and pruned by term at query time exactly like
+  the main postings table.
+
+Phrase search = iterative position-adjacency intersection (JVM-side
+``array_intersect`` on shifted position arrays; one hash join per
+phrase gap, each side pre-filtered to a single term's rows), then BM25
+ranking restricted to the matching docs (Meilisearch-style: the phrase
+acts as a filter, scores stay corpus-global).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import AnalyzerConfig, IndexConfig
+from meilibridge_spark.functions.tokenizer import _compiled, tokenize
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.sources.tables import InvertedIndex
+
+POSITIONS_SCHEMA = "term string, doc_id long, positions array<int>"
+
+
+def _make_position_rows(cfg: AnalyzerConfig):
+    rx_pattern = cfg.token_pattern
+    dictionary = tuple(cfg.dictionary)
+    stop = frozenset(cfg.stop_words)
+    lowercase = cfg.lowercase
+
+    def rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        rx = _compiled(rx_pattern, dictionary)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_t: list[str] = []
+            out_d: list[int] = []
+            out_p: list[list[int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = rx.findall(text.lower() if lowercase else text)
+                by_term: dict[str, list[int]] = {}
+                for pos, tok in enumerate(toks):
+                    if tok in stop:
+                        continue  # occupies the position, emits no posting
+                    by_term.setdefault(tok, []).append(pos)
+                for term, positions in by_term.items():
+                    out_t.append(term)
+                    out_d.append(int(doc_id))
+                    out_p.append(positions)
+            if out_t:
+                yield pd.DataFrame(
+                    {"term": out_t, "doc_id": out_d, "positions": out_p}
+                )
+
+    return rows
+
+
+def build_positions(
+    docs: DataFrame, cfg: IndexConfig, text_col: "str | None" = None
+) -> DataFrame:
+    """docs(doc_id, <text col>) -> positional postings
+    (term, doc_id, positions). Grouping is per document, so the whole
+    build is one narrow mapInPandas pass over the docs partitions."""
+    col = text_col or cfg.searchable_attributes[0]
+    src = docs.select("doc_id", F.col(col).alias("text"))
+    return src.mapInPandas(_make_position_rows(cfg.analyzer), schema=POSITIONS_SCHEMA)
+
+
+def phrase_candidates(
+    positions: DataFrame, terms: "list[str]"
+) -> DataFrame:
+    """doc_ids containing ``terms`` as a contiguous token sequence.
+
+    Iterative adjacency: carry the match-end positions forward; step i
+    intersects (previous ends + 1) with term i's positions. Each join
+    side is a single term's (doc_id, positions) rows — term filters
+    reach the scan, the join key is doc_id."""
+    if not terms:
+        raise ValueError("phrase needs at least one term")
+    cur = (
+        positions.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("positions").alias("_match"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = positions.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform(F.col("_match"), lambda x: x + 1),
+                    F.col(f"_p{i}"),
+                ).alias("_match"),
+            )
+            .filter(F.size("_match") > 0)
+        )
+    return cur.select("doc_id")
+
+
+def phrase_search(
+    index: InvertedIndex,
+    positions: DataFrame,
+    phrase: str,
+    k: "int | None" = None,
+) -> DataFrame:
+    """BM25 top-k over docs containing ``phrase`` as a contiguous token
+    sequence (tokenized with the index analyzer, stop words dropped from
+    the sequence the same way they are dropped from the index)."""
+    terms = tokenize(phrase, index.cfg.analyzer)
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, matched_terms int"
+        )
+    docs = phrase_candidates(positions, terms)
+    seen: "list[str]" = []
+    for t in terms:
+        if t not in seen:
+            seen.append(t)
+    return search(index, " ".join(seen), k, filter_docs=docs)

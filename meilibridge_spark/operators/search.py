@@ -76,11 +76,22 @@ def decode_postings(postings: DataFrame) -> DataFrame:
 
 def _idf_map(index: InvertedIndex, q_terms: "list[str]") -> "dict[str, float]":
     """Tiny driver-side lookup of the query terms' df -> idf (term
-    metadata broadcast, SURVEY §3 note)."""
+    metadata broadcast, SURVEY §3 note). Results are memoized on the
+    index (terms are immutable within a snapshot), so a warm serving
+    loop pays zero Spark jobs here; absent terms memoize as misses."""
     if not q_terms:
         return {}
-    rows = index.terms.filter(F.col("term").isin(q_terms)).collect()
-    return {r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows}
+    cache: "dict[str, float | None] | None" = getattr(index, "_idf_cache", None)
+    if cache is None:
+        cache = {}
+        index._idf_cache = cache
+    missing = [t for t in q_terms if t not in cache]
+    if missing:
+        rows = index.terms.filter(F.col("term").isin(missing)).collect()
+        found = {r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows}
+        for t in missing:
+            cache[t] = found.get(t)
+    return {t: v for t in q_terms if (v := cache.get(t)) is not None}
 
 
 def _contrib_col(index: InvertedIndex) -> "F.Column":
@@ -278,15 +289,20 @@ def search_many(
         )
     qkeys = sorted(key for key, _ in plan)
 
-    blocks = index.postings.filter(F.col("term").isin(sorted(idf_map))).select(
-        "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
-    )
-    n_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    sharded = blocks.repartition(
-        n_parts, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
-    )
+    if index.serving is not None:
+        # serving layout is already doc-shard partitioned and cached:
+        # the term filter is a narrow op, so the query runs SHUFFLE-FREE
+        sharded = index.serving.filter(
+            F.col("term").isin(sorted(idf_map))
+        ).select("term", "first_doc", "docs_bin", "tfs_bin", "dls_bin")
+    else:
+        blocks = index.postings.filter(F.col("term").isin(sorted(idf_map))).select(
+            "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
+        )
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        sharded = blocks.repartition(
+            n_parts, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
+        )
     per_key = sharded.mapInPandas(
         _make_shard_scorer(
             plan,
@@ -312,6 +328,23 @@ def search_many(
     return ranked.join(F.broadcast(mapping), "qkey").select(
         "query_id", "doc_id", "score", "rank"
     )
+
+
+def prepare_serving(index: InvertedIndex, n_parts: "int | None" = None) -> InvertedIndex:
+    """Switch the index into serving mode: materialize the postings
+    re-partitioned by doc-shard and cache them, so every subsequent
+    ``search_many`` batch is shuffle-free (the scatter-gather stage reads
+    resident partitions). On a real cluster this is the natural stored
+    layout of a query-serving tier — postings co-partitioned by doc
+    range across executors; the stored term-sorted parquet remains the
+    scan-pruning layout for single-term lookups."""
+    spark = index.postings.sparkSession
+    n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    index.serving = index.postings.repartition(
+        n, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
+    ).persist()
+    index.serving.count()
+    return index
 
 
 def _fetch_raw(index: InvertedIndex, terms: "list[str]") -> "dict[str, dict]":

@@ -42,6 +42,10 @@ class InvertedIndex:
     snapshot_id: "int | None" = None
     index_dir: "str | None" = None
     metrics: dict = field(default_factory=dict)
+    #: serving-mode layout: postings re-partitioned by doc-shard and
+    #: cached (prepare_serving). Batch queries then run shuffle-free —
+    #: the scatter-gather stage reads resident partitions directly.
+    serving: "DataFrame | None" = None
 
 
 def _read_manifest(index_dir: str) -> dict:

@@ -58,7 +58,7 @@ sys.path.insert(0, {repo!r})
 os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
 from pyspark.sql import functions as F
 from meilibridge_spark.config import IndexConfig
-from meilibridge_spark.operators.search import search_many
+from meilibridge_spark.operators.search import prepare_serving, search_many
 from meilibridge_spark.plans.build import build_index
 from meilibridge_spark.session import build_session
 from meilibridge_spark.sources.transcripts import build_vocab
@@ -76,11 +76,11 @@ n_turns = src.count()
 cfg = IndexConfig(index_name="scaling")
 
 vocab = build_vocab(500)
-queries = [(f"s{{i}}", vocab[(i * 7) % 500]) for i in range(50)]
+queries = [(f"s{{i}}", vocab[(i * 7) % 500]) for i in range(100)]
 queries += [(f"d{{i}}", f"{{vocab[(i * 13) % 500]}} {{vocab[(i * 29 + 3) % 500]}}")
-            for i in range(50)]
+            for i in range(100)]
 queries += [(f"t{{i}}", " ".join(vocab[(i * j + 11) % 500] for j in (17, 31, 47)))
-            for i in range(50)]
+            for i in range(100)]
 
 def timed_build():
     t0 = time.perf_counter()
@@ -89,6 +89,7 @@ def timed_build():
     idx.postings.count()
     dt = time.perf_counter() - t0
     idx.terms = idx.terms.persist(); idx.terms.count()
+    prepare_serving(idx)  # serving tier: queries run shuffle-free
     return idx, dt
 
 def timed_query(idx):

@@ -1,0 +1,107 @@
+"""Positional postings + phrase search (operators/positions.py).
+
+Covers: position extraction (stop words hold positions but emit no
+posting), adjacency intersection across 2- and 3-term phrases, phrase
+ranking == BM25 restricted to phrase docs, and the no-match / empty
+cases.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    IndexConfig,
+)
+from meilibridge_spark.operators.positions import (
+    build_positions,
+    phrase_candidates,
+    phrase_search,
+)
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_index
+
+DOCS = [
+    (0, "red fox jumps over the lazy dog"),
+    (1, "the quick red fox sleeps"),
+    (2, "fox red fox red fox"),
+    (3, "red then a fox apart"),
+    (4, "quick red fox quick red fox"),
+    (5, "nothing relevant here"),
+]
+
+
+def _cfg(**kw):
+    return IndexConfig(
+        index_name="pos",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN, **kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    cfg = _cfg()
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    pos = build_positions(idx.docs, cfg, text_col="text").persist()
+    return idx, pos
+
+
+def test_positions_rows(built):
+    _, pos = built
+    rows = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in pos.collect()
+    }
+    assert rows[("fox", 2)] == [0, 2, 4]
+    assert rows[("red", 2)] == [1, 3]
+    assert rows[("dog", 0)] == [6]
+
+
+def test_stop_words_hold_positions(spark):
+    cfg = _cfg(stop_words=("the",))
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    pos = build_positions(idx.docs, cfg, text_col="text")
+    rows = {(r["term"], r["doc_id"]): list(r["positions"]) for r in pos.collect()}
+    assert ("the", 0) not in rows  # no posting for a stop word
+    assert rows[("lazy", 0)] == [5]  # but it still occupies position 4
+
+
+def test_phrase_candidates_adjacency(built):
+    _, pos = built
+    hits = sorted(
+        r["doc_id"] for r in phrase_candidates(pos, ["red", "fox"]).collect()
+    )
+    # doc 1 "quick red fox", docs 2/4 repeats, doc 0 "red fox jumps";
+    # doc 3 has both words but not adjacent
+    assert hits == [0, 1, 2, 4]
+
+
+def test_phrase_three_terms(built):
+    _, pos = built
+    hits = sorted(
+        r["doc_id"]
+        for r in phrase_candidates(pos, ["quick", "red", "fox"]).collect()
+    )
+    assert hits == [1, 4]
+
+
+def test_phrase_search_matches_filtered_bm25(built):
+    idx, pos = built
+    got = phrase_search(idx, pos, "red fox", 10).collect()
+    cand = phrase_candidates(pos, ["red", "fox"])
+    want = search(idx, "red fox", 10, filter_docs=cand).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 4}
+
+
+def test_phrase_no_match(built):
+    idx, pos = built
+    assert phrase_search(idx, pos, "lazy quick", 10).count() == 0
+    assert phrase_search(idx, pos, "", 10).count() == 0
