@@ -211,3 +211,33 @@ def exhaustive_topk(
             acc[d] = acc.get(d, 0.0) + c
     ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+def dense_topk(
+    terms: "list[TermPostings]",
+    k: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> "list[tuple[int, float]]":
+    """Exact top-k via dense scatter-add over the docID space — fully
+    vectorized (no per-posting Python), so it beats the pointer-walking
+    WAND loop whenever the union of postings is large relative to k.
+    Memory is 8 bytes/doc (n_docs <= ~5e7 is fine driver-side); beyond
+    that, serve with wand_topk or the distributed scatter-gather path.
+    Same ordering contract: (score desc, doc_id asc)."""
+    live = [t for t in terms if t.doc_ids.size]
+    if not live or k <= 0:
+        return []
+    scores = np.zeros(n_docs, dtype=np.float64)
+    for t in live:
+        scores[t.doc_ids] += t.idf * tf_norm(t.tfs, t.dls, avgdl, k1, b)
+    pos = np.flatnonzero(scores)
+    vals = scores[pos]
+    if pos.size > k:
+        kth = np.partition(vals, pos.size - k)[pos.size - k]
+        keep = vals >= kth
+        pos, vals = pos[keep], vals[keep]
+    order = np.lexsort((pos, -vals))[:k]
+    return [(int(d), float(s)) for d, s in zip(pos[order], vals[order])]

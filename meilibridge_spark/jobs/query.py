@@ -5,6 +5,11 @@ Usage:
       meilibridge_spark/jobs/query.py \
       --index-dir /path/to/index --query "spark join" [-k 10] \
       [--mode df|wand] [--filter-role user]
+
+Batch mode (one scatter-gather Spark job for the whole file, postings
+served from the doc-shard cached layout):
+  ... query.py --index-dir /path/to/index --queries-file qs.txt [-k 10]
+  (qs.txt: one query per line; output: one JSON line per query)
 """
 
 from __future__ import annotations
@@ -16,23 +21,49 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--queries-file", help="batch mode: one query per line")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode", choices=["df", "wand"], default="wand")
     ap.add_argument("--filter-role", default=None)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+    if not args.query and not args.queries_file:
+        ap.error("one of --query / --queries-file is required")
 
     from pyspark.sql import functions as F
 
     from meilibridge_spark.config import IndexConfig
-    from meilibridge_spark.operators.search import search, search_wand
+    from meilibridge_spark.operators.search import (
+        prepare_serving,
+        search,
+        search_many,
+        search_wand,
+    )
     from meilibridge_spark.session import build_session
     from meilibridge_spark.sources.tables import load_snapshot
 
     spark = build_session("query", cores=args.cores)
     cfg = IndexConfig(index_name="transcripts")
     index = load_snapshot(spark, args.index_dir, cfg)
+
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            batch = [
+                (f"q{i:05d}", line.strip())
+                for i, line in enumerate(f)
+                if line.strip()
+            ]
+        prepare_serving(index)
+        rows = search_many(index, batch, k=args.k).collect()
+        hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            hits[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+            )
+        for qid, text in batch:
+            print(json.dumps({"query_id": qid, "query": text, "hits": hits[qid]}))
+        return
 
     if args.mode == "wand" and not args.filter_role:
         hits = search_wand(index, args.query, args.k)

@@ -31,7 +31,7 @@ from meilibridge_spark.functions.bm25 import idf as idf_fn
 from meilibridge_spark.functions.bm25 import impact_upper_bound
 from meilibridge_spark.functions.codec import decode_block
 from meilibridge_spark.functions.tokenizer import parse_query
-from meilibridge_spark.functions.wand import TermPostings, wand_topk
+from meilibridge_spark.functions.wand import TermPostings, dense_topk, wand_topk
 from meilibridge_spark.sources.tables import InvertedIndex
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
@@ -504,7 +504,16 @@ class DriverSearcher:
                 out[t] = self._cache[t]
         return out
 
-    def search(self, query: str, k: "int | None" = None) -> "list[tuple[int, float]]":
+    #: above this corpus size the dense scorer's 8B/doc array stops
+    #: being driver-friendly and WAND's pruning wins
+    DENSE_MAX_DOCS = 50_000_000
+
+    def search(
+        self, query: str, k: "int | None" = None, strategy: str = "auto"
+    ) -> "list[tuple[int, float]]":
+        """strategy: 'auto' (dense scatter-add when the corpus fits a
+        driver-side score array, else WAND), 'dense', or 'wand'. All
+        three are exact and rank-identical (tested)."""
         k = k or self.index.cfg.max_total_hits
         q_terms = [
             t
@@ -517,4 +526,7 @@ class DriverSearcher:
             _to_term_postings(t, raw, float(idf_fn(n, self._df_map[t])), self.index)
             for t, raw in raws.items()
         ]
-        return wand_topk(tps, k, self.index.avgdl, self.index.cfg.k1, self.index.cfg.b)
+        cfg = self.index.cfg
+        if strategy == "dense" or (strategy == "auto" and n <= self.DENSE_MAX_DOCS):
+            return dense_topk(tps, k, n, self.index.avgdl, cfg.k1, cfg.b)
+        return wand_topk(tps, k, self.index.avgdl, cfg.k1, cfg.b)

@@ -102,3 +102,29 @@ def test_wand_edge_cases():
     got = wand_topk(terms, 1000, avgdl)
     want = exhaustive_topk(terms, 1000, avgdl)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("k", [1, 5, 37])
+def test_dense_equals_exhaustive_random(seed, k):
+    from meilibridge_spark.functions.wand import dense_topk
+
+    rng = np.random.default_rng(seed + 100)
+    n_docs = int(rng.integers(20, 400))
+    n_terms = int(rng.integers(1, 6))
+    terms, avgdl = _random_terms(rng, n_docs, n_terms)
+    got = dense_topk(terms, k, n_docs, avgdl)
+    want = exhaustive_topk(terms, k, avgdl)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-12
+    )
+
+
+def test_dense_empty_and_k0():
+    from meilibridge_spark.functions.wand import dense_topk
+
+    rng = np.random.default_rng(1)
+    terms, avgdl = _random_terms(rng, 50, 2)
+    assert dense_topk([], 5, 50, avgdl) == []
+    assert dense_topk(terms, 0, 50, avgdl) == []
