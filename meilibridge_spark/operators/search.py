@@ -299,7 +299,15 @@ def search_many(
         blocks = index.postings.filter(F.col("term").isin(sorted(idf_map))).select(
             "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
         )
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # partition count: no more than the corpus' shard count (extra
+        # partitions would be empty tasks), no more than the session's
+        # shuffle width. Per-partition memory is the batch's compressed
+        # query-term postings / n_parts — size shuffle.partitions so
+        # that fits the executor at the target scale.
+        n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
+        n_parts = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_shards
+        )
         sharded = blocks.repartition(
             n_parts, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
         )

@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the scale properties the design
+depends on, checked against `.explain` output so a regression that
+silently de-optimizes a path fails loudly:
+
+- term/doc_id predicates reach the parquet scan (PushedFilters);
+- the postings scan for a query reads only the needed columns
+  (ReadSchema pruning — no tf/dl metadata columns for decode);
+- serving-mode search_many plans ZERO exchanges upstream of the
+  scatter-gather scorer (the doc-shard layout is resident);
+- scoring in the single-query path is whole-stage-codegen JVM.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import IndexConfig
+from meilibridge_spark.operators.search import (
+    prepare_serving,
+    search,
+    search_many,
+)
+from meilibridge_spark.plans.build import build_and_save
+from meilibridge_spark.sources.transcripts import generate_transcripts
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def saved(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planidx"))
+    src = generate_transcripts(spark, n_convs=60, seed=11)
+    idx = build_and_save(spark, src, IndexConfig(index_name="plans"), d)
+    return idx
+
+
+def test_term_filter_pushed_to_scan(saved):
+    plan = _explain(saved.postings.filter(F.col("term") == "baba"))
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "term" in m.group(1), m and m.group(1)
+
+
+def test_point_lookup_pushed(saved):
+    plan = _explain(saved.docs.filter(F.col("doc_id") == 7))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "doc_id" in m.group(1)
+
+
+def test_decode_reads_only_needed_columns(saved):
+    from meilibridge_spark.operators.search import decode_postings
+
+    plan = _explain(decode_postings(saved.postings))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"}, cols
+
+
+def test_serving_search_has_no_upstream_exchange(saved):
+    prepare_serving(saved)
+    try:
+        df = search_many(saved, [("a", "baba cedi"), ("b", "dila")], k=5)
+        plan = _explain(df)
+        # the only exchanges allowed are AFTER the scorer (tiny top-k
+        # merge + broadcast of the query mapping): everything upstream
+        # of the MapInPandas scorer must read resident cached partitions
+        scorer_pos = plan.find("MapInPandas")
+        assert scorer_pos != -1, plan
+        # formatted explain lists operators bottom-up in the tree section;
+        # use the operator-detail section order: find the scan feeding
+        # MapInPandas and assert no shuffle between them
+        upstream = plan[scorer_pos:]
+        assert "InMemoryTableScan" in upstream, plan
+        scan_pos = upstream.find("InMemoryTableScan")
+        between = upstream[:scan_pos]
+        assert "Exchange" not in between, between
+    finally:
+        saved.serving.unpersist()
+        saved.serving = None
+
+
+def test_single_query_scoring_is_codegen(saved):
+    df = search(saved, "baba cedi", 5)
+    df.collect()  # AQE assigns codegen ids on the executed final plan
+    plan = _explain(df)
+    # scoring/agg operators fused into whole-stage codegen spans
+    assert "codegen id" in plan, plan
+    # top-k is a bounded TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
