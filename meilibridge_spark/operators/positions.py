@@ -77,11 +77,16 @@ def _make_position_rows(cfg: AnalyzerConfig):
 def build_positions(
     docs: DataFrame, cfg: IndexConfig, text_col: "str | None" = None
 ) -> DataFrame:
-    """docs(doc_id, <text col>) -> positional postings
-    (term, doc_id, positions). Grouping is per document, so the whole
-    build is one narrow mapInPandas pass over the docs partitions."""
-    col = text_col or cfg.searchable_attributes[0]
-    src = docs.select("doc_id", F.col(col).alias("text"))
+    """docs(doc_id, <text cols>) -> positional postings
+    (term, doc_id, positions). Tokenizes the same searchable text as
+    the main index (concatenated searchable attributes, importance
+    order) unless ``text_col`` overrides it. Grouping is per document,
+    so the whole build is one narrow mapInPandas pass over the docs
+    partitions."""
+    from meilibridge_spark.operators.docs import searchable_text
+
+    text = F.col(text_col) if text_col else searchable_text(docs, cfg)
+    src = docs.select("doc_id", text.alias("text"))
     return src.mapInPandas(_make_position_rows(cfg.analyzer), schema=POSITIONS_SCHEMA)
 
 
@@ -120,13 +125,23 @@ def phrase_candidates(
 
 def phrase_search(
     index: InvertedIndex,
-    positions: DataFrame,
-    phrase: str,
+    positions: "DataFrame | None" = None,
+    phrase: str = "",
     k: "int | None" = None,
 ) -> DataFrame:
     """BM25 top-k over docs containing ``phrase`` as a contiguous token
     sequence (tokenized with the index analyzer, stop words dropped from
-    the sequence the same way they are dropped from the index)."""
+    the sequence the same way they are dropped from the index).
+
+    ``positions`` defaults to the index's stored positions table
+    (snapshots built with ``with_positions=True``)."""
+    if positions is None:
+        positions = index.positions
+    if positions is None:
+        raise ValueError(
+            "no positions table: pass one or build the snapshot "
+            "with with_positions=True"
+        )
     terms = tokenize(phrase, index.cfg.analyzer)
     spark = index.postings.sparkSession
     if not terms:

@@ -68,6 +68,7 @@ def build_and_save(
     doc_id_col: "str | None" = None,
     recreate: bool = True,
     max_ts: "str | None" = None,
+    with_positions: bool = False,
 ) -> InvertedIndex:
     """Full build with staged, resumable persistence.
 
@@ -104,11 +105,17 @@ def build_and_save(
         postings.write.mode("overwrite").parquet(postings_path)
     postings = spark.read.parquet(postings_path)
 
-    # stage 3: terms + snapshot commit
+    # stage 3: terms + snapshot commit (+ optional positional postings
+    # for phrase search — derived from the staged docs, same analyzer)
     terms = term_stats(postings)
+    positions = None
+    if with_positions:
+        from meilibridge_spark.operators.positions import build_positions
+
+        positions = build_positions(docs, cfg)
     index = InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
-        n_docs=n_docs, avgdl=avgdl,
+        n_docs=n_docs, avgdl=avgdl, positions=positions,
     )
     save_snapshot(
         index,

@@ -46,6 +46,10 @@ class InvertedIndex:
     #: cached (prepare_serving). Batch queries then run shuffle-free —
     #: the scatter-gather stage reads resident partitions directly.
     serving: "DataFrame | None" = None
+    #: optional positional postings (term, doc_id, positions[]) for
+    #: phrase search — present when the snapshot was built with
+    #: with_positions=True (operators/positions.py)
+    positions: "DataFrame | None" = None
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -100,7 +104,8 @@ def save_snapshot(
     Layout per snapshot: snap-{id:06d}/{docs,postings,terms}/ parquet.
     postings are range-partitioned + sorted by (term, block_id) so
     term-filtered queries prune parquet row groups; docs sorted by
-    doc_id for the hits join.
+    doc_id for the hits join. ``index.positions`` (optional) is written
+    as a positions table in the same term-sorted pruning layout.
     """
     manifest = _read_manifest(index_dir)
     snap_id = (manifest["current"] or 0) + 1
@@ -120,6 +125,12 @@ def save_snapshot(
         os.path.join(base, "docs")
     )
     index.terms.write.mode("overwrite").parquet(os.path.join(base, "terms"))
+    if index.positions is not None:
+        index.positions.repartitionByRange(
+            _n_write_parts(index.n_docs), "term"
+        ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").parquet(
+            os.path.join(base, "positions")
+        )
 
     spark = index.postings.sparkSession
     postings_persisted = spark.read.parquet(os.path.join(base, "postings"))
@@ -144,6 +155,11 @@ def save_snapshot(
             "docs": f"{snap}/docs",
             "postings": f"{snap}/postings",
             "terms": f"{snap}/terms",
+            **(
+                {"positions": f"{snap}/positions"}
+                if index.positions is not None
+                else {}
+            ),
         },
         "lineage": {"postings": partition_lineage(postings_persisted)},
         "metrics": metrics,
@@ -183,6 +199,11 @@ def load_snapshot(
         snapshot_id=sid,
         index_dir=index_dir,
         metrics=entry.get("metrics", {}),
+        positions=(
+            spark.read.parquet(os.path.join(index_dir, t["positions"]))
+            if "positions" in t
+            else None
+        ),
     )
 
 

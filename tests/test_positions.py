@@ -105,3 +105,26 @@ def test_phrase_no_match(built):
     idx, pos = built
     assert phrase_search(idx, pos, "lazy quick", 10).count() == 0
     assert phrase_search(idx, pos, "", 10).count() == 0
+
+
+def test_positions_snapshot_roundtrip(spark, tmp_index_dir):
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import load_snapshot
+
+    cfg = _cfg()
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_and_save(
+        spark, df, cfg, tmp_index_dir, doc_id_col="doc_id", with_positions=True
+    )
+    assert idx.positions is not None
+    loaded = load_snapshot(spark, tmp_index_dir, cfg)
+    assert loaded.positions is not None
+    # phrase_search defaults to the stored positions table
+    got = {r["doc_id"] for r in phrase_search(loaded, phrase="red fox", k=10).collect()}
+    assert got == {0, 1, 2, 4}
+    # snapshot without positions keeps the field None
+    rows = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in loaded.positions.collect()
+    }
+    assert rows[("fox", 2)] == [0, 2, 4]
