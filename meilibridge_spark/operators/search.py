@@ -247,6 +247,7 @@ def search_many(
     index: InvertedIndex,
     queries: "list[tuple[str, str]]",
     k: "int | None" = None,
+    gather: str = "auto",
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score, rank<=k).
@@ -323,6 +324,31 @@ def search_many(
         ),
         schema=SCORED_SCHEMA,
     )
+
+    # gather: the scorer emits <= n_shards * k rows per query. When that
+    # bound is driver-friendly, collect and merge in the driver (the
+    # classic scatter-GATHER step) — one Spark job, no extra window
+    # shuffle or mapping join. At large shard counts (the 10^12-turn
+    # regime) fall back to the distributed window merge.
+    n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
+    if gather == "driver" or (
+        gather == "auto" and n_shards * k * len(qkeys) <= 200_000
+    ):
+        rows = per_key.collect()
+        by_key: "dict[str, list]" = {key: [] for key in qkeys}
+        for r in rows:
+            by_key[r["qkey"]].append((r["doc_id"], r["score"]))
+        out = []
+        for qid, key in key_of.items():
+            hits = sorted(by_key.get(key, ()), key=lambda t: (-t[1], t[0]))[:k]
+            out.extend(
+                (qid, int(d), float(s), rank)
+                for rank, (d, s) in enumerate(hits, start=1)
+            )
+        return spark.createDataFrame(
+            out, "query_id string, doc_id long, score double, rank int"
+        )
+
     w_global = Window.partitionBy("qkey").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -177,3 +177,14 @@ def test_filtered_search(built, oracle, spark):
         score_round([s for _, s in want]),
         rtol=0, atol=1e-9,
     )
+
+
+def test_search_many_gather_paths_identical(built):
+    batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
+    a = sorted(
+        tuple(r) for r in search_many(built, batch, k=10, gather="driver").collect()
+    )
+    b = sorted(
+        tuple(r) for r in search_many(built, batch, k=10, gather="window").collect()
+    )
+    assert a == b and a

@@ -65,7 +65,9 @@ def test_decode_reads_only_needed_columns(saved):
 def test_serving_search_has_no_upstream_exchange(saved):
     prepare_serving(saved)
     try:
-        df = search_many(saved, [("a", "baba cedi"), ("b", "dila")], k=5)
+        df = search_many(
+            saved, [("a", "baba cedi"), ("b", "dila")], k=5, gather="window"
+        )
         plan = _explain(df)
         # the only exchanges allowed are AFTER the scorer (tiny top-k
         # merge + broadcast of the query mapping): everything upstream
