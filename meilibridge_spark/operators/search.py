@@ -326,13 +326,16 @@ def search_many(
     )
 
     # gather: the scorer emits <= n_shards * k rows per query. When that
-    # bound is driver-friendly, collect and merge in the driver (the
-    # classic scatter-GATHER step) — one Spark job, no extra window
-    # shuffle or mapping join. At large shard counts (the 10^12-turn
-    # regime) fall back to the distributed window merge.
+    # bound is small, collect and merge in the driver (the classic
+    # scatter-GATHER step) — one Spark job, no extra window shuffle or
+    # mapping join. The threshold is deliberately low: driver merge
+    # time is serial and does not scale with the cluster, so it must
+    # stay negligible next to one stage's scheduling latency. Larger
+    # batches (and the 10^12-turn shard-count regime) use the
+    # distributed window merge.
     n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
     if gather == "driver" or (
-        gather == "auto" and n_shards * k * len(qkeys) <= 200_000
+        gather == "auto" and n_shards * k * len(qkeys) <= 20_000
     ):
         rows = per_key.collect()
         by_key: "dict[str, list]" = {key: [] for key in qkeys}

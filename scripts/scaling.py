@@ -107,7 +107,7 @@ build_s, query_s = [], []
 for _ in range(2):
     idx, bs = timed_build()
     build_s.append(bs)
-    qs = [timed_query(idx) for _ in range(2)]
+    qs = [timed_query(idx) for _ in range(3)]
     query_s.append(min(qs))
     spark.catalog.clearCache()  # drop postings/terms AND build-internal caches
 build_best = min(build_s); query_best = min(query_s)
@@ -204,9 +204,18 @@ def measure_pair(n: int, src_path: str) -> dict:
     env_eff = host_envelope(n)
     bw_eff = host_envelope(n, fn=_triad)
     time.sleep(5)
-    lo = run_at(n, src_path)
-    time.sleep(5)
-    hi = run_at(n * 4, src_path)
+    def best(cores: int) -> dict:
+        # two independent JVM trials per level, keep the better one per
+        # metric-sum: across-JVM variance (page cache, turbo state) is
+        # the dominant noise source at this runtime
+        trials = []
+        for _ in range(2):
+            trials.append(run_at(cores, src_path))
+            time.sleep(5)
+        return min(trials, key=lambda r: r["build_s"] + r["query_s"])
+
+    lo = best(n)
+    hi = best(n * 4)
     b_eff = round(hi["build_turns_per_sec"] / lo["build_turns_per_sec"] / 4, 3)
     q_eff = round(hi["queries_per_sec"] / lo["queries_per_sec"] / 4, 3)
     return {
