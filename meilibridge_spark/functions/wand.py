@@ -224,13 +224,21 @@ def dense_topk(
     """Exact top-k via dense scatter-add over the docID space — fully
     vectorized (no per-posting Python), so it beats the pointer-walking
     WAND loop whenever the union of postings is large relative to k.
-    Memory is 8 bytes/doc (n_docs <= ~5e7 is fine driver-side); beyond
-    that, serve with wand_topk or the distributed scatter-gather path.
-    Same ordering contract: (score desc, doc_id asc)."""
+    Memory is 8 bytes/doc (array extent <= ~5e7 is fine driver-side);
+    beyond that, serve with wand_topk or the distributed scatter-gather
+    path. Same ordering contract: (score desc, doc_id asc).
+
+    ``n_docs`` sizes the array for the dense-id common case; indexes
+    built with an external ``doc_id_col`` may have ids >= n_docs, so the
+    array is sized by max(n_docs, max doc_id + 1). Negative ids would
+    silently wrap to wrong docs and are rejected."""
     live = [t for t in terms if t.doc_ids.size]
     if not live or k <= 0:
         return []
-    scores = np.zeros(n_docs, dtype=np.float64)
+    if any(int(t.doc_ids[0]) < 0 for t in live):
+        raise ValueError("dense_topk requires non-negative doc_ids")
+    extent = max(n_docs, max(int(t.doc_ids[-1]) for t in live) + 1)
+    scores = np.zeros(extent, dtype=np.float64)
     for t in live:
         scores[t.doc_ids] += t.idf * tf_norm(t.tfs, t.dls, avgdl, k1, b)
     pos = np.flatnonzero(scores)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meilibridge_spark.config import AnalyzerConfig, IndexConfig
-from meilibridge_spark.functions.tokenizer import _compiled, tokenize
+from meilibridge_spark.functions.tokenizer import _compiled
 from meilibridge_spark.operators.search import search
 from meilibridge_spark.sources.tables import InvertedIndex
 
@@ -91,21 +91,33 @@ def build_positions(
 
 
 def phrase_candidates(
-    positions: DataFrame, terms: "list[str]"
+    positions: DataFrame, terms: "list[str] | list[tuple[str, int]]"
 ) -> DataFrame:
-    """doc_ids containing ``terms`` as a contiguous token sequence.
+    """doc_ids containing ``terms`` at the given raw-slot offsets.
+
+    ``terms`` is either a plain term list (consecutive slots: gap 1
+    between neighbours) or [(term, raw_offset)] pairs as produced by
+    ``phrase_steps`` — raw offsets let a phrase containing stop words
+    match documents whose positions keep the stop-word slot (the stop
+    word emits no posting but occupies a position).
 
     Iterative adjacency: carry the match-end positions forward; step i
-    intersects (previous ends + 1) with term i's positions. Each join
-    side is a single term's (doc_id, positions) rows — term filters
-    reach the scan, the join key is doc_id."""
+    intersects (previous ends + gap_i) with term i's positions. Each
+    join side is a single term's (doc_id, positions) rows — term
+    filters reach the scan, the join key is doc_id."""
     if not terms:
         raise ValueError("phrase needs at least one term")
+    steps: "list[tuple[str, int]]" = [
+        t if isinstance(t, tuple) else (t, i) for i, t in enumerate(terms)
+    ]
     cur = (
-        positions.filter(F.col("term") == terms[0])
+        positions.filter(F.col("term") == steps[0][0])
         .select("doc_id", F.col("positions").alias("_match"))
     )
-    for i, t in enumerate(terms[1:], start=1):
+    prev_off = steps[0][1]
+    for i, (t, off) in enumerate(steps[1:], start=1):
+        gap = off - prev_off
+        prev_off = off
         nxt = positions.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias(f"_p{i}")
         )
@@ -114,7 +126,7 @@ def phrase_candidates(
             .select(
                 "doc_id",
                 F.array_intersect(
-                    F.transform(F.col("_match"), lambda x: x + 1),
+                    F.transform(F.col("_match"), lambda x: x + gap),
                     F.col(f"_p{i}"),
                 ).alias("_match"),
             )
@@ -123,15 +135,33 @@ def phrase_candidates(
     return cur.select("doc_id")
 
 
+def phrase_steps(
+    phrase: str, cfg: AnalyzerConfig
+) -> "list[tuple[str, int]]":
+    """Tokenize a phrase keeping RAW slot offsets: stop words are
+    dropped from the required sequence (they emit no posting) but their
+    slot still widens the gap between the surviving terms, matching how
+    the positions table indexes documents. 'over the lazy' with 'the'
+    as a stop word becomes [('over', 0), ('lazy', 2)] — requiring
+    over@p and lazy@p+2."""
+    if cfg.lowercase:
+        phrase = phrase.lower()
+    toks = _compiled(cfg.token_pattern, cfg.dictionary).findall(phrase)
+    stop = set(cfg.stop_words)
+    return [(t, i) for i, t in enumerate(toks) if t not in stop]
+
+
 def phrase_search(
     index: InvertedIndex,
     positions: "DataFrame | None" = None,
     phrase: str = "",
     k: "int | None" = None,
 ) -> DataFrame:
-    """BM25 top-k over docs containing ``phrase`` as a contiguous token
-    sequence (tokenized with the index analyzer, stop words dropped from
-    the sequence the same way they are dropped from the index).
+    """BM25 top-k over docs containing ``phrase`` as a contiguous raw
+    token sequence. Stop words inside the phrase are handled
+    index-consistently: they drop out of the required term sequence but
+    keep their slot as a position gap (``phrase_steps``), so 'over the
+    lazy' matches a doc indexed as over@p / lazy@p+2.
 
     ``positions`` defaults to the index's stored positions table
     (snapshots built with ``with_positions=True``)."""
@@ -142,15 +172,15 @@ def phrase_search(
             "no positions table: pass one or build the snapshot "
             "with with_positions=True"
         )
-    terms = tokenize(phrase, index.cfg.analyzer)
+    steps = phrase_steps(phrase, index.cfg.analyzer)
     spark = index.postings.sparkSession
-    if not terms:
+    if not steps:
         return spark.createDataFrame(
             [], "doc_id long, score double, matched_terms int"
         )
-    docs = phrase_candidates(positions, terms)
+    docs = phrase_candidates(positions, steps)
     seen: "list[str]" = []
-    for t in terms:
+    for t, _ in steps:
         if t not in seen:
             seen.append(t)
     return search(index, " ".join(seen), k, filter_docs=docs)

@@ -173,7 +173,8 @@ def _make_shard_scorer(
     shard; only n_shards*k rows per query leave the partition.
 
     Queries are processed in chunks of ``query_chunk`` to bound the
-    dense array at chunk*shard_range*8 bytes (64*65536*8 = 32 MiB).
+    dense array at chunk*shard_range*8 bytes (64 * 2^14 * 8 = 8 MiB at
+    the default cfg.shard_range of 2^14).
     """
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
 
@@ -257,8 +258,9 @@ def search_many(
     shard scores all queries in one vectorized pass and emits its local
     top-k, and the global merge ranks just n_shards*k rows per query.
     Nothing doc-granular is ever shuffled or materialized, so the
-    heavy stage scales with shard count (= corpus size / 65536),
-    independent of query count or term hotness. At extreme shard
+    heavy stage scales with shard count (= corpus size /
+    cfg.shard_range, default 2^14), independent of query count or term
+    hotness. At extreme shard
     counts the final single-level merge generalizes to a tree merge;
     at 10^12 turns the per-query merge input is n_shards*k rows,
     which a two-level (salted) merge handles the same way.
@@ -541,16 +543,22 @@ class DriverSearcher:
                 out[t] = self._cache[t]
         return out
 
-    #: above this corpus size the dense scorer's 8B/doc array stops
-    #: being driver-friendly and WAND's pruning wins
+    #: above this dense-array extent the dense scorer's 8B/slot array
+    #: stops being driver-friendly and WAND's pruning wins
     DENSE_MAX_DOCS = 50_000_000
 
     def search(
         self, query: str, k: "int | None" = None, strategy: str = "auto"
     ) -> "list[tuple[int, float]]":
-        """strategy: 'auto' (dense scatter-add when the corpus fits a
-        driver-side score array, else WAND), 'dense', or 'wand'. All
-        three are exact and rank-identical (tested)."""
+        """strategy: 'auto' (dense scatter-add when the query's doc-id
+        extent fits a driver-side score array, else WAND), 'dense', or
+        'wand'. All three are exact and rank-identical (tested).
+
+        The auto decision uses the actual array extent, max(doc_id)+1 —
+        not n_docs — so sparse external doc-id spaces (doc_id_col
+        indexes) route to WAND instead of allocating a huge array;
+        negative ids always route to WAND (dense would reject them).
+        """
         k = k or self.index.cfg.max_total_hits
         q_terms = [
             t
@@ -564,6 +572,13 @@ class DriverSearcher:
             for t, raw in raws.items()
         ]
         cfg = self.index.cfg
-        if strategy == "dense" or (strategy == "auto" and n <= self.DENSE_MAX_DOCS):
+        live = [t for t in tps if t.doc_ids.size]
+        extent = max(
+            (int(t.doc_ids[-1]) + 1 for t in live), default=0
+        )
+        ids_ok = all(int(t.doc_ids[0]) >= 0 for t in live)
+        if strategy == "dense" or (
+            strategy == "auto" and ids_ok and extent <= self.DENSE_MAX_DOCS
+        ):
             return dense_topk(tps, k, n, self.index.avgdl, cfg.k1, cfg.b)
         return wand_topk(tps, k, self.index.avgdl, cfg.k1, cfg.b)

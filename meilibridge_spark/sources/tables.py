@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meilibridge_spark.config import IndexConfig
+from meilibridge_spark.config import ConfigError, IndexConfig
 
 MANIFEST = "manifest.json"
 
@@ -169,6 +169,13 @@ def save_snapshot(
     manifest["index"] = {
         "name": index.cfg.normalized_name(),
         "primary_key": list(index.cfg.primary_key),
+        # layout constants baked into the stored postings bytes: block
+        # segmentation and shard-aligned block ids depend on them, and
+        # the query-side scatter-add derives dense-array offsets from
+        # shard_range — loading with a different value mis-indexes
+        # silently, so load_snapshot validates these loudly.
+        "shard_range": index.cfg.shard_range,
+        "block_size": index.cfg.block_size,
     }
     _write_manifest(index_dir, manifest)
     index.snapshot_id = snap_id
@@ -186,6 +193,16 @@ def load_snapshot(
     manifest = _read_manifest(index_dir)
     if manifest["current"] is None:
         raise FileNotFoundError(f"no snapshot in {index_dir}")
+    meta = manifest.get("index") or {}
+    for knob in ("shard_range", "block_size"):
+        stored = meta.get(knob)
+        if stored is not None and stored != getattr(cfg, knob):
+            raise ConfigError(
+                f"snapshot at {index_dir} was built with {knob}={stored} "
+                f"but caller cfg has {knob}={getattr(cfg, knob)}; the stored "
+                "postings layout is a function of these — load with a "
+                "matching IndexConfig"
+            )
     sid = snapshot_id or manifest["current"]
     entry = next(s for s in manifest["snapshots"] if s["snapshot_id"] == sid)
     t = entry["tables"]

@@ -188,3 +188,27 @@ def test_search_many_gather_paths_identical(built):
         tuple(r) for r in search_many(built, batch, k=10, gather="window").collect()
     )
     assert a == b and a
+
+
+def test_load_snapshot_validates_layout_knobs(spark, tmp_index_dir):
+    """shard_range/block_size are baked into the stored postings bytes;
+    loading a snapshot under a different value must fail loudly instead
+    of mis-indexing the scatter-add (manifest records them)."""
+    import dataclasses
+
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import load_snapshot
+
+    sdf = generate_transcripts(spark, n_convs=6, seed=3)
+    build_and_save(spark, sdf, CFG, tmp_index_dir)
+    # matching cfg loads fine
+    load_snapshot(spark, tmp_index_dir, CFG)
+    with pytest.raises(ConfigError, match="shard_range"):
+        load_snapshot(
+            spark, tmp_index_dir, dataclasses.replace(CFG, shard_range=1 << 16)
+        )
+    with pytest.raises(ConfigError, match="block_size"):
+        load_snapshot(
+            spark, tmp_index_dir, dataclasses.replace(CFG, block_size=64)
+        )

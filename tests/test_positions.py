@@ -71,6 +71,37 @@ def test_stop_words_hold_positions(spark):
     assert rows[("lazy", 0)] == [5]  # but it still occupies position 4
 
 
+def test_phrase_with_stop_word_inside(spark):
+    """A stop word inside the phrase drops from the required sequence
+    but keeps its slot as a position gap: 'over the lazy' must match
+    doc 0 ('... jumps over the lazy dog') whose positions keep the
+    'the' slot (over@3, lazy@5)."""
+    from meilibridge_spark.operators.positions import phrase_steps
+
+    cfg = _cfg(stop_words=("the",))
+    assert phrase_steps("over the lazy", cfg.analyzer) == [
+        ("over", 0),
+        ("lazy", 2),
+    ]
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    pos = build_positions(idx.docs, cfg, text_col="text").persist()
+    got = {r["doc_id"] for r in phrase_search(idx, pos, "over the lazy", 10).collect()}
+    assert got == {0}
+    # full phrase through the stop word, and leading stop word
+    got = {
+        r["doc_id"]
+        for r in phrase_search(idx, pos, "jumps over the lazy dog", 10).collect()
+    }
+    assert got == {0}
+    # leading stop word drops entirely -> constraint is just 'quick red'
+    got = {r["doc_id"] for r in phrase_search(idx, pos, "the quick red", 10).collect()}
+    assert got == {1, 4}
+    # gap must be exact: 'over lazy' (no stop word between) is NOT in any doc
+    assert phrase_search(idx, pos, "over lazy", 10).count() == 0
+    pos.unpersist()
+
+
 def test_phrase_candidates_adjacency(built):
     _, pos = built
     hits = sorted(

@@ -128,3 +128,31 @@ def test_dense_empty_and_k0():
     terms, avgdl = _random_terms(rng, 50, 2)
     assert dense_topk([], 5, 50, avgdl) == []
     assert dense_topk(terms, 0, 50, avgdl) == []
+
+
+def test_dense_sparse_external_ids():
+    """External doc_id_col indexes have no density guarantee: ids beyond
+    n_docs must not crash (array sized by max id), and results must
+    still equal the exhaustive scorer."""
+    from meilibridge_spark.functions.wand import dense_topk
+
+    rng = np.random.default_rng(7)
+    terms, avgdl = _random_terms(rng, 80, 3)
+    for t in terms:
+        t.doc_ids = t.doc_ids * 1000 + 17  # sparse, far beyond n_docs=80
+    got = dense_topk(terms, 10, 80, avgdl)
+    want = exhaustive_topk(terms, 10, avgdl)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-12
+    )
+
+
+def test_dense_rejects_negative_ids():
+    from meilibridge_spark.functions.wand import dense_topk
+
+    rng = np.random.default_rng(8)
+    terms, avgdl = _random_terms(rng, 50, 2)
+    terms[0].doc_ids = terms[0].doc_ids - 10_000
+    with pytest.raises(ValueError, match="non-negative"):
+        dense_topk(terms, 5, 50, avgdl)
