@@ -233,7 +233,7 @@ def _q_displayed(terms_text: str, attrs: "tuple[str, ...]", k: int):
         from meilibridge_spark.operators.relational import display
 
         idx, hits = _search_hits(spark, sf_dir, terms_text, k)
-        return display(hits, idx.docs, list(attrs)).select(
+        return display(hits, idx.docs, list(attrs), hit_bound=k).select(
             "doc_id", *attrs, F.round("score", 4).alias("score")
         )
 

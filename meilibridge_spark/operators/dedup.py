@@ -120,33 +120,34 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact token-SET Jaccard for given candidate pairs:
-    |A ∩ B| via an equi-join on token, |A|,|B| from per-doc distinct
-    counts. Cost ∝ shared-token postings of the candidate docs."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("t")
+    """Exact token-SET Jaccard for given candidate pairs.
+
+    Each candidate doc's distinct-token SET is carried as a sorted
+    array; the pair join attaches both sides' arrays and the
+    intersection is a JVM-side ``array_intersect`` per pair. Cost is
+    exactly sum over pairs of |A|+|B| — a token shared by every
+    candidate (stop-word-grade) adds one array element per doc, never a
+    |candidates|^2 row blowup the way a token-level equi-join would.
+    Output rows == candidate pairs (before thresholding), by
+    construction."""
+    tok_sets = df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(_tokens(text_col))).alias("_ts"),
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     docs_needed = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    toks = toks.join(docs_needed, id_col, "left_semi")
-    inter = (
-        toks.alias("x")
-        .join(toks.alias("y"), "t")
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(pairs, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    tok_sets = tok_sets.join(docs_needed, id_col, "left_semi")
+    ta = tok_sets.select(
+        F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.size("_ts").alias("na")
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    tb = tok_sets.select(
+        F.col(id_col).alias("id_b"), F.col("_ts").alias("_tb"), F.size("_ts").alias("nb")
+    )
     out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn(
             "jaccard",
             F.round(

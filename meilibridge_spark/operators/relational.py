@@ -4,6 +4,13 @@ These are the Meilisearch settings the reference ships
 (config/type.go:55-96) re-expressed as stock DataFrame ops over
 (hits ⋈ docs): faceting, sort override, distinct attribute, displayed
 attributes. All JVM-side Catalyst plans — no UDFs.
+
+Scale contract: the hit set is only broadcast when the caller attests a
+row bound (``hit_bound``) within ``MAX_BROADCAST_HITS``. Unbounded hit
+sets (facet/sort/distinct over ALL matching docs of a hot term — tens
+of millions of rows at 100 TB) take a plain shuffle join and let
+Catalyst/AQE pick the strategy from stats instead of a forced hint
+that would OOM the executors.
 """
 
 from __future__ import annotations
@@ -12,20 +19,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: Forced-broadcast ceiling for hit sets: ~100k rows of
+#: (doc_id, score, matched_terms) is ~2 MB serialized — safely below
+#: any executor budget. Above it (or with no bound at all) the join
+#: shuffles; AQE may still choose broadcast from *measured* sizes.
+MAX_BROADCAST_HITS = 100_000
 
-def hits_with_docs(hits: DataFrame, docs: DataFrame, attrs: "list[str]") -> DataFrame:
+
+def _maybe_broadcast(hits: DataFrame, hit_bound: "int | None") -> DataFrame:
+    if hit_bound is not None and hit_bound <= MAX_BROADCAST_HITS:
+        return F.broadcast(hits)
+    return hits
+
+
+def hits_with_docs(
+    hits: DataFrame,
+    docs: DataFrame,
+    attrs: "list[str]",
+    hit_bound: "int | None" = None,
+) -> DataFrame:
     """hits(doc_id, score, ...) ⋈ docs on doc_id, keeping score + attrs.
-    The hit set is small (<= max_total_hits) -> broadcast it."""
-    return F.broadcast(hits).join(docs.select("doc_id", *attrs), "doc_id")
+
+    ``hit_bound``: caller-attested upper bound on the hit row count
+    (usually the top-k ``k``). Bounded small hit sets are broadcast;
+    unbounded ones shuffle (see module docstring).
+    """
+    return _maybe_broadcast(hits, hit_bound).join(
+        docs.select("doc_id", *attrs), "doc_id"
+    )
 
 
 def facet_counts(
-    hits: DataFrame, docs: DataFrame, attr: str, max_values: int = 100
+    hits: DataFrame,
+    docs: DataFrame,
+    attr: str,
+    max_values: int = 100,
+    hit_bound: "int | None" = None,
 ) -> DataFrame:
     """Q8: per-facet value counts over matching docs, <= max_values,
-    lexicographic (faceting.max_values_per_facet, config/type.go:86-88)."""
+    lexicographic (faceting.max_values_per_facet, config/type.go:86-88).
+
+    Counts need only doc identity, so the hit set is projected down to
+    ``doc_id`` before the join — the shuffle moves 8-byte keys, not
+    scores, and the post-join aggregation is a map-side-combined count.
+    """
+    ids = _maybe_broadcast(hits.select("doc_id"), hit_bound)
     return (
-        hits_with_docs(hits, docs, [attr])
+        ids.join(docs.select("doc_id", attr), "doc_id")
         .groupBy(attr)
         .agg(F.count("*").alias("count"))
         .orderBy(F.col(attr).asc())
@@ -33,7 +73,12 @@ def facet_counts(
     )
 
 
-def distinct_hits(hits: DataFrame, docs: DataFrame, attr: str) -> DataFrame:
+def distinct_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    attr: str,
+    hit_bound: "int | None" = None,
+) -> DataFrame:
     """Q10: keep the best-scoring hit per attribute value
     (distinct_attribute, config/type.go:57). Ordering inside each group
     pins floats via 1e-9 rounding + doc_id tie-break."""
@@ -41,7 +86,7 @@ def distinct_hits(hits: DataFrame, docs: DataFrame, attr: str) -> DataFrame:
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
     )
     return (
-        hits_with_docs(hits, docs, [attr])
+        hits_with_docs(hits, docs, [attr], hit_bound)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -53,21 +98,28 @@ def sort_hits(
     docs: DataFrame,
     sort_attrs: "list[tuple[str, bool]]",
     k: "int | None" = None,
+    hit_bound: "int | None" = None,
 ) -> DataFrame:
     """Q9: user sort overrides relevancy order (sortable_attributes,
     config/type.go:63). sort_attrs = [(col, ascending)]; relevancy then
-    doc_id remain the final tie-breaks."""
+    doc_id remain the final tie-breaks. With ``k`` the sort compiles to
+    a bounded TakeOrderedAndProject, never a global sort."""
     attrs = [a for a, _ in sort_attrs]
     order = [
         (F.col(a).asc() if asc else F.col(a).desc()) for a, asc in sort_attrs
     ] + [F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()]
-    out = hits_with_docs(hits, docs, attrs).orderBy(*order)
+    out = hits_with_docs(hits, docs, attrs, hit_bound).orderBy(*order)
     return out.limit(k) if k else out
 
 
-def display(hits: DataFrame, docs: DataFrame, attrs: "list[str]") -> DataFrame:
+def display(
+    hits: DataFrame,
+    docs: DataFrame,
+    attrs: "list[str]",
+    hit_bound: "int | None" = None,
+) -> DataFrame:
     """Q6: displayed_attributes projection of returned hits
     (config/type.go:59)."""
-    return hits_with_docs(hits, docs, list(attrs)).select(
+    return hits_with_docs(hits, docs, list(attrs), hit_bound).select(
         "doc_id", *attrs, "score"
     )

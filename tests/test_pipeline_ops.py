@@ -103,3 +103,30 @@ def test_exact_dedup_counts(spark):
     )
     got = {r["canonical_doc_id"]: r["n_docs"] for r in exact_dedup(df).collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_jaccard_degenerate_shared_token_bounded(spark):
+    """A stop-word-grade token shared by EVERY candidate doc must not
+    inflate the plan: output rows == candidate pairs exactly, and the
+    values stay exact set-Jaccard."""
+    from meilibridge_spark.operators.dedup import jaccard_pairs
+
+    n = 30
+    rows = [(i, f"common alpha beta w{i} w{i + 1} w{i + 2}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = df.select("doc_id")
+    from pyspark.sql import functions as F
+
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    n_pairs = n * (n - 1) // 2
+    got = jaccard_pairs(df, pairs).collect()
+    assert len(got) == n_pairs  # one row per pair, no token-join blowup
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    # adjacent docs share {common, alpha, beta} + 2 of 3 w-tokens -> 5/7
+    assert by_pair[(0, 1)] == round(5 / 7, 6)
+    # far-apart docs share only the 3 degenerate tokens -> 3/9
+    assert by_pair[(0, 20)] == round(3 / 9, 6)

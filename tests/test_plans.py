@@ -87,6 +87,39 @@ def test_serving_search_has_no_upstream_exchange(saved):
         saved.serving = None
 
 
+def test_unbounded_hit_set_is_never_broadcast(saved, spark):
+    """The facet/distinct/sort paths are called with k up to 10^6 (all
+    matching docs). A hot term at 100 TB matches tens of millions of
+    docs — forcing a broadcast there OOMs the executors, so the hint
+    must only appear for caller-attested small hit sets."""
+    from meilibridge_spark.operators.relational import (
+        distinct_hits,
+        facet_counts,
+        hits_with_docs,
+        sort_hits,
+    )
+
+    hits = search(saved, "baba cedi", 10**6)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable stats-based auto-broadcast so any BroadcastExchange in the
+    # plan can only come from our explicit hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            hits_with_docs(hits, saved.docs, ["role"]),
+            facet_counts(hits, saved.docs, "role"),
+            distinct_hits(hits, saved.docs, "role"),
+            sort_hits(hits, saved.docs, [("ts", True)], k=50),
+        ):
+            assert "BroadcastExchange" not in _explain(df)
+        # bounded hit set (k <= MAX_BROADCAST_HITS) -> explicit broadcast
+        small = search(saved, "baba cedi", 10)
+        plan = _explain(hits_with_docs(small, saved.docs, ["role"], hit_bound=10))
+        assert "BroadcastExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_single_query_scoring_is_codegen(saved):
     df = search(saved, "baba cedi", 5)
     df.collect()  # AQE assigns codegen ids on the executed final plan
