@@ -143,6 +143,44 @@ def _sql_topk(
     )
 
 
+def _sql_score_cte(name: str, terms: "list[str]") -> str:
+    """One named BM25-score CTE (depends on the _sql_tok CTEs)."""
+    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""{name} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {inlist}
+  GROUP BY tf.doc_id
+)"""
+
+
+def _sql_filtered_batch(
+    queries: "list[tuple[str, list[str]]]", k: int, lang: str
+) -> str:
+    """Batch of per-query filtered top-k: rank is assigned AFTER the
+    lang filter, matching search_many(filter_docs=...) semantics."""
+    ctes = ",\n".join(
+        _sql_score_cte(f"s_{qid}", terms) for qid, terms in queries
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, s.doc_id,
+         round(s.s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s.s DESC, s.doc_id)::INT AS rank
+  FROM s_{qid} s JOIN documents d USING (doc_id)
+  WHERE d.lang = '{lang}'
+) t_{qid} WHERE rank <= {k}"""
+        for qid, _ in queries
+    )
+    return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
+
+
 def _expand(terms: "list[str]") -> "list[str]":
     out = []
     for t in terms:
@@ -184,6 +222,25 @@ def _q_filtered(terms_text: str, k: int, lang: str):
 
         _, hits = _search_hits(spark, sf_dir, terms_text, k, filter_df_fn=filt)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _q_filtered_batch(qs: "list[tuple[str, str]]", k: int, lang: str):
+    """Filtered BATCH search: all queries in one scatter-gather job with
+    the filter applied as a doc-shard bitmap (S/Q7 batch path)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir)
+        filt = idx.docs.filter(F.col("lang") == lang).select("doc_id")
+        res = search_many(idx, qs, k=k, filter_docs=filt)
+        return res.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score"), "rank"
+        )
 
     return run
 
@@ -494,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
+        "ft_bm25_filtered_batch": _q_filtered_batch(
+            [("qa", "spark join"), ("qb", "group hash"), ("qc", "vector stream")],
+            10,
+            "en",
+        ),
         "ft_facet_lang": _q_facet("spark join", "lang"),
         "ft_distinct_source": _q_distinct("spark join", "source"),
         "ft_sorted_hits": _q_sorted("vector stream", "n_chars", 50),
@@ -576,6 +638,15 @@ def oracle_sql() -> dict[str, str]:
                 "   OR levenshtein(term, 'window') <= 1 "
                 "UNION SELECT 'spakr' UNION SELECT 'jion' UNION SELECT 'window')"
             ),
+        ),
+        "ft_bm25_filtered_batch": _sql_filtered_batch(
+            [
+                ("qa", ["spark", "join"]),
+                ("qb", ["group", "hash"]),
+                ("qc", ["vector", "stream"]),
+            ],
+            10,
+            "en",
         ),
         "ft_bm25_filtered": (
             _sql_scores(["spark", "join"])

@@ -9,7 +9,10 @@ Usage:
 Batch mode (one scatter-gather Spark job for the whole file, postings
 served from the doc-shard cached layout):
   ... query.py --index-dir /path/to/index --queries-file qs.txt [-k 10]
-  (qs.txt: one query per line; output: one JSON line per query)
+      [--filter-role user]
+  (qs.txt: one query per line; output: one JSON line per query;
+  --filter-role rides the batch scatter-gather as a doc-shard bitmap;
+  --mode applies only to single-query runs and errors in batch mode)
 """
 
 from __future__ import annotations
@@ -24,12 +27,17 @@ def main() -> None:
     ap.add_argument("--query")
     ap.add_argument("--queries-file", help="batch mode: one query per line")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--mode", choices=["df", "wand"], default="wand")
+    ap.add_argument("--mode", choices=["df", "wand"], default=None,
+                    help="single-query path (default wand); invalid in batch mode")
     ap.add_argument("--filter-role", default=None)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if not args.query and not args.queries_file:
         ap.error("one of --query / --queries-file is required")
+    if args.queries_file and args.mode is not None:
+        ap.error("--mode applies to --query only; batch mode always uses "
+                 "the scatter-gather path")
+    mode = args.mode or "wand"
 
     from pyspark.sql import functions as F
 
@@ -54,8 +62,14 @@ def main() -> None:
                 for i, line in enumerate(f)
                 if line.strip()
             ]
-        prepare_serving(index)
-        rows = search_many(index, batch, k=args.k).collect()
+        filt = (
+            index.docs.filter(F.col("role") == args.filter_role).select("doc_id")
+            if args.filter_role
+            else None
+        )
+        if filt is None:
+            prepare_serving(index)  # shuffle-free only helps unfiltered
+        rows = search_many(index, batch, k=args.k, filter_docs=filt).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             hits[r["query_id"]].append(
@@ -65,7 +79,7 @@ def main() -> None:
             print(json.dumps({"query_id": qid, "query": text, "hits": hits[qid]}))
         return
 
-    if args.mode == "wand" and not args.filter_role:
+    if mode == "wand" and not args.filter_role:
         hits = search_wand(index, args.query, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:

@@ -150,6 +150,84 @@ def search(
     )
 
 
+def _decode_shard_terms(
+    rows,
+    base: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    mask: "np.ndarray | None" = None,
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """Decode one shard's blocks: term -> (doc offsets, idf-independent
+    BM25 impacts), each term decoded ONCE. ``mask`` (bool, shard_range
+    wide) drops disallowed doc offsets at decode time, so a filtered
+    batch pays the filter once per term instead of once per query."""
+    per_term: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    for r in rows:
+        offs, impact = per_term.get(r.term, (None, None))
+        d, t, dl = decode_block(
+            r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
+        )
+        imp = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
+        o = d - base
+        if mask is not None:
+            keep = mask[o]
+            o, imp = o[keep], imp[keep]
+        if offs is None:
+            per_term[r.term] = (o, imp)
+        else:
+            per_term[r.term] = (
+                np.concatenate((offs, o)),
+                np.concatenate((impact, imp)),
+            )
+    return per_term
+
+
+def _score_shard(
+    per_term: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    term_plan: "dict[str, list[tuple[str, float]]]",
+    qkeys: "list[str]",
+    shard_range: int,
+    base: int,
+    k: int,
+    query_chunk: int,
+) -> "tuple[list, list, list]":
+    """Dense scatter-add scoring of one shard for every query; exact
+    per-query local top-k (score desc, doc_id asc). Queries are chunked
+    to bound the dense array at chunk*shard_range*8 bytes (64 * 2^14 *
+    8 = 8 MiB at the default cfg.shard_range of 2^14)."""
+    out_q, out_d, out_s = [], [], []
+    for c0 in range(0, len(qkeys), query_chunk):
+        chunk = qkeys[c0 : c0 + query_chunk]
+        scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
+        touched = np.zeros(len(chunk), dtype=bool)
+        for qi, qkey in enumerate(chunk):
+            for term, idf in term_plan[qkey]:
+                hit = per_term.get(term)
+                if hit is None or not hit[0].size:
+                    continue
+                # a term's doc offsets are unique within a shard,
+                # so plain fancy-index += is a correct scatter-add
+                scores[qi][hit[0]] += idf * hit[1]
+                touched[qi] = True
+        for qi, qkey in enumerate(chunk):
+            if not touched[qi]:
+                continue
+            row = scores[qi]
+            pos = np.flatnonzero(row)
+            vals = row[pos]
+            if pos.size > k:
+                kth = np.partition(vals, pos.size - k)[pos.size - k]
+                keep = vals >= kth
+                pos, vals = pos[keep], vals[keep]
+            order = np.lexsort((pos, -vals))[:k]
+            pos, vals = pos[order], vals[order]
+            out_q.append(np.repeat(qkey, pos.size))
+            out_d.append(pos + base)
+            out_s.append(vals)
+    return out_q, out_d, out_s
+
+
 def _make_shard_scorer(
     plan: "list[tuple[str, list[tuple[int, float]]]]",
     qkeys: "list[str]",
@@ -171,10 +249,6 @@ def _make_shard_scorer(
     index directly, so accumulation is pure numpy scatter-add. Exact
     per-query top-k (score desc, doc_id asc tie-break) is selected per
     shard; only n_shards*k rows per query leave the partition.
-
-    Queries are processed in chunks of ``query_chunk`` to bound the
-    dense array at chunk*shard_range*8 bytes (64 * 2^14 * 8 = 8 MiB at
-    the default cfg.shard_range of 2^14).
     """
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
 
@@ -185,53 +259,11 @@ def _make_shard_scorer(
             for row in pdf.itertuples(index=False):
                 by_shard.setdefault(int(row.first_doc) // shard_range, []).append(row)
         for shard in sorted(by_shard):
-            rows = by_shard[shard]
             base = shard * shard_range
-            # decode + impact once per term (idf-independent part)
-            per_term: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
-            for r in rows:
-                offs, impact = per_term.get(r.term, (None, None))
-                d, t, dl = decode_block(
-                    r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
-                )
-                imp = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
-                o = d - base
-                if offs is None:
-                    per_term[r.term] = (o, imp)
-                else:
-                    per_term[r.term] = (
-                        np.concatenate((offs, o)),
-                        np.concatenate((impact, imp)),
-                    )
-            out_q, out_d, out_s = [], [], []
-            for c0 in range(0, len(qkeys), query_chunk):
-                chunk = qkeys[c0 : c0 + query_chunk]
-                scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
-                touched = np.zeros(len(chunk), dtype=bool)
-                for qi, qkey in enumerate(chunk):
-                    for term, idf in term_plan[qkey]:
-                        hit = per_term.get(term)
-                        if hit is None:
-                            continue
-                        # a term's doc offsets are unique within a shard,
-                        # so plain fancy-index += is a correct scatter-add
-                        scores[qi][hit[0]] += idf * hit[1]
-                        touched[qi] = True
-                for qi, qkey in enumerate(chunk):
-                    if not touched[qi]:
-                        continue
-                    row = scores[qi]
-                    pos = np.flatnonzero(row)
-                    vals = row[pos]
-                    if pos.size > k:
-                        kth = np.partition(vals, pos.size - k)[pos.size - k]
-                        keep = vals >= kth
-                        pos, vals = pos[keep], vals[keep]
-                    order = np.lexsort((pos, -vals))[:k]
-                    pos, vals = pos[order], vals[order]
-                    out_q.append(np.repeat(qkey, pos.size))
-                    out_d.append(pos + base)
-                    out_s.append(vals)
+            per_term = _decode_shard_terms(by_shard[shard], base, avgdl, k1, b)
+            out_q, out_d, out_s = _score_shard(
+                per_term, term_plan, qkeys, shard_range, base, k, query_chunk
+            )
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -244,14 +276,71 @@ def _make_shard_scorer(
     return scorer
 
 
+def _make_filtered_shard_scorer(
+    plan: "list[tuple[str, list[tuple[int, float]]]]",
+    qkeys: "list[str]",
+    shard_range: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    query_chunk: int = 64,
+):
+    """Cogrouped variant of the shard scorer for filtered batch search
+    (Q7 semantics in the batch path): key = doc-shard; left = the
+    shard's compressed posting blocks, right = the shard's allowed
+    doc_ids from ``filter_docs``. The allowed set becomes a shard-local
+    boolean mask applied at decode time; BM25 stats stay corpus-global
+    (Meilisearch filter semantics). A shard with blocks but no allowed
+    docs emits nothing; a shard with allowed docs but no blocks has no
+    candidates by construction."""
+    term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
+    empty = pd.DataFrame({"qkey": [], "doc_id": [], "score": []})
+
+    def scorer(key, blocks_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blocks_pdf.empty or filt_pdf.empty:
+            return empty
+        base = int(key[0]) * shard_range
+        mask = np.zeros(shard_range, dtype=bool)
+        mask[filt_pdf["doc_id"].to_numpy(dtype=np.int64) - base] = True
+        per_term = _decode_shard_terms(
+            blocks_pdf.itertuples(index=False), base, avgdl, k1, b, mask=mask
+        )
+        out_q, out_d, out_s = _score_shard(
+            per_term, term_plan, qkeys, shard_range, base, k, query_chunk
+        )
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qkey": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return scorer
+
+
 def search_many(
     index: InvertedIndex,
     queries: "list[tuple[str, str]]",
     k: "int | None" = None,
     gather: str = "auto",
+    filter_docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score, rank<=k).
+
+    ``filter_docs``: optional DataFrame with a doc_id column restricting
+    candidates for EVERY query in the batch (Q7 filterable attributes,
+    config/type.go:62); BM25 stats stay corpus-global. The filter rides
+    the same scatter-gather: allowed ids are cogrouped with the posting
+    blocks by doc-shard and applied as a shard-local bitmap at decode
+    time — nothing doc-granular beyond the filtered ids themselves is
+    shuffled. Batches mixing different filters = one search_many call
+    per filter group. (The cogroup shuffles blocks by shard even in
+    serving mode; unfiltered batches keep the shuffle-free path.)
 
     Document-partitioned scatter-gather: the only shuffle moves the
     batch's COMPRESSED posting blocks (grouped by doc-shard); each
@@ -265,8 +354,6 @@ def search_many(
     at 10^12 turns the per-query merge input is n_shards*k rows,
     which a two-level (salted) merge handles the same way.
     """
-    from pyspark.sql.window import Window
-
     k = k or index.cfg.max_total_hits
     spark = index.postings.sparkSession
     # dedup queries by their normalized term set: identical queries (and
@@ -291,6 +378,33 @@ def search_many(
             [], "query_id string, doc_id long, score double, rank int"
         )
     qkeys = sorted(key for key, _ in plan)
+
+    if filter_docs is not None:
+        shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
+        src = index.serving if index.serving is not None else index.postings
+        blocks = src.filter(F.col("term").isin(sorted(idf_map))).select(
+            "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
+        ).withColumn("_shard", shard_of(F.col("first_doc")))
+        fids = filter_docs.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).withColumn("_shard", shard_of(F.col("doc_id")))
+        per_key = (
+            blocks.groupBy("_shard")
+            .cogroup(fids.groupBy("_shard"))
+            .applyInPandas(
+                _make_filtered_shard_scorer(
+                    plan,
+                    qkeys,
+                    index.cfg.shard_range,
+                    index.avgdl,
+                    index.cfg.k1,
+                    index.cfg.b,
+                    k,
+                ),
+                schema=SCORED_SCHEMA,
+            )
+        )
+        return _gather_hits(index, per_key, key_of, qkeys, k, gather)
 
     if index.serving is not None:
         # serving layout is already doc-shard partitioned and cached:
@@ -326,18 +440,38 @@ def search_many(
         ),
         schema=SCORED_SCHEMA,
     )
+    return _gather_hits(index, per_key, key_of, qkeys, k, gather)
 
-    # gather: the scorer emits <= n_shards * k rows per query. When that
-    # bound is small, collect and merge in the driver (the classic
-    # scatter-GATHER step) — one Spark job, no extra window shuffle or
-    # mapping join. The threshold is deliberately low: driver merge
-    # time is serial and does not scale with the cluster, so it must
-    # stay negligible next to one stage's scheduling latency. Larger
-    # batches (and the 10^12-turn shard-count regime) use the
-    # distributed window merge.
+
+#: Driver-gather ceiling for the scatter-GATHER merge: when the scorer's
+#: worst-case output (n_shards * k * n_distinct_queries rows) fits under
+#: this, collect and merge in the driver — one Spark job, no extra
+#: window shuffle or mapping join. Deliberately low: driver merge time
+#: is serial and does not scale with the cluster, so it must stay
+#: negligible next to one stage's scheduling latency. Larger batches
+#: (and the 10^12-turn shard-count regime) use the distributed window
+#: merge. Tunable; recorded in BASELINE.md.
+DRIVER_GATHER_MAX_ROWS = 20_000
+
+
+def _gather_hits(
+    index: InvertedIndex,
+    per_key: DataFrame,
+    key_of: "dict[str, str]",
+    qkeys: "list[str]",
+    k: int,
+    gather: str,
+) -> DataFrame:
+    """Merge per-shard local top-k rows (qkey, doc_id, score) into the
+    global per-query top-k and fan deduped qkeys back out to query_ids.
+    ``gather``: 'driver' | 'window' | 'auto' (see DRIVER_GATHER_MAX_ROWS).
+    """
+    from pyspark.sql.window import Window
+
+    spark = per_key.sparkSession
     n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
     if gather == "driver" or (
-        gather == "auto" and n_shards * k * len(qkeys) <= 20_000
+        gather == "auto" and n_shards * k * len(qkeys) <= DRIVER_GATHER_MAX_ROWS
     ):
         rows = per_key.collect()
         by_key: "dict[str, list]" = {key: [] for key in qkeys}

@@ -212,3 +212,46 @@ def test_load_snapshot_validates_layout_knobs(spark, tmp_index_dir):
         load_snapshot(
             spark, tmp_index_dir, dataclasses.replace(CFG, block_size=64)
         )
+
+
+def test_search_many_filtered_matches_single(built):
+    """Filtered batch scatter-gather == single-query filtered path,
+    rank-identical, with and without serving mode."""
+    from meilibridge_spark.operators.search import prepare_serving
+
+    filt = built.docs.filter(F.col("role") == "user").select("doc_id")
+    batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
+
+    def check():
+        res = search_many(built, batch, k=10, filter_docs=filt).collect()
+        by_q: dict = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        for qid, text in batch:
+            single = [
+                (r["doc_id"], r["score"])
+                for r in search(built, text, 10, filter_docs=filt).collect()
+            ]
+            many = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+            assert [d for d, _ in many] == [d for d, _ in single], f"{qid}: {text!r}"
+            np.testing.assert_allclose(
+                score_round([s for _, s in many]),
+                score_round([s for _, s in single]),
+                rtol=0,
+                atol=1e-9,
+            )
+
+    check()
+    prepare_serving(built)
+    try:
+        check()
+    finally:
+        built.serving.unpersist()
+        built.serving = None
+
+
+def test_search_many_empty_filter(built):
+    filt = built.docs.filter(F.col("role") == "nosuchrole").select("doc_id")
+    assert search_many(built, [("q0", "baba")], k=5, filter_docs=filt).count() == 0
