@@ -432,14 +432,20 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_typo(terms_text: str, k: int):
+def _q_typo(terms_text: str, k: int, disable_on_words: "tuple[str, ...]" = ()):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
+        from meilibridge_spark.config import TypoToleranceConfig
         from meilibridge_spark.operators.search import search_typo
 
         idx = _docs_index(spark, sf_dir, "plain")
-        return search_typo(idx, terms_text, k).select(
+        tc = (
+            TypoToleranceConfig.make(disable_on_words=disable_on_words)
+            if disable_on_words
+            else None
+        )
+        return search_typo(idx, terms_text, k, typo_cfg=tc).select(
             "doc_id", F.round("score", 4).alias("score")
         )
 
@@ -549,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
+        "ft_bm25_typo_disable": _q_typo(
+            "spakr jion window", 10, disable_on_words=("spakr",)
+        ),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_filtered_batch": _q_filtered_batch(
@@ -647,6 +656,17 @@ def oracle_sql() -> dict[str, str]:
             ],
             10,
             "en",
+        ),
+        "ft_bm25_typo_disable": _sql_topk(
+            [],
+            10,
+            term_filter=(
+                # 'spakr' is in disable_on_words -> no expansion for it;
+                # 'jion' is below one_typo length; only 'window' expands
+                "(SELECT term FROM dfreq "
+                "WHERE levenshtein(term, 'window') <= 1 "
+                "UNION SELECT 'spakr' UNION SELECT 'jion' UNION SELECT 'window')"
+            ),
         ),
         "ft_bm25_filtered": (
             _sql_scores(["spark", "join"])

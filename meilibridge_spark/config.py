@@ -86,6 +86,39 @@ ASCII_ANALYZER = AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN)
 
 
 @dataclass(frozen=True)
+class TypoToleranceConfig:
+    """Q12 typo tolerance — mirrors the reference's TypoTolerance
+    settings (config/type.go:70-80): ``enabled``,
+    ``min_word_size_for_typos`` {one_typo: 5, two_typos: 9},
+    ``disable_on_words`` (query words never typo-expanded) and
+    ``disable_on_attributes`` (attributes whose exclusive vocabulary is
+    excluded from typo candidates).
+    """
+
+    enabled: bool = True
+    one_typo: int = 5
+    two_typos: int = 9
+    disable_on_words: tuple[str, ...] = ()
+    disable_on_attributes: tuple[str, ...] = ()
+
+    @staticmethod
+    def make(
+        enabled: bool = True,
+        one_typo: int = 5,
+        two_typos: int = 9,
+        disable_on_words: "tuple[str, ...] | list[str] | set[str]" = (),
+        disable_on_attributes: "tuple[str, ...] | list[str]" = (),
+    ) -> "TypoToleranceConfig":
+        return TypoToleranceConfig(
+            enabled=enabled,
+            one_typo=one_typo,
+            two_typos=two_typos,
+            disable_on_words=tuple(sorted({w.lower() for w in disable_on_words})),
+            disable_on_attributes=tuple(disable_on_attributes),
+        )
+
+
+@dataclass(frozen=True)
 class IndexConfig:
     """Per-index build/query plan — the analog of the reference's
     ``IndexConfig{IndexName, PrimaryKey, Fields, Settings}``
@@ -105,6 +138,9 @@ class IndexConfig:
     sortable_attributes: tuple[str, ...] = ()
     distinct_attribute: str | None = None
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    #: Q12 typo tolerance knobs (query-side expansion; applied only by
+    #: the typo search paths)
+    typo: TypoToleranceConfig = field(default_factory=TypoToleranceConfig)
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS

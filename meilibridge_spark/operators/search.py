@@ -328,9 +328,17 @@ def search_many(
     k: "int | None" = None,
     gather: str = "auto",
     filter_docs: "DataFrame | None" = None,
+    typo: bool = False,
+    typo_cfg=None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score, rank<=k).
+
+    ``typo=True`` applies Q12 typo expansion to every query before
+    planning: ONE levenshtein scan over the candidate dictionary covers
+    the whole batch (typo_expansion_map), then each expanded term scores
+    with its own idf exactly as in ``search_typo`` (rank-identical,
+    tested).
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates for EVERY query in the batch (Q7 filterable attributes,
@@ -359,10 +367,23 @@ def search_many(
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
     # out at the end — contributions are query-independent
+    parsed = {qid: parse_query(text, index.cfg.analyzer) for qid, text in queries}
+    exp_map: "dict[str, list[str]]" = {}
+    if typo:
+        all_q_terms = list(
+            dict.fromkeys(t for ts in parsed.values() for t in ts)
+        )
+        exp_map = typo_expansion_map(index, all_q_terms, typo_cfg)
     key_of: dict[str, str] = {}
     key_terms: dict[str, tuple[str, ...]] = {}
-    for qid, text in queries:
-        terms = tuple(parse_query(text, index.cfg.analyzer))
+    for qid, _ in queries:
+        terms = list(dict.fromkeys(parsed[qid]))
+        if exp_map:
+            for t in list(terms):
+                for c in exp_map.get(t, ()):
+                    if c not in terms:
+                        terms.append(c)
+        terms = tuple(terms)
         key = "\x1f".join(terms)
         key_of[qid] = key
         key_terms[key] = terms
@@ -600,29 +621,115 @@ def search_wand(
     return wand_topk(terms, k, index.avgdl, index.cfg.k1, index.cfg.b)
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Plain Levenshtein (same metric as Spark's ``levenshtein``) for
+    driver-side assignment of the already-JVM-filtered candidate terms
+    to their query terms — candidate sets are tiny by construction."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _typo_candidate_terms(index: InvertedIndex, typo=None) -> DataFrame:
+    """Term source for typo candidates. With ``disable_on_attributes``
+    (config/type.go:75) the vocabulary found ONLY in disabled
+    attributes must not produce typo matches, so the candidate
+    dictionary is re-derived from the enabled searchable attributes of
+    the docs table (computed once per index, cached). Exact query terms
+    always match wherever they occur — only the fuzzy expansion is
+    restricted."""
+    typo = typo or index.cfg.typo
+    disabled = set(typo.disable_on_attributes)
+    attrs = [a for a in index.cfg.searchable_attributes if a not in disabled]
+    if not disabled or len(attrs) == len(index.cfg.searchable_attributes):
+        return index.terms
+    spark = index.postings.sparkSession
+    if not attrs:
+        return spark.createDataFrame([], "term string")
+    cache: dict = getattr(index, "_typo_term_src", None) or {}
+    index._typo_term_src = cache
+    key = tuple(attrs)
+    if key not in cache:
+        from meilibridge_spark.operators.docs import make_term_freq_udf
+
+        tf_udf = make_term_freq_udf(index.cfg.analyzer)
+        text = F.concat_ws(
+            " ", *[F.coalesce(F.col(a), F.lit("")) for a in attrs]
+        )
+        cache[key] = (
+            index.docs.select(tf_udf(text).alias("_t"))
+            .select(F.explode("_t.terms").alias("term"))
+            .distinct()
+            .persist()
+        )
+    return cache[key]
+
+
+def typo_expansion_map(
+    index: InvertedIndex,
+    q_terms: "list[str]",
+    typo_cfg=None,
+) -> "dict[str, list[str]]":
+    """Q12: map each eligible query term to its dictionary terms within
+    edit distance 1 (len >= one_typo, default 5) or 2 (len >= two_typos,
+    default 9) — reference knobs config/type.go:70-80. Terms listed in
+    ``disable_on_words`` are never expanded. One JVM levenshtein scan
+    over the candidate dictionary covers ALL terms (batch-friendly);
+    candidates are assigned to their query terms driver-side."""
+    typo = typo_cfg or index.cfg.typo
+    if not typo.enabled:
+        return {}
+    disabled = {w.lower() for w in typo.disable_on_words}
+    fuzzy = {
+        t: (2 if len(t) >= typo.two_typos else 1)
+        for t in dict.fromkeys(q_terms)
+        if len(t) >= typo.one_typo and t not in disabled
+    }
+    if not fuzzy:
+        return {}
+    conds = None
+    for t, d in fuzzy.items():
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
+        conds = c if conds is None else (conds | c)
+    cands = [
+        r["term"]
+        for r in _typo_candidate_terms(index, typo)
+        .filter(conds)
+        .select("term")
+        .orderBy("term")
+        .collect()
+    ]
+    out: "dict[str, list[str]]" = {}
+    for t, d in fuzzy.items():
+        exp = [c for c in cands if c != t and _edit_distance(t, c) <= d]
+        if exp:
+            out[t] = exp
+    return out
+
+
 def typo_expand_terms(
     index: InvertedIndex,
     q_terms: "list[str]",
-    one_typo_min_len: int = 5,
-    two_typo_min_len: int = 9,
+    typo_cfg=None,
 ) -> "list[str]":
-    """Q12 typo tolerance (off by default; Meilisearch defaults
-    min_word_size_for_typos one=5/two=9, config/type.go:70-80): expand
-    each query term with dictionary terms within edit distance 1
-    (len >= 5) or 2 (len >= 9). One small scan over the term dictionary
-    with JVM levenshtein — no Python."""
-    fuzzy = [t for t in q_terms if len(t) >= one_typo_min_len]
+    """Expanded term list: the original terms followed by their typo
+    candidates (first-seen order, de-duplicated)."""
+    exp = typo_expansion_map(index, q_terms, typo_cfg)
     out = list(dict.fromkeys(q_terms))
-    if not fuzzy:
-        return out
-    conds = None
-    for t in fuzzy:
-        d = 2 if len(t) >= two_typo_min_len else 1
-        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
-        conds = c if conds is None else (conds | c)
-    for r in index.terms.filter(conds).select("term").orderBy("term").collect():
-        if r["term"] not in out:
-            out.append(r["term"])
+    for t in list(out):
+        for c in exp.get(t, ()):
+            if c not in out:
+                out.append(c)
     return out
 
 
@@ -630,11 +737,12 @@ def search_typo(
     index: InvertedIndex,
     query: str,
     k: "int | None" = None,
+    typo_cfg=None,
 ) -> DataFrame:
     """BM25 top-k with typo-tolerant term expansion (each expanded term
     scores with its own idf)."""
     q_terms = parse_query(query, index.cfg.analyzer)
-    expanded = typo_expand_terms(index, q_terms)
+    expanded = typo_expand_terms(index, q_terms, typo_cfg)
     return search(index, " ".join(expanded), k)
 
 

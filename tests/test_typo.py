@@ -1,0 +1,139 @@
+"""Q12 typo tolerance sub-knobs (reference config/type.go:70-80):
+min_word_size_for_typos, disable_on_words, disable_on_attributes, and
+typo expansion through the batch scatter-gather path."""
+
+import numpy as np
+import pytest
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    IndexConfig,
+    TypoToleranceConfig,
+)
+from meilibridge_spark.functions.bm25 import score_round
+from meilibridge_spark.operators.search import (
+    search_many,
+    search_typo,
+    typo_expand_terms,
+)
+from meilibridge_spark.plans.build import build_index
+
+DOCS = [
+    # 'zebra' lives ONLY in the tag attribute; 'receive' only in text
+    (0, "please receive the payment today", "invoice"),
+    (1, "wire transfer arrived yesterday", "zebra"),
+    (2, "receive receipts and archive them", "invoice"),
+    (3, "random filler words here", "zebra"),
+    (4, "windows window widths", "panel"),
+]
+
+CFG = IndexConfig(
+    index_name="typo",
+    primary_key=("doc_id",),
+    searchable_attributes=("text", "tag"),
+    analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    built = build_index(df, CFG, doc_id_col="doc_id")
+    built.postings = built.postings.persist()
+    built.postings.count()
+    return built
+
+
+def test_expansion_basic(idx):
+    # 'receve' (len 6, one deletion away) -> 'receive'; note 'recieve'
+    # is distance 2 (transposition) and does NOT expand at len 7 < 9
+    assert typo_expand_terms(idx, ["receve"]) == ["receve", "receive"]
+    assert typo_expand_terms(idx, ["recieve"]) == ["recieve"]
+    # below one_typo length: no expansion
+    assert typo_expand_terms(idx, ["wird"]) == ["wird"]
+
+
+def test_min_word_size_knobs(idx):
+    strict = TypoToleranceConfig.make(one_typo=8)
+    assert typo_expand_terms(idx, ["receve"], strict) == ["receve"]
+    # two_typos threshold: 'recaivee' (len 8) vs 'receive' = 2 edits
+    assert "receive" not in typo_expand_terms(idx, ["recaivee"])
+    loose = TypoToleranceConfig.make(two_typos=8)
+    assert "receive" in typo_expand_terms(idx, ["recaivee"], loose)
+
+
+def test_disabled_entirely(idx):
+    off = TypoToleranceConfig.make(enabled=False)
+    assert typo_expand_terms(idx, ["receve"], off) == ["receve"]
+
+
+def test_disable_on_words(idx):
+    tc = TypoToleranceConfig.make(disable_on_words=["Receve"])  # case-folded
+    assert typo_expand_terms(idx, ["receve", "windoq"], tc) == [
+        "receve",
+        "windoq",
+        "window",
+    ]
+
+
+def test_disable_on_attributes(idx):
+    # 'zebrb' would expand to 'zebra', but zebra only occurs in 'tag'
+    assert typo_expand_terms(idx, ["zebrb"]) == ["zebrb", "zebra"]
+    tc = TypoToleranceConfig.make(disable_on_attributes=["tag"])
+    assert typo_expand_terms(idx, ["zebrb"], tc) == ["zebrb"]
+    # text-only vocabulary still expands under the restriction
+    assert typo_expand_terms(idx, ["receve"], tc) == ["receve", "receive"]
+    # disabling every searchable attribute kills all expansion
+    tc_all = TypoToleranceConfig.make(disable_on_attributes=["tag", "text"])
+    assert typo_expand_terms(idx, ["receve"], tc_all) == ["receve"]
+
+
+def test_search_typo_hits(idx):
+    hits = {r["doc_id"] for r in search_typo(idx, "receve", 10).collect()}
+    assert hits == {0, 2}
+    tc = TypoToleranceConfig.make(disable_on_words=["receve"])
+    assert search_typo(idx, "receve", 10, typo_cfg=tc).count() == 0
+
+
+def test_search_many_typo_matches_single(idx):
+    queries = [
+        ("q0", "receve payment"),
+        ("q1", "zebrb"),
+        ("q2", "windoq widths"),
+        ("q3", "nothing relevant"),
+    ]
+    res = search_many(idx, queries, k=10, typo=True).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, text in queries:
+        single = [
+            (r["doc_id"], r["score"])
+            for r in search_typo(idx, text, 10).collect()
+        ]
+        many = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        assert [d for d, _ in many] == [d for d, _ in single], f"{qid}: {text!r}"
+        np.testing.assert_allclose(
+            score_round([s for _, s in many]),
+            score_round([s for _, s in single]),
+            rtol=0,
+            atol=1e-9,
+        )
+
+
+def test_edit_distance_matches_jvm_semantics():
+    from meilibridge_spark.operators.search import _edit_distance
+
+    cases = [
+        ("kitten", "sitting", 3),
+        ("abc", "abc", 0),
+        ("abc", "", 3),
+        ("spakr", "spark", 2),  # transposition costs 2 in Levenshtein
+        ("window", "windows", 1),
+    ]
+    for a, b, d in cases:
+        assert _edit_distance(a, b) == d
+        assert _edit_distance(b, a) == d
