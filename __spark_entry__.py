@@ -226,6 +226,23 @@ def _q_filtered(terms_text: str, k: int, lang: str):
     return run
 
 
+def _q_words_rank(terms_text: str, k: int):
+    """Q11 'words' ranking criterion: matched_terms desc first, then
+    BM25 score, then doc_id (reference ranking_rules head)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        return search(idx, terms_text, k, words_rank=True).select(
+            "doc_id", "matched_terms", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_filtered_batch(qs: "list[tuple[str, str]]", k: int, lang: str):
     """Filtered BATCH search: all queries in one scatter-gather job with
     the filter applied as a doc-shard bitmap (S/Q7 batch path)."""
@@ -549,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
         "ft_bm25_rare_multi": _q_topk("customer window vector merge", 20),
+        "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
@@ -630,6 +648,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_bm25_repeated_terms": _sql_topk(["scan", "hash"], 15),
         "ft_bm25_absent_term": _sql_topk(["zzzmissing", "spark"], 10),
+        "ft_words_rank": f"""
+WITH {_sql_tok()},
+scores AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('customer', 'window', 'vector', 'merge')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, matched_terms, round(s, 4)::DOUBLE AS score FROM scores
+ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
+""",
         "ft_phrase": _sql_phrase(["spark", "join"], 10),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),

@@ -141,6 +141,11 @@ class IndexConfig:
     #: Q12 typo tolerance knobs (query-side expansion; applied only by
     #: the typo search paths)
     typo: TypoToleranceConfig = field(default_factory=TypoToleranceConfig)
+    #: Q11 optional 'words' ranking criterion (the head of the
+    #: reference's default ranking_rules, config/type.go:56): order hits
+    #: by (matched_terms desc, score desc, doc_id asc) instead of pure
+    #: BM25. Off by default — the north_rule contract is BM25 ordering.
+    words_ranking: bool = False
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS

@@ -113,14 +113,22 @@ def search(
     query: str,
     k: "int | None" = None,
     filter_docs: "DataFrame | None" = None,
+    words_rank: "bool | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms).
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates (Q7 filterable attributes -> pre-score semi-join); BM25
     stats stay corpus-global (Meilisearch filter semantics).
+
+    ``words_rank`` (default cfg.words_ranking): Q11 'words' criterion —
+    docs matching more query terms rank first (matched_terms desc),
+    BM25 then doc_id break ties; the head of the reference's default
+    ranking_rules [words, typo, ...] (config/type.go:56).
     """
     k = k or index.cfg.max_total_hits
+    if words_rank is None:
+        words_rank = index.cfg.words_ranking
     q_terms = parse_query(query, index.cfg.analyzer)
     idf_map = _idf_map(index, q_terms)
     spark = index.postings.sparkSession
@@ -139,15 +147,14 @@ def search(
     scored = rows.withColumn("idf", idf_expr[F.col("term")]).withColumn(
         "contrib", _contrib_col(index)
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("contrib").alias("score"),
-            F.count("*").cast("int").alias("matched_terms"),
-        )
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("matched_terms"),
     )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    if words_rank:
+        order.insert(0, F.col("matched_terms").desc())
+    return agg.orderBy(*order).limit(k)
 
 
 def _decode_shard_terms(

@@ -255,3 +255,21 @@ def test_search_many_filtered_matches_single(built):
 def test_search_many_empty_filter(built):
     filt = built.docs.filter(F.col("role") == "nosuchrole").select("doc_id")
     assert search_many(built, [("q0", "baba")], k=5, filter_docs=filt).count() == 0
+
+
+def test_words_ranking_criterion(built, oracle):
+    """Q11 'words' rule: matched-term count dominates, BM25 breaks ties
+    within a count; the hit SET equals the BM25 hit set for k=all."""
+    q = "baba cedi difo"
+    hits = search(built, q, 10**6, words_rank=True).collect()
+    mts = [r["matched_terms"] for r in hits]
+    assert mts == sorted(mts, reverse=True)
+    # within each matched_terms group, (score desc, doc_id asc)
+    for i in range(1, len(hits)):
+        a, b = hits[i - 1], hits[i]
+        if a["matched_terms"] == b["matched_terms"]:
+            sa, sb = score_round(a["score"]), score_round(b["score"])
+            assert sa > sb or (sa == sb and a["doc_id"] < b["doc_id"])
+    assert {r["doc_id"] for r in hits} == {
+        d for d, _ in oracle.topk(q, 10**9)
+    }
