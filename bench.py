@@ -93,6 +93,14 @@ def main() -> None:
     idx.terms.count()
     timings["build_transcripts"] = time.time() - t0
 
+    # --- positional postings build over the same docs (optional phrase
+    # table; judged against the main postings build per turn)
+    from meilibridge_spark.operators.positions import build_positions
+
+    t0 = time.time()
+    n_pos_rows = build_positions(idx.docs, cfg).count()
+    timings["build_positions"] = time.time() - t0
+
     # --- index build over the driver's documents table
     t0 = time.time()
     dcfg = IndexConfig(
@@ -147,6 +155,8 @@ def main() -> None:
         "n_turns": n_turns,
         "n_blocks": n_blocks,
         "build_turns_per_sec": round(n_turns / timings["build_transcripts"], 1),
+        "positions_turns_per_sec": round(n_turns / timings["build_positions"], 1),
+        "n_position_rows": n_pos_rows,
         "batch_queries_per_sec": round(len(queries) / timings["query_batch"], 2),
         "wand_cold_queries_per_sec": round(
             len(queries) / timings["query_wand_cold"], 2

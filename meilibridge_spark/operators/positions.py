@@ -25,8 +25,10 @@ acts as a filter, scores stay corpus-global).
 
 from __future__ import annotations
 
+from itertools import chain
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,26 +52,54 @@ def _make_position_rows(cfg: AnalyzerConfig):
         for pdf in batches:
             if pdf.empty:
                 continue
-            out_t: list[str] = []
-            out_d: list[int] = []
-            out_p: list[list[int]] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if text is None:
-                    continue
-                toks = rx.findall(text.lower() if lowercase else text)
-                by_term: dict[str, list[int]] = {}
-                for pos, tok in enumerate(toks):
-                    if tok in stop:
-                        continue  # occupies the position, emits no posting
-                    by_term.setdefault(tok, []).append(pos)
-                for term, positions in by_term.items():
-                    out_t.append(term)
-                    out_d.append(int(doc_id))
-                    out_p.append(positions)
-            if out_t:
-                yield pd.DataFrame(
-                    {"term": out_t, "doc_id": out_d, "positions": out_p}
+            # tokenize per row (the regex is inherently per-string),
+            # then do ALL grouping work vectorized over the flattened
+            # (doc, raw position, term) batch — same factorize/lexsort
+            # pattern as the main postings build (postings.py), no
+            # per-token Python loop.
+            tok_lists = [
+                rx.findall(t.lower() if lowercase else t)
+                if t is not None
+                else []
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # raw slot index within each doc (stop words keep theirs)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            flat = np.asarray(
+                list(chain.from_iterable(tok_lists)), dtype=object
+            )
+            codes, uniques = pd.factorize(flat)
+            if stop:
+                # drop stop-word POSTINGS via the (small) unique table —
+                # their slots stay occupied because pos is already fixed
+                stop_uniq = np.fromiter(
+                    (u in stop for u in uniques), dtype=bool, count=len(uniques)
                 )
+                keep = ~stop_uniq[codes]
+                codes, doc_rep, pos = codes[keep], doc_rep[keep], pos[keep]
+                if not codes.size:
+                    continue
+            order = np.lexsort((pos, codes, doc_rep))
+            d_s, c_s = doc_rep[order], codes[order]
+            p_s = pos[order].astype(np.int32)
+            bounds = np.flatnonzero(
+                np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            )
+            yield pd.DataFrame(
+                {
+                    "term": uniques[c_s[bounds]],
+                    "doc_id": d_s[bounds],
+                    "positions": np.split(p_s, bounds[1:]),
+                }
+            )
 
     return rows
 
