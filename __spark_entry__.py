@@ -84,21 +84,25 @@ def _search_hits(spark, sf_dir, terms_text, k, flavor="plain", filter_df_fn=None
 # --------------------------------------------------------------------------
 
 
-def _sql_tok(stop: "tuple[str, ...]" = (), pattern: str = "[a-z0-9]+") -> str:
+def _sql_tok(
+    stop: "tuple[str, ...]" = (),
+    pattern: str = "[a-z0-9]+",
+    src: str = "documents",
+) -> str:
     stop_clause = (
         " WHERE term NOT IN (%s)" % ", ".join(f"'{s}'" for s in stop) if stop else ""
     )
     return f"""
 tok0 AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pattern}')) AS term
-  FROM documents
+  FROM {src}
 ),
 tok AS (SELECT * FROM tok0{stop_clause}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dl0 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
 alldl AS (
   SELECT d.doc_id, coalesce(dl0.dl, 0)::BIGINT AS dl
-  FROM documents d LEFT JOIN dl0 USING (doc_id)
+  FROM {src} d LEFT JOIN dl0 USING (doc_id)
 ),
 stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM alldl),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
@@ -224,6 +228,93 @@ def _q_filtered(terms_text: str, k: int, lang: str):
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     return run
+
+
+def _view_index(spark: SparkSession, sf_dir: str):
+    """S25 view indirection: the indexed 'collection' is a JOIN VIEW
+    over orders ⋈ customer ⋈ nation (the reference's user_books
+    pattern, integration/sql/sample.sql:40-58) — Spark performs the
+    join the source DB performed for the reference; nation/customer are
+    broadcast-sized dims."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.config import (
+        ASCII_TOKEN_PATTERN,
+        AnalyzerConfig,
+        IndexConfig,
+    )
+    from meilibridge_spark.plans.build import build_index
+
+    key = (sf_dir, "view")
+    if key in _CACHE:
+        return _CACHE[key]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    view = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.concat_ws(
+                " ", "o_orderpriority", "c_mktsegment", "n_name"
+            ).alias("text"),
+            "n_name",
+        )
+    )
+    cfg = IndexConfig(
+        index_name="orders-view",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        displayed_attributes=("n_name",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    idx = build_index(view, cfg, doc_id_col="doc_id")
+    idx.docs = idx.docs.persist()
+    idx.postings = idx.postings.persist()
+    idx.terms = idx.terms.persist()
+    idx.terms.count()
+    _CACHE[key] = idx
+    return idx
+
+
+def _q_view_join_search(terms_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.relational import display
+        from meilibridge_spark.operators.search import search
+
+        idx = _view_index(spark, sf_dir)
+        hits = search(idx, terms_text, k)
+        return display(hits, idx.docs, ["n_name"], hit_bound=k).select(
+            "doc_id", "n_name", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+_SQL_VIEW_DOCS = """view_docs AS (
+  SELECT o_orderkey AS doc_id,
+         o_orderpriority || ' ' || c_mktsegment || ' ' || n_name AS text,
+         n_name
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)"""
+
+
+def _sql_view_join_search(terms: "list[str]", k: int) -> str:
+    return f"""
+WITH {_SQL_VIEW_DOCS},
+{_sql_tok(src="view_docs")},
+{_sql_score_cte("scores", terms)}
+SELECT s.doc_id, v.n_name, round(s.s, 4)::DOUBLE AS score
+FROM scores s JOIN view_docs v USING (doc_id)
+ORDER BY s.s DESC, s.doc_id LIMIT {k}
+"""
 
 
 def _q_words_rank(terms_text: str, k: int):
@@ -587,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_distinct_source": _q_distinct("spark join", "source"),
         "ft_sorted_hits": _q_sorted("vector stream", "n_chars", 50),
         "ft_displayed": _q_displayed("group hash", ("lang", "source"), 10),
+        "view_join_search": _q_view_join_search("urgent building", 15),
         "ft_term_dictionary": _q_term_dictionary,
         "ft_doc_lengths": _q_doc_lengths,
         "ft_corpus_stats": _q_corpus_stats,
@@ -740,6 +832,7 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
             "FROM scores s JOIN documents d USING (doc_id) "
             "ORDER BY s.s DESC, s.doc_id LIMIT 10"
         ),
+        "view_join_search": _sql_view_join_search(["urgent", "building"], 15),
         "ft_term_dictionary": (
             f"WITH {_sql_tok()} "
             "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

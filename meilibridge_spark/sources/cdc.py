@@ -121,6 +121,19 @@ def fold_events(cdc: DataFrame, docs: DataFrame) -> DataFrame:
     return ev.groupBy("conv_id", "turn_idx").applyInPandas(fold, FOLDED_SCHEMA)
 
 
+def apply_events(base: DataFrame, cdc: DataFrame) -> DataFrame:
+    """Apply a CDC batch to a plain transcripts TABLE (not an index):
+    untouched rows pass through, touched keys take their folded final
+    state, deletes drop. Used to advance the base side of a view
+    (S25) before re-fetching view rows, and by tests as the ground
+    truth of post-CDC state."""
+    folded = fold_events(cdc, base)
+    keys = folded.select("conv_id", "turn_idx")
+    live = folded.filter(~F.col("deleted")).drop("deleted")
+    untouched = base.join(keys, ["conv_id", "turn_idx"], "left_anti")
+    return untouched.unionByName(live.select(*base.columns))
+
+
 def generate_cdc_batch(
     spark: SparkSession,
     source: DataFrame,
