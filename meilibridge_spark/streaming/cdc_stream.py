@@ -13,6 +13,7 @@ exactly-once (re-applying a replayed batch is a no-op, S14 analog).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from meilibridge_spark.config import IndexConfig
 from meilibridge_spark.plans.incremental import apply_cdc
@@ -22,20 +23,33 @@ from meilibridge_spark.sources.tables import load_snapshot, save_snapshot
 
 def start_cdc_sync(
     spark: SparkSession,
-    cdc_path: str,
-    index_dir: str,
-    cfg: IndexConfig,
-    checkpoint_dir: str,
+    cdc_path: "str | None" = None,
+    index_dir: str = "",
+    cfg: "IndexConfig | None" = None,
+    checkpoint_dir: str = "",
     trigger_available_now: bool = True,
+    source=None,
 ):
-    """Stream CDC parquet files from ``cdc_path`` into the index at
-    ``index_dir``. Each micro-batch: load current snapshot -> MERGE ->
-    commit child snapshot. Returns the StreamingQuery.
+    """Stream CDC events into the index at ``index_dir``. Each
+    micro-batch: load current snapshot -> MERGE -> commit child
+    snapshot. Returns the StreamingQuery.
+
+    The source is pluggable — the sink-side MERGE never sees where a
+    batch came from:
+    - ``cdc_path``: file source (parquet of CDC_SCHEMA rows), the
+      sandbox default;
+    - ``source``: ANY streaming DataFrame already shaped to CDC_SCHEMA
+      — ``spark.readStream.format("kafka")...`` with the value parsed
+      via ``from_json(..., CDC_SCHEMA)``, a rate source mapped to
+      events (tested), a socket feed, etc. This is the "Kafka is a
+      config swap" claim made executable.
 
     ``trigger_available_now=True`` processes the backlog then stops —
     the streaming analog of the reference's --auto scheduled re-sync
     (S20); pass False for a continuous query.
     """
+    if (source is None) == (cdc_path is None):
+        raise ValueError("pass exactly one of cdc_path / source")
 
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -54,8 +68,9 @@ def start_cdc_sync(
         merged.postings.unpersist()
 
     reader = (
-        spark.readStream.schema(CDC_SCHEMA)
-        .parquet(cdc_path)
+        source
+        if source is not None
+        else spark.readStream.schema(CDC_SCHEMA).parquet(cdc_path)
     )
     writer = (
         reader.writeStream.foreachBatch(process_batch)
@@ -64,3 +79,40 @@ def start_cdc_sync(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rate_source_cdc(spark: SparkSession, rows_per_batch: int = 5):
+    """Kafka stand-in for the source-abstraction tests: map the built-in
+    ``rate-micro-batch`` source to CDC insert events (batch 0 always
+    carries values 0..rows_per_batch-1, so the first micro-batch is
+    deterministic). A real Kafka feed differs only in the reader:
+
+        spark.readStream.format("kafka").option(...).load()
+             .select(F.from_json(F.col("value").cast("string"),
+                                 CDC_SCHEMA).alias("e")).select("e.*")
+
+    — the sink side (start_cdc_sync's foreachBatch MERGE) is identical.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    conv = F.concat(F.lit("stream-"), F.col("value"))
+    doc = F.struct(
+        conv.alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("streamed turn number "), F.col("value")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )
+    return raw.select(
+        F.lit("insert").alias("op"),
+        conv.alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        doc.alias("full_document"),
+        F.lit(None).cast("map<string,string>").alias("updated_fields"),
+        F.lit(None).cast("array<string>").alias("removed_fields"),
+        F.col("timestamp").alias("ts"),
+    )
