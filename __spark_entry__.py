@@ -405,7 +405,7 @@ def _q_displayed(terms_text: str, attrs: "tuple[str, ...]", k: int):
     return run
 
 
-def _q_phrase(phrase: str, k: int):
+def _q_phrase(phrase: str, k: int, flavor: str = "plain"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -414,7 +414,7 @@ def _q_phrase(phrase: str, k: int):
             phrase_search,
         )
 
-        idx = _docs_index(spark, sf_dir)
+        idx = _docs_index(spark, sf_dir, flavor)
         pos = build_positions(idx.docs, idx.cfg, text_col="text")
         return phrase_search(idx, pos, phrase, k).select(
             "doc_id", F.round("score", 4).alias("score")
@@ -423,21 +423,31 @@ def _q_phrase(phrase: str, k: int):
     return run
 
 
-def _sql_phrase(terms: "list[str]", k: int, pattern: str = "[a-z0-9]+") -> str:
-    """BM25 top-k restricted to docs containing ``terms`` as a
-    contiguous token sequence (positional adjacency in DuckDB via
-    zipped unnest of tokens and their subscripts)."""
-    joins, conds = [], [f"t0.term = '{terms[0]}'"]
-    for i in range(1, len(terms)):
+def _sql_phrase(
+    steps: "list[tuple[str, int]] | list[str]",
+    k: int,
+    pattern: str = "[a-z0-9]+",
+    stop: "tuple[str, ...]" = (),
+) -> str:
+    """BM25 top-k restricted to docs containing the phrase terms at the
+    given RAW slot offsets (positional adjacency in DuckDB via zipped
+    unnest of tokens and their subscripts). ``steps`` as (term, offset)
+    pairs mirrors the engine's stop-word gap semantics: a dropped stop
+    word widens the positional gap but matches any token in its slot.
+    Scoring (tf/dl/df) is stop-filtered like the engine's index."""
+    steps = [s if isinstance(s, tuple) else (s, i) for i, s in enumerate(steps)]
+    base_off = steps[0][1]
+    joins, conds = [], [f"t0.term = '{steps[0][0]}'"]
+    for i, (t, off) in enumerate(steps[1:], start=1):
         joins.append(
             f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id "
-            f"AND t{i}.pos = t0.pos + {i}"
+            f"AND t{i}.pos = t0.pos + {off - base_off}"
         )
-        conds.append(f"t{i}.term = '{terms[i]}'")
-    uniq = list(dict.fromkeys(terms))
+        conds.append(f"t{i}.term = '{t}'")
+    uniq = list(dict.fromkeys(t for t, _ in steps))
     inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
     return f"""
-WITH {_sql_tok()},
+WITH {_sql_tok(stop=stop)},
 arrs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{pattern}') AS arr
   FROM documents
@@ -668,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "spakr jion window", 10, disable_on_words=("spakr",)
         ),
         "ft_phrase": _q_phrase("spark join", 10),
+        "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_filtered_batch": _q_filtered_batch(
             [("qa", "spark join"), ("qb", "group hash"), ("qc", "vector stream")],
@@ -758,6 +769,9 @@ SELECT doc_id, matched_terms, round(s, 4)::DOUBLE AS score FROM scores
 ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
 """,
         "ft_phrase": _sql_phrase(["spark", "join"], 10),
+        "ft_phrase_stopword": _sql_phrase(
+            [("join", 0), ("table", 2)], 10, stop=_STOP
+        ),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
         "ft_bm25_dictionary": _sql_topk(
