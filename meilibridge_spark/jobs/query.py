@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--mode", choices=["df", "wand"], default=None,
                     help="single-query path (default wand); invalid in batch mode")
     ap.add_argument("--filter-role", default=None)
+    ap.add_argument("--typo", action="store_true",
+                    help="typo-tolerant term expansion (Q12)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if not args.query and not args.queries_file:
@@ -69,7 +71,9 @@ def main() -> None:
         )
         if filt is None:
             prepare_serving(index)  # shuffle-free only helps unfiltered
-        rows = search_many(index, batch, k=args.k, filter_docs=filt).collect()
+        rows = search_many(
+            index, batch, k=args.k, filter_docs=filt, typo=args.typo
+        ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             hits[r["query_id"]].append(
@@ -79,8 +83,16 @@ def main() -> None:
             print(json.dumps({"query_id": qid, "query": text, "hits": hits[qid]}))
         return
 
+    query_text = args.query
+    if args.typo:
+        from meilibridge_spark.functions.tokenizer import parse_query
+        from meilibridge_spark.operators.search import typo_expand_terms
+
+        query_text = " ".join(
+            typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
+        )
     if mode == "wand" and not args.filter_role:
-        hits = search_wand(index, args.query, args.k)
+        hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:
         filt = (
@@ -88,7 +100,7 @@ def main() -> None:
             if args.filter_role
             else None
         )
-        rows = search(index, args.query, args.k, filter_docs=filt).collect()
+        rows = search(index, query_text, args.k, filter_docs=filt).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows
         ]

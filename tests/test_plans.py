@@ -120,6 +120,22 @@ def test_unbounded_hit_set_is_never_broadcast(saved, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_filtered_batch_term_filter_reaches_scan(saved):
+    """The filtered cogroup path must still prune the postings scan by
+    term (PushedFilters) — the filter adds a cogroup, it must not cost
+    a full postings read."""
+    from pyspark.sql import functions as F
+
+    filt = saved.docs.filter(F.col("role") == "user").select("doc_id")
+    df = search_many(
+        saved, [("a", "baba cedi")], k=5, gather="window", filter_docs=filt
+    )
+    plan = _explain(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("term" in g for g in m), m
+
+
 def test_single_query_scoring_is_codegen(saved):
     df = search(saved, "baba cedi", 5)
     df.collect()  # AQE assigns codegen ids on the executed final plan
