@@ -138,9 +138,11 @@ def search(
         )
     rows = candidate_rows(index, list(idf_map))
     if filter_docs is not None:
-        rows = rows.join(
-            F.broadcast(filter_docs.select("doc_id")), "doc_id", "left_semi"
-        )
+        # no forced broadcast: a filterable-attribute set can be a large
+        # fraction of the corpus (same hazard as the relational hit-set
+        # joins) — AQE picks broadcast from the MEASURED filter size
+        # when it is actually small
+        rows = rows.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
     idf_expr = F.create_map(
         *[x for t, v in idf_map.items() for x in (F.lit(t), F.lit(v))]
     )

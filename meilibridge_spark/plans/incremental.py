@@ -17,6 +17,8 @@ incremental MERGE:
      byte-identical to a fresh build of the final state with the same
      doc_id assignment (tested).
   5. term dictionary + corpus stats (N, avgdl) recomputed exactly
+  6. optional positions table: touched docs' rows dropped and re-derived
+     (phrase search stays consistent through CDC)
 
 Cost ∝ |touched docs| + |postings of affected terms| — not corpus size.
 Re-applying the same batch is a no-op (idempotent retry, S14).
@@ -184,6 +186,22 @@ def apply_cdc(
     ).unionByName(upserts.select(src_cols))
     docs_new = docs_new.persist()
 
+    # --- positions MERGE (only when the snapshot carries a positions
+    # table): positions are keyed by doc_id, so drop every touched
+    # doc's rows and re-derive rows for the upserted docs — deleted
+    # docs simply aren't re-added. Cost ∝ touched docs.
+    positions_new = None
+    if index.positions is not None:
+        from meilibridge_spark.operators.positions import build_positions
+
+        touched_ids = (
+            existing.select("doc_id")
+            .union(upserts.select("doc_id"))
+            .distinct()
+        )
+        kept = index.positions.join(touched_ids, "doc_id", "left_anti")
+        positions_new = kept.unionByName(build_positions(upserts, cfg))
+
     # --- exact stats refresh
     row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
@@ -197,4 +215,5 @@ def apply_cdc(
         terms=terms_new,
         n_docs=n_docs,
         avgdl=avgdl,
+        positions=positions_new,
     )

@@ -159,3 +159,41 @@ def test_positions_snapshot_roundtrip(spark, tmp_index_dir):
         for r in loaded.positions.collect()
     }
     assert rows[("fox", 2)] == [0, 2, 4]
+
+
+def test_positions_survive_cdc(spark, tmp_index_dir):
+    """apply_cdc maintains the positions table: touched docs' rows are
+    re-derived, so post-CDC positions equal a fresh build over the
+    final doc set (and phrase search stays consistent)."""
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.plans.incremental import apply_cdc
+    from meilibridge_spark.sources.cdc import generate_cdc_batch
+    from meilibridge_spark.sources.tables import load_snapshot, save_snapshot
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    cfg = IndexConfig(
+        index_name="poscdc",
+        primary_key=("conv_id", "turn_idx"),
+        analyzer=AnalyzerConfig.make(stop_words=["ba"]),
+    )
+    base = generate_transcripts(spark, n_convs=8, seed=13)
+    build_and_save(spark, base, cfg, tmp_index_dir, with_positions=True)
+    idx = load_snapshot(spark, tmp_index_dir, cfg)
+    cdc = generate_cdc_batch(
+        spark, base, seed=3, n_updates=3, n_inserts=2, n_deletes=2, n_replaces=1
+    )
+    new = apply_cdc(idx, cdc, cfg)
+    assert new.positions is not None
+    save_snapshot(new, tmp_index_dir, parent_id=idx.snapshot_id)
+    loaded = load_snapshot(spark, tmp_index_dir, cfg)
+    assert loaded.positions is not None
+
+    want_rows = sorted(
+        (r["term"], r["doc_id"], tuple(r["positions"]))
+        for r in build_positions(new.docs.drop("terms"), cfg).collect()
+    )
+    got_rows = sorted(
+        (r["term"], r["doc_id"], tuple(r["positions"]))
+        for r in loaded.positions.collect()
+    )
+    assert got_rows == want_rows
