@@ -363,6 +363,40 @@ def _q_facet(terms_text: str, attr: str):
     return run
 
 
+def _q_facet_multi(terms_text: str, attrs: "tuple[str, ...]", max_values: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.relational import facet_distribution
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
+        return facet_distribution(hits, idx.docs, list(attrs), max_values)
+
+    return run
+
+
+def _q_facet_stats(terms_text: str, attr: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.relational import facet_stats
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
+        return facet_stats(hits, idx.docs, attr)
+
+    return run
+
+
+def _q_prefix(terms_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_prefix
+
+        idx = _docs_index(spark, sf_dir)
+        return search_prefix(idx, terms_text, k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_distinct(terms_text: str, attr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -686,6 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "en",
         ),
         "ft_facet_lang": _q_facet("spark join", "lang"),
+        "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
+        "ft_facet_stats": _q_facet_stats("spark join", "n_chars"),
+        "ft_bm25_prefix": _q_prefix("spark jo", 10),
         "ft_distinct_source": _q_distinct("spark join", "source"),
         "ft_sorted_hits": _q_sorted("vector stream", "n_chars", 50),
         "ft_displayed": _q_displayed("group hash", ("lang", "source"), 10),
@@ -820,6 +857,39 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
             + "SELECT d.lang, count(*)::BIGINT AS count "
             "FROM scores s JOIN documents d USING (doc_id) "
             "GROUP BY d.lang ORDER BY d.lang LIMIT 100"
+        ),
+        "ft_facet_multi": (
+            fs
+            + """
+, joined AS (SELECT d.lang, d.source FROM scores s JOIN documents d USING (doc_id)),
+counts AS (
+  SELECT 'lang' AS facet, lang::VARCHAR AS value, count(*)::BIGINT AS "count"
+  FROM joined WHERE lang IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'source', source::VARCHAR, count(*)::BIGINT
+  FROM joined WHERE source IS NOT NULL GROUP BY 2
+)
+SELECT facet, value, "count" FROM (
+  SELECT *, row_number() OVER (PARTITION BY facet ORDER BY value) AS rn
+  FROM counts
+) t WHERE rn <= 100
+"""
+        ),
+        "ft_facet_stats": (
+            fs
+            + "SELECT min(d.n_chars) AS facet_min, max(d.n_chars) AS facet_max, "
+            "count(*)::BIGINT AS n_docs "
+            "FROM scores s JOIN documents d USING (doc_id)"
+        ),
+        "ft_bm25_prefix": _sql_topk(
+            [],
+            10,
+            term_filter=(
+                "(SELECT term FROM ("
+                "  SELECT term FROM dfreq WHERE term LIKE 'jo%' AND term <> 'jo' "
+                "  ORDER BY term LIMIT 10) "
+                "UNION SELECT 'spark' UNION SELECT 'jo')"
+            ),
         ),
         "ft_distinct_source": (
             fs

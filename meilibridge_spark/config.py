@@ -36,6 +36,38 @@ class ConfigError(ValueError):
     """Mirrors the reference's config validation errors (config/err.go)."""
 
 
+def parse_collection(spec: str) -> "tuple[str, str | None]":
+    """Parse the reference's ``Collection`` encoding ``"collection"`` or
+    ``"collection:view"`` (config/type.go:100,115-143) -> (collection,
+    view-or-None). The view names the DataFrame/join the engine reads
+    instead of the base collection (S25, operators/views.py).
+
+    Deviations from the reference, on purpose:
+    - 2+ colons: the reference silently treats the whole string as
+      view-less (``HasView`` false, config/type.go:123-125 — a quirk its
+      own test pins at config/config_test.go:411). We raise instead of
+      replicating the silent bug (SURVEY §4 known-bugs list).
+    - empty collection / empty view around the colon raise instead of
+      passing through as empty names.
+    """
+    if not isinstance(spec, str) or not spec.strip():
+        raise ConfigError("collection spec is required")
+    parts = spec.split(":")
+    if len(parts) == 1:
+        return parts[0], None
+    if len(parts) > 2:
+        raise ConfigError(
+            f"collection spec {spec!r} has {len(parts) - 1} colons; "
+            "expected 'collection' or 'collection:view'"
+        )
+    col, view = parts
+    if not col:
+        raise ConfigError(f"collection spec {spec!r} has an empty collection")
+    if not view:
+        raise ConfigError(f"collection spec {spec!r} has an empty view")
+    return col, view
+
+
 @dataclass(frozen=True)
 class AnalyzerConfig:
     """Tokenization settings (SURVEY.md §2B Q1-Q4).

@@ -73,6 +73,68 @@ def facet_counts(
     )
 
 
+def facet_distribution(
+    hits: DataFrame,
+    docs: DataFrame,
+    attrs: "list[str]",
+    max_values: int = 100,
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Q8 multi-facet form (Meilisearch facetDistribution): value counts
+    for SEVERAL facet attributes over the matching docs in ONE job ->
+    (facet, value, count), <= max_values values per facet,
+    lexicographic within each facet.
+
+    One join + one explode of per-row (facet, value) structs + one
+    map-side-combined count; the per-facet cap is a window over the
+    (tiny) aggregated counts — never over hit rows.
+    """
+    ids = _maybe_broadcast(hits.select("doc_id"), hit_bound)
+    pairs = ids.join(docs.select("doc_id", *attrs), "doc_id").select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("facet"),
+                        F.col(a).cast("string").alias("value"),
+                    )
+                    for a in attrs
+                ]
+            )
+        ).alias("fv")
+    )
+    counts = (
+        pairs.select("fv.facet", "fv.value")
+        .where(F.col("value").isNotNull())
+        .groupBy("facet", "value")
+        .agg(F.count("*").alias("count"))
+    )
+    w = Window.partitionBy("facet").orderBy(F.col("value").asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_values)
+        .drop("_rn")
+        .orderBy("facet", "value")
+    )
+
+
+def facet_stats(
+    hits: DataFrame,
+    docs: DataFrame,
+    attr: str,
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Q8 numeric-facet stats (Meilisearch facetStats): min/max of a
+    numeric attribute over the matching docs -> one row
+    (facet_min, facet_max, n_docs)."""
+    ids = _maybe_broadcast(hits.select("doc_id"), hit_bound)
+    return ids.join(docs.select("doc_id", attr), "doc_id").agg(
+        F.min(attr).alias("facet_min"),
+        F.max(attr).alias("facet_max"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def distinct_hits(
     hits: DataFrame,
     docs: DataFrame,

@@ -755,6 +755,54 @@ def search_typo(
     return search(index, " ".join(expanded), k)
 
 
+def prefix_expand_terms(
+    index: InvertedIndex,
+    q_terms: "list[str]",
+    max_expansions: int = 10,
+) -> "list[str]":
+    """Meilisearch-style LAST-WORD PREFIX search: the final query word
+    also matches dictionary terms it prefixes (Meilisearch applies
+    prefix matching to the last word of the query by default — public
+    search semantics; the reference exposes no knob for it). Bounded to
+    ``max_expansions`` candidates in lexicographic order for
+    determinism. The ``startsWith`` predicate is pushed to the terms
+    parquet scan (StringStartsWith row-group pruning); each expanded
+    term scores with its own idf."""
+    if not q_terms:
+        return []
+    last = q_terms[-1]
+    out = list(dict.fromkeys(q_terms))
+    rows = (
+        index.terms.filter(F.col("term").startswith(last))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions + 1)  # +1: the exact term may be included
+        .collect()
+    )
+    added = 0
+    for r in rows:
+        if r["term"] == last:
+            continue
+        if added >= max_expansions:
+            break
+        if r["term"] not in out:
+            out.append(r["term"])
+            added += 1
+    return out
+
+
+def search_prefix(
+    index: InvertedIndex,
+    query: str,
+    k: "int | None" = None,
+    max_expansions: int = 10,
+) -> DataFrame:
+    """BM25 top-k with last-word prefix expansion."""
+    q_terms = parse_query(query, index.cfg.analyzer)
+    expanded = prefix_expand_terms(index, q_terms, max_expansions)
+    return search(index, " ".join(expanded), k)
+
+
 class DriverSearcher:
     """Low-latency serving path: the term dictionary (term -> df) is
     collected once and the decoded postings of recently-used terms are

@@ -1,0 +1,131 @@
+"""Config-surface parity: the reference's table-driven config tests
+(config/config_test.go) re-expressed for our IndexConfig /
+parse_collection, plus prefix-search and facet-extension units."""
+
+import pytest
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    ConfigError,
+    IndexConfig,
+    parse_collection,
+)
+
+
+# --- Collection "col:view" parsing (mirrors config/config_test.go:375-442;
+# deviations from the reference's silent-quirk behavior are intentional
+# and documented on parse_collection)
+@pytest.mark.parametrize(
+    "spec,want",
+    [
+        ("users", ("users", None)),
+        ("users:user_books", ("users", "user_books")),
+        ("u", ("u", None)),
+    ],
+)
+def test_parse_collection_ok(spec, want):
+    assert parse_collection(spec) == want
+
+
+@pytest.mark.parametrize(
+    "spec",
+    ["", "   ", ":", "users:", ":view", "a:b:c", "a::b"],
+)
+def test_parse_collection_rejects(spec):
+    with pytest.raises(ConfigError):
+        parse_collection(spec)
+
+
+# --- IndexConfig validation matrix (config/config.go:26-115 semantics)
+def test_validate_matrix():
+    IndexConfig(index_name="ok", primary_key=("doc_id",)).validate()
+    with pytest.raises(ConfigError, match="name"):
+        IndexConfig(index_name="").validate()
+    with pytest.raises(ConfigError, match="primary key"):
+        IndexConfig(index_name="x", primary_key=()).validate()
+    with pytest.raises(ConfigError, match="searchable"):
+        IndexConfig(
+            index_name="x", primary_key=("a",), searchable_attributes=()
+        ).validate()
+    with pytest.raises(ConfigError, match="dropped"):
+        IndexConfig(
+            index_name="x",
+            primary_key=("doc_id",),
+            fields=(("text", "body"),),
+            searchable_attributes=("body",),
+        ).validate()
+    assert IndexConfig(index_name=" a b ").normalized_name() == "a-b"
+
+
+# --- prefix expansion (Meilisearch last-word-prefix semantics)
+DOCS = [
+    (0, "joint venture agreement"),
+    (1, "join the tables quickly"),
+    (2, "joined forces yesterday"),
+    (3, "journey to the west"),
+    (4, "unrelated content here"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    from meilibridge_spark.plans.build import build_index
+
+    cfg = IndexConfig(
+        index_name="prefix",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    return build_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"),
+        cfg,
+        doc_id_col="doc_id",
+    )
+
+
+def test_prefix_expand(idx):
+    from meilibridge_spark.operators.search import prefix_expand_terms
+
+    got = prefix_expand_terms(idx, ["venture", "jo"])
+    # lexicographic dictionary terms prefixed by 'jo'
+    assert got == ["venture", "jo", "join", "joined", "joint", "journey"]
+    # bounded
+    got2 = prefix_expand_terms(idx, ["jo"], max_expansions=2)
+    assert got2 == ["jo", "join", "joined"]
+    # exact last word that IS a term: expansion still adds longer terms
+    got3 = prefix_expand_terms(idx, ["join"])
+    assert got3 == ["join", "joined", "joint"]
+
+
+def test_search_prefix_hits(idx):
+    from meilibridge_spark.operators.search import search_prefix
+
+    hits = {r["doc_id"] for r in search_prefix(idx, "jo", 10).collect()}
+    assert hits == {0, 1, 2, 3}
+    assert search_prefix(idx, "zz", 10).count() == 0
+
+
+def test_facet_distribution_and_stats(spark, idx):
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.relational import (
+        facet_distribution,
+        facet_stats,
+    )
+    from meilibridge_spark.operators.search import search
+
+    docs = idx.docs.withColumn("nlen", F.length("text"))
+    hits = search(idx, "join joined joint journey", 10**6)
+    dist = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_distribution(hits, docs, ["doc_id"]).collect()
+    }
+    assert all(v == 1 for v in dist.values()) and len(dist) == 4
+    stats = facet_stats(hits, docs, "nlen").collect()[0]
+    assert stats["n_docs"] == 4
+    assert stats["facet_min"] <= stats["facet_max"]
+    # per-facet value cap
+    capped = facet_distribution(hits, docs, ["doc_id"], max_values=2).collect()
+    assert len(capped) == 2
