@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--k1", type=float, default=1.2)
     ap.add_argument("--b", type=float, default=0.75)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--with-positions", action="store_true",
+                    help="also build the positional postings table "
+                         "(enables phrase search, Q14)")
     args = ap.parse_args()
 
     from meilibridge_spark.config import AnalyzerConfig, IndexConfig
@@ -68,7 +71,8 @@ def main() -> None:
     def one_build(is_continue: bool) -> None:
         t0 = time.time()
         index = build_and_save(
-            spark, source, cfg, args.index_dir, recreate=not is_continue
+            spark, source, cfg, args.index_dir, recreate=not is_continue,
+            with_positions=args.with_positions,
         )
         print(
             json.dumps(

@@ -483,6 +483,14 @@ def search_many(
 #: merge. Tunable; recorded in BASELINE.md.
 DRIVER_GATHER_MAX_ROWS = 20_000
 
+#: above this shard count 'auto' upgrades the window merge to the
+#: two-level tree merge (one reducer per qkey would otherwise rank
+#: n_shards*k rows serially)
+TREE_MERGE_SHARDS = 4096
+
+#: parallel pre-merge reducers per query in the tree merge
+TREE_FANOUT = 32
+
 
 def _gather_hits(
     index: InvertedIndex,
@@ -494,12 +502,25 @@ def _gather_hits(
 ) -> DataFrame:
     """Merge per-shard local top-k rows (qkey, doc_id, score) into the
     global per-query top-k and fan deduped qkeys back out to query_ids.
-    ``gather``: 'driver' | 'window' | 'auto' (see DRIVER_GATHER_MAX_ROWS).
+
+    ``gather``: 'driver' | 'window' | 'tree' | 'auto' (auto switches
+    driver vs window on DRIVER_GATHER_MAX_ROWS; above TREE_MERGE_SHARDS
+    shards auto upgrades window -> tree).
+
+    'tree' is the extreme-shard-count path: a single window partition
+    per qkey would pull n_shards*k rows through ONE reducer task
+    (~6e7 shards at 10^12 turns). The tree pre-merge first takes top-k
+    within (qkey, salt) groups — TREE_FANOUT parallel reducers per
+    query — so the final per-qkey window ranks only TREE_FANOUT*k rows.
+    Exact: each salt group's global-top-k members survive their local
+    top-k by construction.
     """
     from pyspark.sql.window import Window
 
     spark = per_key.sparkSession
     n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
+    if gather == "auto" and n_shards > TREE_MERGE_SHARDS:
+        gather = "tree"
     if gather == "driver" or (
         gather == "auto" and n_shards * k * len(qkeys) <= DRIVER_GATHER_MAX_ROWS
     ):
@@ -516,6 +537,17 @@ def _gather_hits(
             )
         return spark.createDataFrame(
             out, "query_id string, doc_id long, score double, rank int"
+        )
+
+    if gather == "tree":
+        w_local = Window.partitionBy("qkey", "_salt").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        per_key = (
+            per_key.withColumn("_salt", F.col("doc_id") % F.lit(TREE_FANOUT))
+            .withColumn("_rn", F.row_number().over(w_local))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_salt")
         )
 
     w_global = Window.partitionBy("qkey").orderBy(

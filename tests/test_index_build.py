@@ -187,7 +187,10 @@ def test_search_many_gather_paths_identical(built):
     b = sorted(
         tuple(r) for r in search_many(built, batch, k=10, gather="window").collect()
     )
-    assert a == b and a
+    c = sorted(
+        tuple(r) for r in search_many(built, batch, k=10, gather="tree").collect()
+    )
+    assert a == b == c and a
 
 
 def test_load_snapshot_validates_layout_knobs(spark, tmp_index_dir):
