@@ -59,6 +59,7 @@ def _docs_index(spark: SparkSession, sf_dir: str, flavor: str = "plain"):
         index_name=f"documents-{flavor}",
         primary_key=("doc_id",),
         searchable_attributes=("text",),
+        filterable_attributes=("lang", "source", "n_chars"),
         analyzer=analyzer,
     )
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -359,6 +360,26 @@ def _q_facet(terms_text: str, attr: str):
 
         idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
         return facet_counts(hits, idx.docs, attr)
+
+    return run
+
+
+def _q_filter_expr(terms_text: str, k: int, expr: str):
+    """Q7 via the Meilisearch filter GRAMMAR: the filter string is
+    parsed to a Catalyst predicate with filterable-attribute
+    enforcement (functions/filters.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        filt = filter_doc_ids(idx, expr)
+        return search(idx, terms_text, k, filter_docs=filt).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
 
     return run
 
@@ -714,6 +735,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
+        "ft_bm25_filter_expr": _q_filter_expr(
+            "spark join",
+            10,
+            "(lang = 'en' OR lang = de) AND n_chars 100 TO 400 "
+            "AND source != 'src7'",
+        ),
         "ft_bm25_filtered_batch": _q_filtered_batch(
             [("qa", "spark join"), ("qb", "group hash"), ("qc", "vector stream")],
             10,
@@ -851,6 +878,14 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
             + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "
             "FROM scores s JOIN documents d USING (doc_id) "
             "WHERE d.lang = 'en' ORDER BY s.s DESC, s.doc_id LIMIT 10"
+        ),
+        "ft_bm25_filter_expr": (
+            _sql_scores(["spark", "join"])
+            + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "
+            "FROM scores s JOIN documents d USING (doc_id) "
+            "WHERE (d.lang = 'en' OR d.lang = 'de') "
+            "AND d.n_chars BETWEEN 100 AND 400 AND d.source <> 'src7' "
+            "ORDER BY s.s DESC, s.doc_id LIMIT 10"
         ),
         "ft_facet_lang": (
             fs

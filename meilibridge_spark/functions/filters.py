@@ -1,0 +1,227 @@
+"""Meilisearch filter-expression parser -> Catalyst Column (Q7).
+
+The reference ships ``filterable_attributes`` to Meilisearch
+(config/type.go:62), whose public filter grammar a search client then
+uses. This module implements that grammar natively so a filter STRING a
+Meilisearch user writes today works against our docs table:
+
+  condition:   field = value | field != value | field > value
+               | field >= value | field < value | field <= value
+               | field low TO high            (inclusive range)
+               | field IN [v1, v2, ...]
+               | field EXISTS | field NOT EXISTS
+               | field IS NULL | field IS NOT NULL
+  combinators: NOT expr, expr AND expr, expr OR expr, ( expr )
+  values:      'single' / "double" quoted strings, bare words, numbers
+
+Fields must be declared filterable — a filter on any other attribute
+raises ConfigError, mirroring Meilisearch's invalid_search_filter
+error. The output is a pure Catalyst Column, so filters push down /
+prune exactly like hand-written ``F.col`` predicates.
+
+Deviation (documented): string comparisons are case-sensitive here;
+Meilisearch folds case. Callers wanting folded semantics can store
+lowercased attributes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import ConfigError
+
+_TOKEN_RX = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<comma>,) |
+        (?P<op>!=|>=|<=|=|>|<) |
+        (?P<squote>'(?:[^'\\]|\\.)*') |
+        (?P<dquote>"(?:[^"\\]|\\.)*") |
+        (?P<word>[^\s()\[\],!=<>]+)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "TO", "IN", "EXISTS", "IS", "NULL"}
+
+
+def _tokenize(expr: str) -> "list[tuple[str, str]]":
+    out: "list[tuple[str, str]]" = []
+    pos = 0
+    while pos < len(expr):
+        m = _TOKEN_RX.match(expr, pos)
+        if not m or m.end() == pos:
+            if expr[pos:].strip():
+                raise ConfigError(f"bad filter syntax at: {expr[pos:]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind in ("squote", "dquote"):
+            body = text[1:-1]
+            body = re.sub(r"\\(.)", r"\1", body)
+            out.append(("str", body))
+        elif kind == "word":
+            if text.upper() in _KEYWORDS:
+                out.append(("kw", text.upper()))
+            else:
+                out.append(("word", text))
+        else:
+            out.append((kind, text))
+    return out
+
+
+def _literal(tok: "tuple[str, str]"):
+    kind, text = tok
+    if kind == "str":
+        return text
+    if kind == "word":
+        try:
+            return int(text)
+        except ValueError:
+            pass
+        try:
+            return float(text)
+        except ValueError:
+            pass
+        return text
+    raise ConfigError(f"expected a value, got {text!r}")
+
+
+class _Parser:
+    def __init__(self, tokens, filterable: "tuple[str, ...]"):
+        self.toks = tokens
+        self.i = 0
+        self.filterable = set(filterable)
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        tok = self._peek()
+        self.i += 1
+        return tok
+
+    def _expect(self, kind, text=None):
+        k, t = self._next()
+        if k != kind or (text is not None and t != text):
+            raise ConfigError(f"expected {text or kind}, got {t!r}")
+        return t
+
+    def parse(self) -> Column:
+        col = self._or()
+        if self.i != len(self.toks):
+            raise ConfigError(
+                f"trailing filter tokens: {self.toks[self.i:]!r}"
+            )
+        return col
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self._peek() == ("kw", "OR"):
+            self._next()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._not()
+        while self._peek() == ("kw", "AND"):
+            self._next()
+            left = left & self._not()
+        return left
+
+    def _not(self) -> Column:
+        if self._peek() == ("kw", "NOT"):
+            # lookahead: 'field NOT EXISTS' is handled in _condition;
+            # here NOT is a prefix only before '(' or another condition
+            self._next()
+            return ~self._not()
+        return self._primary()
+
+    def _primary(self) -> Column:
+        if self._peek()[0] == "lparen":
+            self._next()
+            col = self._or()
+            self._expect("rparen")
+            return col
+        return self._condition()
+
+    def _field(self) -> str:
+        kind, text = self._next()
+        if kind not in ("word", "str"):
+            raise ConfigError(f"expected an attribute name, got {text!r}")
+        if text not in self.filterable:
+            raise ConfigError(
+                f"attribute {text!r} is not filterable; declare it in "
+                f"filterable_attributes (have: {sorted(self.filterable)})"
+            )
+        return text
+
+    def _condition(self) -> Column:
+        field = self._field()
+        kind, text = self._peek()
+        if kind == "op":
+            self._next()
+            val = _literal(self._next())
+            c = F.col(field)
+            return {
+                "=": c == F.lit(val),
+                "!=": c != F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+            }[text]
+        if (kind, text) == ("kw", "IN"):
+            self._next()
+            self._expect("lbrack")
+            vals = []
+            while self._peek()[0] != "rbrack":
+                vals.append(_literal(self._next()))
+                if self._peek()[0] == "comma":
+                    self._next()
+            self._expect("rbrack")
+            if not vals:
+                raise ConfigError(f"empty IN list for {field!r}")
+            return F.col(field).isin(vals)
+        if (kind, text) == ("kw", "EXISTS"):
+            self._next()
+            return F.col(field).isNotNull()
+        if (kind, text) == ("kw", "NOT"):
+            self._next()
+            self._expect("kw", "EXISTS")
+            return F.col(field).isNull()
+        if (kind, text) == ("kw", "IS"):
+            self._next()
+            k2, t2 = self._next()
+            if (k2, t2) == ("kw", "NULL"):
+                return F.col(field).isNull()
+            if (k2, t2) == ("kw", "NOT"):
+                self._expect("kw", "NULL")
+                return F.col(field).isNotNull()
+            raise ConfigError(f"expected NULL/NOT NULL after IS, got {t2!r}")
+        # range: field low TO high (inclusive, Meilisearch TO)
+        low = _literal(self._next())
+        self._expect("kw", "TO")
+        high = _literal(self._next())
+        return F.col(field).between(F.lit(low), F.lit(high))
+
+
+def parse_filter(expr: str, filterable: "tuple[str, ...]") -> Column:
+    """Compile a Meilisearch filter string to a Catalyst Column,
+    enforcing ``filterable_attributes`` membership."""
+    tokens = _tokenize(expr)
+    if not tokens:
+        raise ConfigError("empty filter expression")
+    return _Parser(tokens, filterable).parse()
+
+
+def filter_doc_ids(index, expr: str):
+    """Apply a filter expression against the index's docs table ->
+    doc_id DataFrame, ready for ``search(..., filter_docs=...)`` /
+    ``search_many(..., filter_docs=...)``."""
+    col = parse_filter(expr, tuple(index.cfg.filterable_attributes))
+    return index.docs.filter(col).select("doc_id")

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["df", "wand"], default=None,
                     help="single-query path (default wand); invalid in batch mode")
     ap.add_argument("--filter-role", default=None)
+    ap.add_argument("--filter", dest="filter_expr", default=None,
+                    help="Meilisearch filter expression over filterable "
+                         "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
     ap.add_argument("--cores", type=int, default=None)
@@ -53,9 +56,26 @@ def main() -> None:
     from meilibridge_spark.session import build_session
     from meilibridge_spark.sources.tables import load_snapshot
 
+    if args.filter_expr and args.filter_role:
+        ap.error("--filter and --filter-role are mutually exclusive")
+
     spark = build_session("query", cores=args.cores)
-    cfg = IndexConfig(index_name="transcripts")
+    cfg = IndexConfig(
+        index_name="transcripts",
+        filterable_attributes=("role", "tool", "conv_id"),
+    )
     index = load_snapshot(spark, args.index_dir, cfg)
+
+    def make_filter():
+        if args.filter_expr:
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            return filter_doc_ids(index, args.filter_expr)
+        if args.filter_role:
+            return index.docs.filter(
+                F.col("role") == args.filter_role
+            ).select("doc_id")
+        return None
 
     if args.queries_file:
         with open(args.queries_file) as f:
@@ -64,11 +84,7 @@ def main() -> None:
                 for i, line in enumerate(f)
                 if line.strip()
             ]
-        filt = (
-            index.docs.filter(F.col("role") == args.filter_role).select("doc_id")
-            if args.filter_role
-            else None
-        )
+        filt = make_filter()
         if filt is None:
             prepare_serving(index)  # shuffle-free only helps unfiltered
         rows = search_many(
@@ -91,16 +107,13 @@ def main() -> None:
         query_text = " ".join(
             typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
         )
-    if mode == "wand" and not args.filter_role:
+    if mode == "wand" and not args.filter_role and not args.filter_expr:
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:
-        filt = (
-            index.docs.filter(F.col("role") == args.filter_role).select("doc_id")
-            if args.filter_role
-            else None
-        )
-        rows = search(index, query_text, args.k, filter_docs=filt).collect()
+        rows = search(
+            index, query_text, args.k, filter_docs=make_filter()
+        ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows
         ]

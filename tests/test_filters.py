@@ -1,0 +1,117 @@
+"""Meilisearch filter-expression grammar -> Catalyst Column
+(functions/filters.py): conditions, ranges, IN/EXISTS/NULL, boolean
+precedence, filterable-attribute enforcement, and end-to-end use as
+search(filter_docs=...)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    ConfigError,
+    IndexConfig,
+)
+from meilibridge_spark.functions.filters import filter_doc_ids, parse_filter
+
+FILTERABLE = ("lang", "stars", "tag")
+
+ROWS = [
+    (0, "alpha beta", "en", 5, "news"),
+    (1, "beta gamma", "de", 3, None),
+    (2, "gamma delta", "en", 1, "blog"),
+    (3, "delta alpha", "fr", 4, "news"),
+    (4, "alpha gamma", "en", 2, "wiki"),
+]
+SCHEMA = "doc_id long, text string, lang string, stars int, tag string"
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _ids(df, expr):
+    return sorted(
+        r["doc_id"] for r in df.filter(parse_filter(expr, FILTERABLE)).collect()
+    )
+
+
+def test_comparisons(df):
+    assert _ids(df, "lang = 'en'") == [0, 2, 4]
+    assert _ids(df, "lang != en") == [1, 3]  # bare word value
+    assert _ids(df, "stars > 3") == [0, 3]
+    assert _ids(df, "stars >= 3") == [0, 1, 3]
+    assert _ids(df, "stars < 2") == [2]
+    assert _ids(df, "stars <= 2") == [2, 4]
+
+
+def test_range_in_exists_null(df):
+    assert _ids(df, "stars 2 TO 4") == [1, 3, 4]  # inclusive
+    assert _ids(df, "lang IN [en, fr]") == [0, 2, 3, 4]
+    assert _ids(df, 'tag IN ["news", "wiki"]') == [0, 3, 4]
+    assert _ids(df, "tag EXISTS") == [0, 2, 3, 4]
+    assert _ids(df, "tag NOT EXISTS") == [1]
+    assert _ids(df, "tag IS NULL") == [1]
+    assert _ids(df, "tag IS NOT NULL") == [0, 2, 3, 4]
+
+
+def test_boolean_precedence(df):
+    # AND binds tighter than OR
+    assert _ids(df, "lang = en AND stars > 2 OR lang = fr") == [0, 3]
+    assert _ids(df, "lang = en AND (stars > 2 OR lang = fr)") == [0]
+    assert _ids(df, "NOT lang = en") == [1, 3]
+    assert _ids(df, "NOT (lang = en OR lang = de)") == [3]
+
+
+def test_quoting_and_escapes(df):
+    assert _ids(df, "tag = 'news'") == [0, 3]
+    assert _ids(df, 'tag = "news"') == [0, 3]
+
+
+def test_rejects_bad_input(df):
+    with pytest.raises(ConfigError, match="not filterable"):
+        parse_filter("text = 'x'", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("lang = ", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("lang = en extra junk", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("lang IN []", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("(lang = en", FILTERABLE)
+
+
+def test_filter_pushdown_plan(df, spark):
+    """The compiled Column is a plain Catalyst predicate — it reaches
+    the parquet scan like a hand-written filter."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d)
+    pq = spark.read.parquet(d)
+    plan = pq.filter(
+        parse_filter("lang = en AND stars > 2", FILTERABLE)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_end_to_end_search_filtering(spark, df):
+    from meilibridge_spark.operators.search import search
+    from meilibridge_spark.plans.build import build_index
+
+    cfg = IndexConfig(
+        index_name="fx",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        filterable_attributes=FILTERABLE,
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    filt = filter_doc_ids(idx, "lang = en AND stars >= 2")
+    hits = {r["doc_id"] for r in search(idx, "alpha gamma", 10, filter_docs=filt).collect()}
+    assert hits == {0, 4}
+    with pytest.raises(ConfigError, match="not filterable"):
+        filter_doc_ids(idx, "text = 'alpha'")
