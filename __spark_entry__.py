@@ -695,6 +695,25 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=5)
 
 
+def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assign(emb, ivf_centroids(emb, 8))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2)
+
+
 def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.similarity import sign_lsh_buckets
 
@@ -772,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash32": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_buckets": _q_lsh_buckets,
+        "sim_ivf_assign": _q_ivf_assign,
+        "sim_ivf_topk": _q_ivf_topk,
         "mm_features": _q_mm_features,
         "mm_frame_plan": _q_mm_frame_plan,
     }
@@ -797,12 +818,31 @@ sig AS (
 )
 """
 
-_SQL_COS = (
-    "list_sum(list_transform(list_zip(e.embedding, q.qv), "
-    "x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
-    "(sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE))) * "
-    "sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))))"
-)
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+        f"(sqrt(list_sum(list_transform({a}, v -> v::DOUBLE * v::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, v -> v::DOUBLE * v::DOUBLE))))"
+    )
+
+
+_SQL_COS = _sql_cos("e.embedding", "q.qv")
+
+_SQL_IVF_BASE = f"""
+c AS (SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+a0 AS (
+  SELECT e.vec_id, c.centroid_id, {_sql_cos('e.embedding', 'c.cv')} AS cos
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM a0
+  ) t WHERE rn = 1
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1070,6 +1110,40 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
 scored AS (
   SELECT q.query_id, e.vec_id, {_SQL_COS} AS cos
   FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6)::DOUBLE AS cos, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "sim_ivf_assign": f"""
+WITH {_SQL_IVF_BASE}
+SELECT vec_id, centroid_id FROM assign
+""",
+        "sim_ivf_topk": f"""
+WITH {_SQL_IVF_BASE},
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5),
+qp0 AS (
+  SELECT q.query_id, q.qv, c.centroid_id, {_sql_cos('q.qv', 'c.cv')} AS cos
+  FROM q CROSS JOIN c
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM qp0
+  ) t WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, {_sql_cos('e.embedding', 'p.qv')} AS cos
+  FROM probes p
+  JOIN assign a USING (centroid_id)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, cos,

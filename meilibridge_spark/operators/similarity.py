@@ -9,6 +9,11 @@
   (axis-aligned hyperplane LSH; deterministic and oracle-expressible),
   then do exact cosine only within the probe buckets. At 100 TB the
   bucket join replaces the full scan; recall is traded via n_bits.
+- ``ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``: the IVF variant —
+  a deterministic sampled-centroid coarse quantizer partitions vectors
+  into inverted lists; queries probe the n_probe nearest lists and
+  score exactly within them. Lists are the natural partition key for
+  the stored layout at scale.
 """
 
 from __future__ import annotations
@@ -116,6 +121,111 @@ def lsh_ann_topk(
         query_id_col,
     )
     scored = emb_b.join(F.broadcast(q_b), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled-centroid coarse quantizer: the
+    ``n_centroids`` lowest-id vectors serve as centroids -> (centroid_id,
+    centroid_vec). No iterative k-means on purpose — sampled centroids
+    are a legitimate IVF quantizer, deterministic, and exactly
+    oracle-expressible; swap in any trained centroid table with the
+    same shape and the operators below are unchanged. The orderBy+limit
+    compiles to a bounded TakeOrdered, not a global sort."""
+    return (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: each vector -> its nearest centroid by
+    cosine (ties broken by centroid_id) -> (vec_id, centroid_id).
+    Centroids are broadcast; the plan is one scan of the embeddings."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        (
+            _dot(F.col(vec_col), F.col("centroid_vec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate cosine top-k: exact scoring restricted to the
+    vectors whose IVF list is among the query's ``n_probe`` closest
+    centroids. Same output shape as cosine_topk; recall traded via
+    n_probe/n_centroids (ANN ⊆ exact, tested). At scale the
+    centroid-id equi-join replaces the full scan — the inverted lists
+    are the partition key."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("centroid_id"),
+        (
+            _dot(F.col(query_vec_col), F.col("centroid_vec"))
+            / (_norm(F.col(query_vec_col)) * _norm(F.col("centroid_vec")))
+        ).alias("cos"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
         (

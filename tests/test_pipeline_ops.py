@@ -130,3 +130,41 @@ def test_jaccard_degenerate_shared_token_bounded(spark):
     assert by_pair[(0, 1)] == round(5 / 7, 6)
     # far-apart docs share only the 3 degenerate tokens -> 3/9
     assert by_pair[(0, 20)] == round(3 / 9, 6)
+
+
+def test_ivf_ann_subset_of_exact(spark, emb):
+    """IVF ANN hits carry the exact cosine of the brute-force path, and
+    assignment sends every vector to exactly one list."""
+    from meilibridge_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(emb, 8)
+    assert cents.count() == 8
+    assign = ivf_assign(emb, cents)
+    n = emb.count()
+    assert assign.count() == n  # one list per vector
+    assert assign.select("vec_id").distinct().count() == n
+    # every centroid assigns to its own list (cos=1 with itself)
+    self_rows = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign.filter(F.col("vec_id") < 8).collect()
+    }
+    assert self_rows == {i: i for i in range(8)}
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in cosine_topk(emb, q, k=500).collect()
+    }
+    ann = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact
+        assert r["cos"] == pytest.approx(exact[key], abs=1e-9)
