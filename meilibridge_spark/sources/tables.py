@@ -204,7 +204,14 @@ def load_snapshot(
                 "matching IndexConfig"
             )
     sid = snapshot_id or manifest["current"]
-    entry = next(s for s in manifest["snapshots"] if s["snapshot_id"] == sid)
+    entry = next(
+        (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
+    )
+    if entry is None:
+        raise FileNotFoundError(
+            f"snapshot {sid} not in {index_dir} (expired or never existed); "
+            f"available: {[s['snapshot_id'] for s in manifest['snapshots']]}"
+        )
     t = entry["tables"]
     return InvertedIndex(
         cfg=cfg,
@@ -227,6 +234,38 @@ def load_snapshot(
 def snapshot_log(index_dir: str) -> "list[dict]":
     """S27 stats/introspection analog."""
     return _read_manifest(index_dir)["snapshots"]
+
+
+def expire_snapshots(index_dir: str, keep_last: int = 1) -> "list[int]":
+    """Iceberg ``expire_snapshots`` analog: drop all but the newest
+    ``keep_last`` snapshots — manifest entries removed first (commit
+    point), then their self-contained ``snap-*`` data dirs deleted.
+    The current snapshot is always kept. Returns the expired ids.
+
+    A long-running CDC stream commits one snapshot per micro-batch
+    (streaming/cdc_stream.py); without expiry the store grows by a full
+    index copy per batch — this is the compaction lever.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    manifest = _read_manifest(index_dir)
+    snaps = manifest["snapshots"]
+    if len(snaps) <= keep_last:
+        return []
+    snaps_sorted = sorted(snaps, key=lambda s: s["snapshot_id"])
+    keep_ids = {s["snapshot_id"] for s in snaps_sorted[-keep_last:]}
+    if manifest["current"] is not None:
+        keep_ids.add(manifest["current"])
+    expired = [s for s in snaps_sorted if s["snapshot_id"] not in keep_ids]
+    manifest["snapshots"] = [
+        s for s in snaps_sorted if s["snapshot_id"] in keep_ids
+    ]
+    _write_manifest(index_dir, manifest)  # atomic: readers never see
+    # a manifest referencing dirs we are about to delete
+    for s in expired:
+        snap_dir = os.path.join(index_dir, f"snap-{s['snapshot_id']:06d}")
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return [s["snapshot_id"] for s in expired]
 
 
 def _n_write_parts(n_docs: int) -> int:

@@ -140,3 +140,45 @@ def test_staged_resume_byte_identical(spark, tmp_index_dir):
     assert len(a) == len(b)
     for col in a.columns:
         assert a[col].tolist() == b[col].tolist(), f"column {col} differs"
+
+
+def test_expire_snapshots(spark, tmp_index_dir):
+    """Iceberg expire_snapshots analog: old snapshot dirs + manifest
+    entries drop, the survivors still load, loading an expired id
+    fails."""
+    import os
+
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.cdc import generate_cdc_batch
+    from meilibridge_spark.sources.tables import (
+        expire_snapshots,
+        load_snapshot,
+        save_snapshot,
+        snapshot_log,
+    )
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    base = generate_transcripts(spark, n_convs=6, seed=21)
+    build_and_save(spark, base, CFG, tmp_index_dir)
+    idx = load_snapshot(spark, tmp_index_dir, CFG)
+    for seed in (1, 2):
+        cdc = generate_cdc_batch(
+            spark, base, seed=seed, n_updates=2, n_inserts=1, n_deletes=0,
+            n_replaces=0,
+        )
+        new = apply_cdc(idx, cdc, CFG)
+        save_snapshot(new, tmp_index_dir, parent_id=idx.snapshot_id)
+        idx = load_snapshot(spark, tmp_index_dir, CFG)
+    assert [s["snapshot_id"] for s in snapshot_log(tmp_index_dir)] == [1, 2, 3]
+
+    expired = expire_snapshots(tmp_index_dir, keep_last=1)
+    assert expired == [1, 2]
+    assert [s["snapshot_id"] for s in snapshot_log(tmp_index_dir)] == [3]
+    assert not os.path.isdir(os.path.join(tmp_index_dir, "snap-000001"))
+    assert os.path.isdir(os.path.join(tmp_index_dir, "snap-000003"))
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    assert loaded.snapshot_id == 3 and loaded.docs.count() == loaded.n_docs
+    with pytest.raises(FileNotFoundError, match="expired or never"):
+        load_snapshot(spark, tmp_index_dir, CFG, snapshot_id=1)
+    # no-op when nothing to expire
+    assert expire_snapshots(tmp_index_dir, keep_last=5) == []
