@@ -533,6 +533,49 @@ ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _q_match_positions(terms_text: str, k: int):
+    """Meilisearch _matchesPosition analog: occurrence slots of the
+    query terms within the top-k hit docs."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.positions import (
+            build_positions,
+            match_positions,
+        )
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        pos = build_positions(idx.docs, idx.cfg, text_col="text")
+        hits = search(idx, terms_text, k).select("doc_id")
+        return match_positions(idx, terms_text, doc_ids=hits, positions=pos)
+
+    return run
+
+
+def _sql_match_positions(terms: "list[str]", k: int) -> str:
+    uniq = list(dict.fromkeys(terms))
+    inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {_sql_tok()},
+{_sql_score_cte("scores", uniq)},
+topk AS (
+  SELECT doc_id FROM scores ORDER BY s DESC, doc_id LIMIT {k}
+),
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(range(0, len(arr))) AS pos
+  FROM arrs
+)
+SELECT t.doc_id, t.term, t.pos::INT AS pos
+FROM tokpos t JOIN topk USING (doc_id)
+WHERE t.term IN {inlist}
+"""
+
+
 def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _docs_index(spark, sf_dir)
     return idx.terms.select("term", "df", "cf")
@@ -753,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
+        "ft_match_positions": _q_match_positions("spark join", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_filter_expr": _q_filter_expr(
             "spark join",
@@ -876,6 +920,7 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
         "ft_phrase_stopword": _sql_phrase(
             [("join", 0), ("table", 2)], 10, stop=_STOP
         ),
+        "ft_match_positions": _sql_match_positions(["spark", "join"], 10),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
         "ft_bm25_dictionary": _sql_topk(

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meilibridge_spark.config import AnalyzerConfig, IndexConfig
-from meilibridge_spark.functions.tokenizer import _compiled
+from meilibridge_spark.functions.tokenizer import _compiled, parse_query
 from meilibridge_spark.operators.search import search
 from meilibridge_spark.sources.tables import InvertedIndex
 
@@ -179,6 +179,36 @@ def phrase_steps(
     toks = _compiled(cfg.token_pattern, cfg.dictionary).findall(phrase)
     stop = set(cfg.stop_words)
     return [(t, i) for i, t in enumerate(toks) if t not in stop]
+
+
+def match_positions(
+    index: InvertedIndex,
+    query: str,
+    doc_ids: "DataFrame | None" = None,
+    positions: "DataFrame | None" = None,
+) -> DataFrame:
+    """Meilisearch ``_matchesPosition`` analog: raw slot positions of
+    every query-term occurrence -> exploded (doc_id, term, pos) rows,
+    optionally restricted to ``doc_ids`` (e.g. the top-k hit set).
+    One term-pruned scan of the positions table + optional semi-join —
+    no scoring work."""
+    if positions is None:
+        positions = index.positions
+    if positions is None:
+        raise ValueError(
+            "no positions table: pass one or build the snapshot "
+            "with with_positions=True"
+        )
+    terms = parse_query(query, index.cfg.analyzer)
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, term string, pos int")
+    rows = positions.filter(F.col("term").isin(terms))
+    if doc_ids is not None:
+        rows = rows.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+    return rows.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
 
 
 def phrase_search(

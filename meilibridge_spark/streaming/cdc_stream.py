@@ -29,6 +29,7 @@ def start_cdc_sync(
     checkpoint_dir: str = "",
     trigger_available_now: bool = True,
     source=None,
+    view_of=None,
 ):
     """Stream CDC events into the index at ``index_dir``. Each
     micro-batch: load current snapshot -> MERGE -> commit child
@@ -44,6 +45,15 @@ def start_cdc_sync(
       events (tested), a socket feed, etc. This is the "Kafka is a
       config swap" claim made executable.
 
+    ``view_of``: optional zero-arg callable returning the CURRENT join
+    view DataFrame (S25 streaming shape): each micro-batch of
+    base-table CDC then re-fetches the touched VIEW rows
+    (operators/views.view_cdc_events) before the MERGE — the streaming
+    analog of the reference's view-aware event handlers
+    (pkg/bridge/mongo.go:196-205). The callable is invoked per batch so
+    it reads the source tables' current state, exactly like the
+    reference's per-event FindOne against the source view.
+
     ``trigger_available_now=True`` processes the backlog then stops —
     the streaming analog of the reference's --auto scheduled re-sync
     (S20); pass False for a continuous query.
@@ -55,6 +65,10 @@ def start_cdc_sync(
         if batch_df.isEmpty():
             return
         index = load_snapshot(spark, index_dir, cfg)
+        if view_of is not None:
+            from meilibridge_spark.operators.views import view_cdc_events
+
+            batch_df = view_cdc_events(view_of(), batch_df)
         merged = apply_cdc(index, batch_df, cfg)
         merged.docs = merged.docs.persist()
         merged.postings = merged.postings.persist()

@@ -87,3 +87,53 @@ def test_rate_source_kafka_shape(spark, tmp_index_dir, tmp_path):
     }
     assert {"stream-0", "stream-1", "stream-2", "stream-3", "stream-4"} <= docs
     assert search(idx, "streamed", 10).count() > 0
+
+
+def test_streaming_view_sync(spark, tmp_index_dir, tmp_path):
+    """S25 x S21: base-table CDC streamed into a VIEW-backed index.
+    The source-of-truth base parquet is already advanced (CDC events
+    describe changes that have happened at the source); each
+    micro-batch re-fetches touched view rows via view_of()."""
+    from meilibridge_spark.operators.search import search
+    from meilibridge_spark.sources.cdc import apply_events
+    from tests.test_views import _dim, _view
+
+    base0 = generate_transcripts(spark, n_convs=6, seed=8).persist()
+    dim = _dim(spark, base0)
+    build_and_save(spark, _view(base0, dim), CFG, tmp_index_dir)
+
+    cdc = generate_cdc_batch(
+        spark, base0, seed=4, n_updates=3, n_inserts=2, n_deletes=1, n_replaces=1
+    )
+    base_dir = str(tmp_path / "base")
+    apply_events(base0, cdc).write.parquet(base_dir)  # source advanced
+    cdc_dir = str(tmp_path / "cdc")
+    cdc.write.parquet(cdc_dir)
+
+    q = start_cdc_sync(
+        spark,
+        cdc_path=cdc_dir,
+        index_dir=tmp_index_dir,
+        cfg=CFG,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        view_of=lambda: _view(spark.read.parquet(base_dir), dim),
+    )
+    q.awaitTermination(180)
+    idx = load_snapshot(spark, tmp_index_dir, CFG)
+    # docs match the final view state exactly
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in _view(spark.read.parquet(base_dir), dim).collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in idx.docs.collect()
+    }
+    assert got == want
+    # an inserted turn picked up its conv's dim topic through the view
+    hits = search(idx, "inserted turn", 5)
+    joined = hits.join(idx.docs.select("doc_id", "text"), "doc_id").collect()
+    assert joined and all(
+        any(t in r["text"] for t in ("quasar", "nebula", "pulsar"))
+        for r in joined
+    )
