@@ -668,6 +668,23 @@ def _q_typo(terms_text: str, k: int, disable_on_words: "tuple[str, ...]" = ()):
     return run
 
 
+def _q_typo_rank(terms_text: str, k: int):
+    """Q11 'typo' criterion: exact-term matches above expansion-only
+    matches, then BM25."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_typo
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        return search_typo(idx, terms_text, k, typo_rank=True).select(
+            "doc_id", "matched_exact", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.textstats import token_counts
 
@@ -794,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
         ),
+        "ft_bm25_typo_rank": _q_typo_rank("spakr jion window", 10),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_match_positions": _q_match_positions("spark join", 10),
@@ -947,6 +965,29 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
             10,
             "en",
         ),
+        "ft_bm25_typo_rank": f"""
+WITH {_sql_tok()},
+scores AS (
+  SELECT tf.doc_id,
+         count(*) FILTER (
+           WHERE tf.term IN ('spakr', 'jion', 'window'))::INT AS matched_exact,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM dfreq
+                    WHERE levenshtein(term, 'spakr') <= 1
+                       OR levenshtein(term, 'window') <= 1
+                    UNION SELECT 'spakr' UNION SELECT 'jion'
+                    UNION SELECT 'window')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, matched_exact, round(s, 4)::DOUBLE AS score FROM scores
+ORDER BY matched_exact DESC, s DESC, doc_id LIMIT 10
+""",
         "ft_bm25_typo_disable": _sql_topk(
             [],
             10,

@@ -114,8 +114,11 @@ def search(
     k: "int | None" = None,
     filter_docs: "DataFrame | None" = None,
     words_rank: "bool | None" = None,
+    orig_terms: "list[str] | None" = None,
+    typo_rank: bool = False,
 ) -> DataFrame:
-    """Top-k hits as a DataFrame (doc_id, score, matched_terms).
+    """Top-k hits as a DataFrame (doc_id, score, matched_terms
+    [, matched_exact]).
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates (Q7 filterable attributes -> pre-score semi-join); BM25
@@ -125,10 +128,18 @@ def search(
     docs matching more query terms rank first (matched_terms desc),
     BM25 then doc_id break ties; the head of the reference's default
     ranking_rules [words, typo, ...] (config/type.go:56).
+
+    ``orig_terms`` + ``typo_rank``: Q11 'typo' criterion (second rule
+    of the default list), simplified as documented: when the query was
+    typo-expanded, docs matching more ORIGINAL (exact) terms rank above
+    docs matched only through expansions (matched_exact desc). Both
+    flags compose in reference rule order: words, then typo, then BM25.
     """
     k = k or index.cfg.max_total_hits
     if words_rank is None:
         words_rank = index.cfg.words_ranking
+    if typo_rank and orig_terms is None:
+        raise ValueError("typo_rank requires orig_terms")
     q_terms = parse_query(query, index.cfg.analyzer)
     idf_map = _idf_map(index, q_terms)
     spark = index.postings.sparkSession
@@ -149,11 +160,22 @@ def search(
     scored = rows.withColumn("idf", idf_expr[F.col("term")]).withColumn(
         "contrib", _contrib_col(index)
     )
-    agg = scored.groupBy("doc_id").agg(
+    aggs = [
         F.sum("contrib").alias("score"),
         F.count("*").cast("int").alias("matched_terms"),
-    )
+    ]
+    if orig_terms is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col("term").isin(list(orig_terms)), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("matched_exact")
+        )
+    agg = scored.groupBy("doc_id").agg(*aggs)
     order = [F.col("score").desc(), F.col("doc_id").asc()]
+    if typo_rank:
+        order.insert(0, F.col("matched_exact").desc())
     if words_rank:
         order.insert(0, F.col("matched_terms").desc())
     return agg.orderBy(*order).limit(k)
@@ -779,12 +801,21 @@ def search_typo(
     query: str,
     k: "int | None" = None,
     typo_cfg=None,
+    typo_rank: bool = False,
 ) -> DataFrame:
     """BM25 top-k with typo-tolerant term expansion (each expanded term
-    scores with its own idf)."""
+    scores with its own idf). ``typo_rank=True`` applies the 'typo'
+    ranking criterion: exact-term matches rank above expansion-only
+    matches (see ``search``)."""
     q_terms = parse_query(query, index.cfg.analyzer)
     expanded = typo_expand_terms(index, q_terms, typo_cfg)
-    return search(index, " ".join(expanded), k)
+    return search(
+        index,
+        " ".join(expanded),
+        k,
+        orig_terms=q_terms if typo_rank else None,
+        typo_rank=typo_rank,
+    )
 
 
 def prefix_expand_terms(

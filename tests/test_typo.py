@@ -137,3 +137,17 @@ def test_edit_distance_matches_jvm_semantics():
     for a, b, d in cases:
         assert _edit_distance(a, b) == d
         assert _edit_distance(b, a) == d
+
+
+def test_typo_rank_exact_first(idx):
+    """'typo' ranking criterion: docs matching an original query term
+    rank above docs reached only through expansions."""
+    # 'windoq' expands to 'window'; 'transfer' is exact. Doc 1 matches
+    # the exact term, doc 4 only the expansion.
+    hits = search_typo(idx, "transfer windoq", 10, typo_rank=True).collect()
+    ranks = {r["doc_id"]: i for i, r in enumerate(hits)}
+    exact = {r["doc_id"]: r["matched_exact"] for r in hits}
+    assert exact[1] == 1 and exact[4] == 0
+    assert ranks[1] < ranks[4]
+    mes = [r["matched_exact"] for r in hits]
+    assert mes == sorted(mes, reverse=True)
