@@ -737,6 +737,24 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(df, pairs, threshold=0.5)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (jaccard >=
+    0.5 among doc_id < 40): (doc_id, canonical cluster_id)."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.dedup import dedup_clusters, jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = df.filter(F.col("doc_id") < 40).select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    edges = jaccard_pairs(df, pairs, threshold=0.5).select("id_a", "id_b")
+    return dedup_clusters(edges)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.dedup import simhash32
 
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_signatures": _q_minhash,
         "dd_lsh_candidates": _q_lsh_candidates,
         "dd_jaccard_pairs": _q_jaccard_pairs,
+        "dd_clusters": _q_dedup_clusters,
         "dd_simhash32": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_buckets": _q_lsh_buckets,
@@ -1177,6 +1196,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+""",
+        "dd_clusters": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents WHERE doc_id < 40
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM t GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM t a JOIN t b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+cand AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """,
         "dd_simhash32": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

@@ -159,6 +159,69 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over verified near-dup pairs -> one row per
+    doc appearing in any pair: (doc_id, cluster_id), where cluster_id
+    is the component's minimum doc_id (the canonical survivor a dedup
+    pipeline keeps).
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbours' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow in practice —
+    ``max_iter`` is a safety bound, convergence is checked). Each round
+    is one join + one aggregation; labels are localCheckpoint-ed so
+    lineage stays flat. No driver-side graph state — scales with the
+    pair count, and the classic large-star/small-star variant drops in
+    if diameters ever get deep."""
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash32(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -168,3 +168,21 @@ def test_ivf_ann_subset_of_exact(spark, emb):
         key = (r["query_id"], r["vec_id"])
         assert key in exact
         assert r["cos"] == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_dedup_clusters_components(spark):
+    """Chain and island components resolve to min-id canonical labels,
+    including a long chain needing several propagation rounds."""
+    from meilibridge_spark.operators.dedup import dedup_clusters
+
+    # chain 10-11-12-13-14 (diameter 4), pair (20,21), star 30-(31,32)
+    edges = [(11, 10), (11, 12), (12, 13), (13, 14), (20, 21), (30, 31), (30, 32)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
