@@ -87,10 +87,21 @@ def _idf_map(index: InvertedIndex, q_terms: "list[str]") -> "dict[str, float]":
         index._idf_cache = cache
     missing = [t for t in q_terms if t not in cache]
     if missing:
-        rows = index.terms.filter(F.col("term").isin(missing)).collect()
-        found = {r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows}
-        for t in missing:
-            cache[t] = found.get(t)
+        df_map = getattr(index, "_df_map", None)
+        if df_map is not None:
+            # vocabulary prefetched (prepare_serving): zero Spark jobs
+            for t in missing:
+                df = df_map.get(t)
+                cache[t] = (
+                    float(idf_fn(index.n_docs, df)) if df is not None else None
+                )
+        else:
+            rows = index.terms.filter(F.col("term").isin(missing)).collect()
+            found = {
+                r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows
+            }
+            for t in missing:
+                cache[t] = found.get(t)
     return {t: v for t in q_terms if (v := cache.get(t)) is not None}
 
 
@@ -587,20 +598,42 @@ def _gather_hits(
     )
 
 
-def prepare_serving(index: InvertedIndex, n_parts: "int | None" = None) -> InvertedIndex:
+#: prepare_serving prefetches the term -> df map to the driver only
+#: below this vocabulary size (~40 MB of dict at the limit); larger
+#: vocabularies keep the per-batch terms-scan lookup (memoized per
+#: term) or serve through DriverSearcher's bloom-backed alternative.
+PREFETCH_MAX_TERMS = 2_000_000
+
+
+def prepare_serving(
+    index: InvertedIndex,
+    n_parts: "int | None" = None,
+    prefetch_terms: bool = True,
+) -> InvertedIndex:
     """Switch the index into serving mode: materialize the postings
     re-partitioned by doc-shard and cache them, so every subsequent
     ``search_many`` batch is shuffle-free (the scatter-gather stage reads
     resident partitions). On a real cluster this is the natural stored
     layout of a query-serving tier — postings co-partitioned by doc
     range across executors; the stored term-sorted parquet remains the
-    scan-pruning layout for single-term lookups."""
+    scan-pruning layout for single-term lookups.
+
+    ``prefetch_terms``: also collect the (bounded, see
+    PREFETCH_MAX_TERMS) term -> df dictionary so query planning costs
+    zero Spark jobs — the same trade DriverSearcher makes."""
     spark = index.postings.sparkSession
     n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     index.serving = index.postings.repartition(
         n, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
     ).persist()
     index.serving.count()
+    if prefetch_terms and getattr(index, "_df_map", None) is None:
+        n_terms = index.terms.count()
+        if n_terms <= PREFETCH_MAX_TERMS:
+            index._df_map = {
+                r["term"]: int(r["df"])
+                for r in index.terms.select("term", "df").collect()
+            }
     return index
 
 
