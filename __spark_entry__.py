@@ -638,6 +638,22 @@ def _q_cdc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.events import windowed_event_counts
+
+    return windowed_event_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "1 hour"
+    )
+
+
+def _q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.events import sessionize
+
+    return sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on text; canonical = min doc_id."""
     from pyspark.sql import functions as F
@@ -860,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_rename": _q_projection_rename,
         "scan_count": _q_scan_count,
         "cdc_projection": _q_cdc_projection,
+        "ev_windowed_counts": _q_ev_windowed,
+        "ev_sessions": _q_ev_sessions,
         "dedup_exact": _q_dedup_exact,
         "ts_token_counts": _q_token_counts,
         "ts_quality": _q_quality,
@@ -1123,8 +1141,32 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
         "ts_token_counts": (
             r"SELECT doc_id, "
             r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens, "
-            f"len({_TOKS})::BIGINT AS n_re_tokens FROM documents"
+            f"len({_TOKS})::BIGINT AS n_re_tokens, "
+            r"len(regexp_extract_all(lower(text), "
+            r"'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+'))"
+            r"::BIGINT AS n_bpe_tokens FROM documents"
         ),
+        "ev_windowed_counts": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "ev_sessions": """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       sum(CASE WHEN prev IS NULL
+                  OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+FROM lagged
+""",
         "ts_quality": f"""
 WITH base AS (
   SELECT doc_id, length(text) AS n_chars, len({_TOKS}) AS n_tok,

@@ -33,13 +33,25 @@ def _tokens(text_col: str) -> "F.Column":
     return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RX}', 0)")
 
 
+#: GPT-2-style BPE pre-tokenizer pattern, ASCII-simplified: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+#: Plain alternation + classes only — identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB oracle).
+BPE_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + regex tokens per doc (SURVEY 'token counting')."""
+    """Whitespace tokens + regex tokens + BPE-ish pre-tokens per doc
+    (SURVEY 'token counting': whitespace + a BPE-ish regex)."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    bpe = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_RX), F.lit(0)
+    )
     return df.select(
         F.col(id_col),
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.size(_tokens(text_col)).cast("long").alias("n_re_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
     )
 
 

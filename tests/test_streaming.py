@@ -137,3 +137,55 @@ def test_streaming_view_sync(spark, tmp_index_dir, tmp_path):
         any(t in r["text"] for t in ("quasar", "nebula", "pulsar"))
         for r in joined
     )
+
+
+def test_windowed_agg_with_watermark(spark):
+    """Watermarked tumbling-window aggregation in append mode: windows
+    close as the (deterministic rate-micro-batch) event time advances
+    past window_end + watermark, and each closed 2-minute window holds
+    exactly the 2 batches x 10 rows that fell in it."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.events import (
+        windowed_event_counts_stream,
+    )
+
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )
+    ev = raw.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 2).cast("string").alias("event_type"),
+    )
+    out = windowed_event_counts_stream(ev, window="2 minutes", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        rows = []
+        while _t.time() < deadline:
+            rows = spark.sql("SELECT * FROM winagg").collect()
+            if len(rows) >= 4:  # two closed windows x two event types
+                break
+            _t.sleep(1)
+        assert len(rows) >= 4, rows
+    finally:
+        q.stop()
+    by_window: dict = {}
+    for r in rows:
+        secs = (r["window_end"] - r["window_start"]).total_seconds()
+        assert secs == 120.0
+        by_window.setdefault(r["window_start"], 0)
+        by_window[r["window_start"]] += r["n_events"]
+    # each closed 2-min window = 2 rate batches x 10 rows
+    assert all(v == 20 for v in by_window.values()), by_window
