@@ -638,6 +638,20 @@ def _q_cdc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-style rollup: one document per group with member
+    texts concatenated in stable order (here: per source, doc_id
+    order); hashes keep the compare payload small."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.docs import rollup_text
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rollup_text(df, "source", "doc_id").select(
+        "source", F.md5("text").alias("text_md5"), "n_members"
+    )
+
+
 def _q_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.events import windowed_event_counts
 
@@ -874,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": _q_corpus_stats,
         "point_lookup": _q_point_lookup,
         "projection_rename": _q_projection_rename,
+        "rollup_sources": _q_rollup_sources,
         "scan_count": _q_scan_count,
         "cdc_projection": _q_cdc_projection,
         "ev_windowed_counts": _q_ev_windowed,
@@ -1128,6 +1143,11 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
         "point_lookup": "SELECT * FROM documents WHERE doc_id = 42 LIMIT 1",
         "projection_rename": (
             "SELECT doc_id, text AS body, lang AS language FROM documents"
+        ),
+        "rollup_sources": (
+            "SELECT source, "
+            "md5(string_agg(coalesce(text, ''), ' ' ORDER BY doc_id)) AS text_md5, "
+            "count(*)::BIGINT AS n_members FROM documents GROUP BY source"
         ),
         "scan_count": "SELECT count(*)::BIGINT AS n FROM documents",
         "cdc_projection": (

@@ -231,6 +231,40 @@ def assemble_docs(
     )
 
 
+def rollup_text(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Roll member texts up into one document per group, concatenated
+    in ``order_col`` order -> (group_col, text, n_members). The
+    transcripts use: index CONVERSATIONS instead of turns
+    (rollup_text(transcripts, 'conv_id', 'turn_idx')); also works for
+    any grouping (source, user, session).
+
+    One groupBy with collect_list + an in-group array_sort — ordering
+    is deterministic regardless of partitioning, no window/global sort.
+    Group size bounds the per-row memory (a transcript's turns), which
+    is the natural document bound anyway."""
+    member = F.struct(
+        F.col(order_col).alias("_o"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    agg = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(member)).alias("_ms"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        group_col,
+        F.array_join(
+            F.transform(F.col("_ms"), lambda m: m["_t"]), sep
+        ).alias(text_col),
+        "n_members",
+    )
+
+
 def doc_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "dl")
 

@@ -276,3 +276,34 @@ def test_words_ranking_criterion(built, oracle):
     assert {r["doc_id"] for r in hits} == {
         d for d, _ in oracle.topk(q, 10**9)
     }
+
+
+def test_conversation_rollup_index(spark):
+    """rollup_text turns per-turn transcripts into per-conversation
+    documents (turn order preserved) that index and search like any
+    other docs table."""
+    from meilibridge_spark.operators.docs import rollup_text
+
+    sdf = generate_transcripts(spark, n_convs=10, seed=6)
+    conv = rollup_text(sdf, "conv_id", "turn_idx")
+    rows = {r["conv_id"]: (r["text"], r["n_members"]) for r in conv.collect()}
+    # ordering check against a driver-side reference
+    src = sorted(
+        ((r["conv_id"], r["turn_idx"], r["text"] or "") for r in sdf.collect())
+    )
+    want: dict = {}
+    for c, _, t in src:
+        want[c] = (want.get(c, ("", 0))[0] + (" " if c in want else "") + t,
+                   want.get(c, ("", 0))[1] + 1)
+    assert {c: v[0] for c, v in rows.items()} == {c: v[0] for c, v in want.items()}
+    assert {c: v[1] for c, v in rows.items()} == {c: v[1] for c, v in want.items()}
+
+    cfg = IndexConfig(
+        index_name="convs", primary_key=("conv_id",),
+        searchable_attributes=("text",), analyzer=CFG.analyzer,
+    )
+    idx = build_index(conv.withColumn(
+        "doc_id", F.dense_rank().over(__import__("pyspark").sql.window.Window.orderBy("conv_id")) - 1
+    ), cfg, doc_id_col="doc_id")
+    hits = search(idx, "baba", 5)
+    assert 0 < hits.count() <= 5
