@@ -126,6 +126,14 @@ def main() -> None:
     n_hits = search_many(idx, queries, k=10).count()
     timings["query_batch"] = time.time() - t0
 
+    # --- filtered batch (doc-shard bitmap cogroup path)
+    from pyspark.sql import functions as F
+
+    filt = idx.docs.filter(F.col("role") == "user").select("doc_id")
+    t0 = time.time()
+    n_filtered_hits = search_many(idx, queries, k=10, filter_docs=filt).count()
+    timings["query_batch_filtered"] = time.time() - t0
+
     # --- driver-side WAND serving path (DriverSearcher: dictionary
     # collected once; cold pass fills the postings cache, warm pass is
     # zero-Spark-job latency)
@@ -158,6 +166,10 @@ def main() -> None:
         "positions_turns_per_sec": round(n_turns / timings["build_positions"], 1),
         "n_position_rows": n_pos_rows,
         "batch_queries_per_sec": round(len(queries) / timings["query_batch"], 2),
+        "filtered_batch_queries_per_sec": round(
+            len(queries) / timings["query_batch_filtered"], 2
+        ),
+        "filtered_batch_hits": n_filtered_hits,
         "wand_cold_queries_per_sec": round(
             len(queries) / timings["query_wand_cold"], 2
         ),

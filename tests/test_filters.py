@@ -115,3 +115,114 @@ def test_end_to_end_search_filtering(spark, df):
     assert hits == {0, 4}
     with pytest.raises(ConfigError, match="not filterable"):
         filter_doc_ids(idx, "text = 'alpha'")
+
+
+# --- property test: random filter ASTs render -> parse -> evaluate
+# identically to a driver-side pandas evaluation of the same AST
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_FIELDS = {"lang": "s", "stars": "n", "tag": "s"}
+_STR_VALS = ["en", "de", "fr", "news", "blog", "wiki", None]
+_NUM_VALS = [1, 2, 3, 4, 5]
+
+
+def _leaf():
+    conds = []
+    for f, kind in _FIELDS.items():
+        vals = _NUM_VALS if kind == "n" else [v for v in _STR_VALS if v]
+        conds += [("cmp", f, op, v) for op in ("=", "!=", ">", "<=") for v in vals]
+        conds += [("in", f, vals[:2]), ("exists", f), ("notexists", f)]
+        if kind == "n":
+            conds += [("range", f, vals[0], vals[-1])]
+    return st.sampled_from(conds)
+
+
+def _ast(depth=2):
+    if depth == 0:
+        return _leaf()
+    sub = _ast(depth - 1)
+    return st.one_of(
+        _leaf(),
+        st.tuples(st.just("and"), sub, sub),
+        st.tuples(st.just("or"), sub, sub),
+        st.tuples(st.just("not"), sub),
+    )
+
+
+def _render(node) -> str:
+    op = node[0]
+    if op == "cmp":
+        _, f, o, v = node
+        vs = str(v) if isinstance(v, int) else f"'{v}'"
+        return f"{f} {o} {vs}"
+    if op == "in":
+        _, f, vals = node
+        return f"{f} IN [" + ", ".join(
+            str(v) if isinstance(v, int) else f"'{v}'" for v in vals
+        ) + "]"
+    if op == "exists":
+        return f"{node[1]} EXISTS"
+    if op == "notexists":
+        return f"{node[1]} NOT EXISTS"
+    if op == "range":
+        _, f, lo, hi = node
+        return f"{f} {lo} TO {hi}"
+    if op == "not":
+        return f"NOT ({_render(node[1])})"
+    if op in ("and", "or"):
+        return f"({_render(node[1])}) {op.upper()} ({_render(node[2])})"
+    raise AssertionError(node)
+
+
+def _eval3(node, row):
+    """Three-valued evaluation for NOT: returns True/False/None."""
+    op = node[0]
+    if op == "cmp":
+        _, f, o, v = node
+        x = row[f]
+        if x is None:
+            return None
+        return {"=": x == v, "!=": x != v, ">": x > v, "<=": x <= v}[o]
+    if op == "in":
+        x = row[node[1]]
+        return None if x is None else x in node[2]
+    if op == "exists":
+        return row[node[1]] is not None
+    if op == "notexists":
+        return row[node[1]] is None
+    if op == "range":
+        _, f, lo, hi = node
+        x = row[f]
+        return None if x is None else (lo <= x <= hi)
+    if op == "not":
+        v = _eval3(node[1], row)
+        return None if v is None else (not v)
+    if op == "and":
+        a, b = _eval3(node[1], row), _eval3(node[2], row)
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    if op == "or":
+        a, b = _eval3(node[1], row), _eval3(node[2], row)
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+    raise AssertionError(node)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_ast())
+def test_filter_parser_matches_reference_eval(spark, node):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    expr = _render(node)
+    got = sorted(
+        r["doc_id"] for r in df.filter(parse_filter(expr, FILTERABLE)).collect()
+    )
+    rows = [dict(zip(("doc_id", "text", "lang", "stars", "tag"), r)) for r in ROWS]
+    want = sorted(r["doc_id"] for r in rows if _eval3(node, r) is True)
+    assert got == want, expr
