@@ -21,8 +21,6 @@ order regardless of sampled range boundaries.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
