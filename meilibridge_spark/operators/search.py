@@ -38,6 +38,9 @@ DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
 SCORED_SCHEMA = "qkey string, doc_id long, score double"
 
+#: scorer output when the batch runs with the 'words' ranking criterion
+SCORED_SCHEMA_M = "qkey string, doc_id long, score double, matched int"
+
 
 def decode_postings(postings: DataFrame) -> DataFrame:
     """Posting blocks -> (term, doc_id, tf, dl) rows via mapInPandas
@@ -233,15 +236,28 @@ def _score_shard(
     base: int,
     k: int,
     query_chunk: int,
-) -> "tuple[list, list, list]":
+    track_matched: bool = False,
+) -> "tuple[list, list, list, list]":
     """Dense scatter-add scoring of one shard for every query; exact
-    per-query local top-k (score desc, doc_id asc). Queries are chunked
-    to bound the dense array at chunk*shard_range*8 bytes (64 * 2^14 *
-    8 = 8 MiB at the default cfg.shard_range of 2^14)."""
-    out_q, out_d, out_s = [], [], []
+    per-query local top-k. Queries are chunked to bound the dense array
+    at chunk*shard_range*8 bytes (64 * 2^14 * 8 = 8 MiB at the default
+    cfg.shard_range of 2^14).
+
+    Ordering: (score desc, doc_id asc); with ``track_matched`` a
+    matched-term-count array is accumulated alongside and the local
+    top-k uses the 'words' key (matched desc, score desc, doc_id asc) —
+    matching the single-query words_rank contract exactly. The count
+    scatter-add only runs when requested, so the default batch path
+    pays nothing."""
+    out_q, out_d, out_s, out_m = [], [], [], []
     for c0 in range(0, len(qkeys), query_chunk):
         chunk = qkeys[c0 : c0 + query_chunk]
         scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
+        counts = (
+            np.zeros((len(chunk), shard_range), dtype=np.int32)
+            if track_matched
+            else None
+        )
         touched = np.zeros(len(chunk), dtype=bool)
         for qi, qkey in enumerate(chunk):
             for term, idf in term_plan[qkey]:
@@ -251,6 +267,8 @@ def _score_shard(
                 # a term's doc offsets are unique within a shard,
                 # so plain fancy-index += is a correct scatter-add
                 scores[qi][hit[0]] += idf * hit[1]
+                if counts is not None:
+                    counts[qi][hit[0]] += 1
                 touched[qi] = True
         for qi, qkey in enumerate(chunk):
             if not touched[qi]:
@@ -258,16 +276,22 @@ def _score_shard(
             row = scores[qi]
             pos = np.flatnonzero(row)
             vals = row[pos]
-            if pos.size > k:
-                kth = np.partition(vals, pos.size - k)[pos.size - k]
-                keep = vals >= kth
-                pos, vals = pos[keep], vals[keep]
-            order = np.lexsort((pos, -vals))[:k]
-            pos, vals = pos[order], vals[order]
+            if counts is None:
+                if pos.size > k:
+                    kth = np.partition(vals, pos.size - k)[pos.size - k]
+                    keep = vals >= kth
+                    pos, vals = pos[keep], vals[keep]
+                order = np.lexsort((pos, -vals))[:k]
+                pos, vals = pos[order], vals[order]
+            else:
+                mts = counts[qi][pos]
+                order = np.lexsort((pos, -vals, -mts))[:k]
+                pos, vals = pos[order], vals[order]
+                out_m.append(mts[order])
             out_q.append(np.repeat(qkey, pos.size))
             out_d.append(pos + base)
             out_s.append(vals)
-    return out_q, out_d, out_s
+    return out_q, out_d, out_s, out_m
 
 
 def _make_shard_scorer(
@@ -279,6 +303,7 @@ def _make_shard_scorer(
     b: float,
     k: int,
     query_chunk: int = 64,
+    track_matched: bool = False,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -303,17 +328,19 @@ def _make_shard_scorer(
         for shard in sorted(by_shard):
             base = shard * shard_range
             per_term = _decode_shard_terms(by_shard[shard], base, avgdl, k1, b)
-            out_q, out_d, out_s = _score_shard(
-                per_term, term_plan, qkeys, shard_range, base, k, query_chunk
+            out_q, out_d, out_s, out_m = _score_shard(
+                per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
+                track_matched,
             )
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "qkey": np.concatenate(out_q),
-                        "doc_id": np.concatenate(out_d),
-                        "score": np.concatenate(out_s),
-                    }
-                )
+                cols = {
+                    "qkey": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+                if track_matched:
+                    cols["matched"] = np.concatenate(out_m)
+                yield pd.DataFrame(cols)
 
     return scorer
 
@@ -327,6 +354,7 @@ def _make_filtered_shard_scorer(
     b: float,
     k: int,
     query_chunk: int = 64,
+    track_matched: bool = False,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
     (Q7 semantics in the batch path): key = doc-shard; left = the
@@ -337,7 +365,10 @@ def _make_filtered_shard_scorer(
     docs emits nothing; a shard with allowed docs but no blocks has no
     candidates by construction."""
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
-    empty = pd.DataFrame({"qkey": [], "doc_id": [], "score": []})
+    empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
+    if track_matched:
+        empty_cols["matched"] = []
+    empty = pd.DataFrame(empty_cols)
 
     def scorer(key, blocks_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
         if blocks_pdf.empty or filt_pdf.empty:
@@ -348,18 +379,20 @@ def _make_filtered_shard_scorer(
         per_term = _decode_shard_terms(
             blocks_pdf.itertuples(index=False), base, avgdl, k1, b, mask=mask
         )
-        out_q, out_d, out_s = _score_shard(
-            per_term, term_plan, qkeys, shard_range, base, k, query_chunk
+        out_q, out_d, out_s, out_m = _score_shard(
+            per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
+            track_matched,
         )
         if not out_q:
             return empty
-        return pd.DataFrame(
-            {
-                "qkey": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "score": np.concatenate(out_s),
-            }
-        )
+        cols = {
+            "qkey": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+        if track_matched:
+            cols["matched"] = np.concatenate(out_m)
+        return pd.DataFrame(cols)
 
     return scorer
 
@@ -372,9 +405,16 @@ def search_many(
     filter_docs: "DataFrame | None" = None,
     typo: bool = False,
     typo_cfg=None,
+    words_rank: "bool | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
-    (query_id, doc_id, score, rank<=k).
+    (query_id, doc_id, score[, matched_terms], rank<=k).
+
+    ``words_rank`` (default cfg.words_ranking): the Q11 'words'
+    criterion in the batch path — per-shard local top-k and the global
+    merge both order by (matched_terms desc, score desc, doc_id asc),
+    rank-identical to search(words_rank=True) (tested). The
+    matched-count accumulation only runs when the flag is on.
 
     ``typo=True`` applies Q12 typo expansion to every query before
     planning: ONE levenshtein scan over the candidate dictionary covers
@@ -405,6 +445,8 @@ def search_many(
     which a two-level (salted) merge handles the same way.
     """
     k = k or index.cfg.max_total_hits
+    if words_rank is None:
+        words_rank = index.cfg.words_ranking
     spark = index.postings.sparkSession
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
@@ -463,11 +505,12 @@ def search_many(
                     index.cfg.k1,
                     index.cfg.b,
                     k,
+                    track_matched=words_rank,
                 ),
-                schema=SCORED_SCHEMA,
+                schema=SCORED_SCHEMA_M if words_rank else SCORED_SCHEMA,
             )
         )
-        return _gather_hits(index, per_key, key_of, qkeys, k, gather)
+        return _gather_hits(index, per_key, key_of, qkeys, k, gather, words_rank)
 
     if index.serving is not None:
         # serving layout is already doc-shard partitioned and cached:
@@ -500,10 +543,11 @@ def search_many(
             index.cfg.k1,
             index.cfg.b,
             k,
+            track_matched=words_rank,
         ),
-        schema=SCORED_SCHEMA,
+        schema=SCORED_SCHEMA_M if words_rank else SCORED_SCHEMA,
     )
-    return _gather_hits(index, per_key, key_of, qkeys, k, gather)
+    return _gather_hits(index, per_key, key_of, qkeys, k, gather, words_rank)
 
 
 #: Driver-gather ceiling for the scatter-GATHER merge: when the scorer's
@@ -532,6 +576,7 @@ def _gather_hits(
     qkeys: "list[str]",
     k: int,
     gather: str,
+    words_rank: bool = False,
 ) -> DataFrame:
     """Merge per-shard local top-k rows (qkey, doc_id, score) into the
     global per-query top-k and fan deduped qkeys back out to query_ids.
@@ -554,28 +599,47 @@ def _gather_hits(
     n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
     if gather == "auto" and n_shards > TREE_MERGE_SHARDS:
         gather = "tree"
+    out_schema = (
+        "query_id string, doc_id long, score double, matched_terms int, rank int"
+        if words_rank
+        else "query_id string, doc_id long, score double, rank int"
+    )
     if gather == "driver" or (
         gather == "auto" and n_shards * k * len(qkeys) <= DRIVER_GATHER_MAX_ROWS
     ):
         rows = per_key.collect()
         by_key: "dict[str, list]" = {key: [] for key in qkeys}
-        for r in rows:
-            by_key[r["qkey"]].append((r["doc_id"], r["score"]))
+        if words_rank:
+            for r in rows:
+                by_key[r["qkey"]].append(
+                    (r["doc_id"], r["score"], r["matched"])
+                )
+            sort_key = lambda t: (-t[2], -t[1], t[0])  # noqa: E731
+        else:
+            for r in rows:
+                by_key[r["qkey"]].append((r["doc_id"], r["score"]))
+            sort_key = lambda t: (-t[1], t[0])  # noqa: E731
         out = []
         for qid, key in key_of.items():
-            hits = sorted(by_key.get(key, ()), key=lambda t: (-t[1], t[0]))[:k]
-            out.extend(
-                (qid, int(d), float(s), rank)
-                for rank, (d, s) in enumerate(hits, start=1)
-            )
-        return spark.createDataFrame(
-            out, "query_id string, doc_id long, score double, rank int"
-        )
+            hits = sorted(by_key.get(key, ()), key=sort_key)[:k]
+            if words_rank:
+                out.extend(
+                    (qid, int(d), float(sc), int(m), rank)
+                    for rank, (d, sc, m) in enumerate(hits, start=1)
+                )
+            else:
+                out.extend(
+                    (qid, int(d), float(sc), rank)
+                    for rank, (d, sc) in enumerate(hits, start=1)
+                )
+        return spark.createDataFrame(out, out_schema)
+
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    if words_rank:
+        order.insert(0, F.col("matched").desc())
 
     if gather == "tree":
-        w_local = Window.partitionBy("qkey", "_salt").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
+        w_local = Window.partitionBy("qkey", "_salt").orderBy(*order)
         per_key = (
             per_key.withColumn("_salt", F.col("doc_id") % F.lit(TREE_FANOUT))
             .withColumn("_rn", F.row_number().over(w_local))
@@ -583,9 +647,7 @@ def _gather_hits(
             .drop("_rn", "_salt")
         )
 
-    w_global = Window.partitionBy("qkey").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
+    w_global = Window.partitionBy("qkey").orderBy(*order)
     ranked = (
         per_key.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
@@ -593,9 +655,12 @@ def _gather_hits(
     mapping = spark.createDataFrame(
         list(key_of.items()), "query_id string, qkey string"
     )
-    return ranked.join(F.broadcast(mapping), "qkey").select(
-        "query_id", "doc_id", "score", "rank"
-    )
+    out_cols = ["query_id", "doc_id", "score"]
+    joined = ranked.join(F.broadcast(mapping), "qkey")
+    if words_rank:
+        joined = joined.withColumnRenamed("matched", "matched_terms")
+        out_cols.append("matched_terms")
+    return joined.select(*out_cols, "rank")
 
 
 #: prepare_serving prefetches the term -> df map to the driver only

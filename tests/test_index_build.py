@@ -307,3 +307,51 @@ def test_conversation_rollup_index(spark):
     ), cfg, doc_id_col="doc_id")
     hits = search(idx, "baba", 5)
     assert 0 < hits.count() <= 5
+
+
+def test_empty_corpus(spark):
+    """A zero-row source builds an empty-but-valid index: searches
+    return empty, stats are zero, nothing crashes."""
+    from meilibridge_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    idx = build_index(empty, CFG)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert idx.postings.count() == 0 and idx.terms.count() == 0
+    assert search(idx, "baba cedi", 5).count() == 0
+    assert search_wand(idx, "baba", 5) == []
+    assert search_many(idx, [("q0", "baba")], k=5).count() == 0
+
+
+def test_search_many_words_rank_matches_single(built):
+    """Batch words_rank == single-path words_rank, across all three
+    gather modes, matched_terms included."""
+    batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
+    single = {}
+    for qid, text in batch:
+        single[qid] = [
+            (r["doc_id"], r["matched_terms"], r["score"])
+            for r in search(built, text, 10, words_rank=True).collect()
+        ]
+    for mode in ("driver", "window", "tree"):
+        res = search_many(
+            built, batch, k=10, gather=mode, words_rank=True
+        ).collect()
+        by_q: dict = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["matched_terms"], r["score"])
+            )
+        for qid, text in batch:
+            many = [
+                (d, m, s) for _, d, m, s in sorted(by_q.get(qid, []))
+            ]
+            assert [(d, m) for d, m, _ in many] == [
+                (d, m) for d, m, _ in single[qid]
+            ], f"{mode}/{qid}: {text!r}"
+            np.testing.assert_allclose(
+                score_round([s for _, _, s in many]),
+                score_round([s for _, _, s in single[qid]]),
+                rtol=0,
+                atol=1e-9,
+            )
