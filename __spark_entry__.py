@@ -837,6 +837,13 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meilibridge_spark.operators.multimodal import resize_plan, synth_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_plan(synth_assets(docs), 224, 224)
+
+
 def _q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.multimodal import frame_sample_plan, synth_assets
 
@@ -909,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_ivf_topk,
         "mm_features": _q_mm_features,
         "mm_frame_plan": _q_mm_frame_plan,
+        "mm_resize_plan": _q_mm_resize_plan,
     }
 
 
@@ -1361,6 +1369,22 @@ SELECT doc_id AS asset_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS digest
 FROM documents
+""",
+        "mm_resize_plan": """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         (length(text) % 1920)::INT AS width,
+         (length(text) % 1080)::INT AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id, width, height,
+  CASE WHEN width > 0 AND height > 0
+       THEN greatest(1, floor(width * least(224.0 / width, 224.0 / height)))::INT
+       ELSE 224 END AS out_w,
+  CASE WHEN width > 0 AND height > 0
+       THEN greatest(1, floor(height * least(224.0 / width, 224.0 / height)))::INT
+       ELSE 224 END AS out_h
+FROM a
 """,
         "mm_frame_plan": """
 WITH v AS (

@@ -114,6 +114,90 @@ def extract_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    assets: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize planning for image assets: the output
+    dimensions that fit (width, height) into (target_w, target_h) ->
+    (asset_id, width, height, out_w, out_h). Pure Catalyst arithmetic
+    over the typed metadata — the dimension math never needs the
+    pixels, so at 100 TB the plan stage prunes to the metadata columns
+    only. Degenerate metadata (w/h <= 0) maps to the full target box."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    ok = (w > 0) & (h > 0)
+    out_w = F.when(
+        ok, F.greatest(F.lit(1), F.floor(w * scale).cast("int"))
+    ).otherwise(F.lit(target_w))
+    out_h = F.when(
+        ok, F.greatest(F.lit(1), F.floor(h * scale).cast("int"))
+    ).otherwise(F.lit(target_h))
+    return assets.filter(F.col("kind") == "image").select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+    )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, out_w int, out_h int, n_bytes long, resized_digest string"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads: the pixel work
+    is the gated decode slot (PIL absent in this container -> raises
+    under real_decode=True); the default path emits a deterministic
+    stand-in (payload digest salted with the planned dimensions) with
+    the same batch shape and schema a real resizer would use. The
+    dimension plan is computed JVM-side (resize_plan) and joined to the
+    payloads, so only image rows reach Python."""
+    planned = assets.join(
+        resize_plan(assets, target_w, target_h).select(
+            "asset_id", "out_w", "out_h"
+        ),
+        "asset_id",
+    ).select("asset_id", "payload", "out_w", "out_h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if real_decode:
+                raise NotImplementedError(
+                    "real image resizing requires PIL, not present in "
+                    "this container; use real_decode=False"
+                )
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            digests = [
+                hashlib.md5(
+                    p + f":{w}x{h}".encode()
+                ).hexdigest()
+                for p, w, h in zip(payloads, pdf["out_w"], pdf["out_h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "resized_digest": digests,
+                }
+            )
+
+    return planned.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling plan: one row per (asset, frame_ts) —
     demonstrates the explode-side of multimodal processing without a

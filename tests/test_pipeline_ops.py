@@ -186,3 +186,34 @@ def test_dedup_clusters_components(spark):
         20: 20, 21: 20,
         30: 30, 31: 30, 32: 30,
     }
+
+
+def test_resize_images_stub_and_gate(spark, docs):
+    """Resize: dimension planning is exact JVM arithmetic; the pixel
+    path is the gated decode slot (raises without libraries), the stub
+    emits deterministic dimension-salted digests."""
+    import hashlib
+
+    from meilibridge_spark.operators.multimodal import (
+        resize_images,
+        resize_plan,
+        synth_assets,
+    )
+
+    assets = synth_assets(docs.limit(60))
+    plan = {r["asset_id"]: (r["out_w"], r["out_h"]) for r in resize_plan(assets).collect()}
+    assert plan  # images exist
+    for (w, h) in plan.values():
+        assert 1 <= w <= 224 and 1 <= h <= 224
+        # aspect fit touches one target edge (floor may shave 1px)
+        assert max(w, h) >= 223
+    rows = resize_images(assets).collect()
+    assert {r["asset_id"] for r in rows} == set(plan)
+    src = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for r in rows:
+        w, h = plan[r["asset_id"]]
+        assert (r["out_w"], r["out_h"]) == (w, h)
+        want = hashlib.md5(src[r["asset_id"]] + f":{w}x{h}".encode()).hexdigest()
+        assert r["resized_digest"] == want
+    with pytest.raises(Exception, match="PIL"):
+        resize_images(assets, real_decode=True).collect()
