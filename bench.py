@@ -75,6 +75,20 @@ def main() -> None:
     spark = build_session("bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
+    # --- host canary: a fixed single-thread numpy workload, zero Spark.
+    # This box's effective speed drifts across the day (hypervisor-level;
+    # invisible to /proc steal) — the canary lets any two bench runs be
+    # compared in host-normalized terms.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    arr = rng.random(5_000_000)
+    t0 = time.time()
+    for _ in range(20):
+        order = np.argsort(arr[:1_000_000])
+        float(arr[order[:1000]].sum())
+    host_canary = time.time() - t0
+
     # --- index build over synthetic transcripts
     src = generate_transcripts(spark, n_convs=n_convs, seed=42).persist()
     n_turns = src.count()  # materialize source outside the build timing
@@ -160,6 +174,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "cpus": cpus,
+        "host_canary_sec": round(host_canary, 3),
         "n_turns": n_turns,
         "n_blocks": n_blocks,
         "build_turns_per_sec": round(n_turns / timings["build_transcripts"], 1),
