@@ -653,11 +653,15 @@ def _q_rollup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from meilibridge_spark.operators.events import windowed_event_counts
 
-    return windowed_event_counts(
+    out = windowed_event_counts(
         spark.read.parquet(f"{sf_dir}/events.parquet"), "1 hour"
     )
+    # rounding is a comparison concern, applied here at the harness
+    return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
 def _q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,20 @@ raises ConfigError, mirroring Meilisearch's invalid_search_filter
 error. The output is a pure Catalyst Column, so filters push down /
 prune exactly like hand-written ``F.col`` predicates.
 
+NULL semantics are Meilisearch's SET-COMPLEMENT model, not SQL
+three-valued logic: every condition is two-valued (a comparison on a
+missing/NULL attribute selects nothing), ``!=`` and ``NOT`` take the
+complement of the selected set — so ``tool != 'code'`` and
+``NOT tool = 'code'`` both INCLUDE documents whose ``tool`` is
+missing, exactly as a Meilisearch filter does. Use ``EXISTS`` /
+``IS NULL`` for explicit presence tests.
+
+Implementation note for pushdown: negation is applied at PARSE time
+(De Morgan through AND/OR, complemented leaves like
+``(col != v) OR col IS NULL``) rather than wrapping Columns in
+``coalesce``/``NOT`` — a coalesce-wrapped predicate cannot reach the
+parquet scan, while these stay in PushedFilters (plan-tested).
+
 Deviation (documented): string comparisons are case-sensitive here;
 Meilisearch folds case. Callers wanting folded semantics can store
 lowercased attributes.
@@ -40,12 +54,16 @@ _TOKEN_RX = re.compile(
         (?P<op>!=|>=|<=|=|>|<) |
         (?P<squote>'(?:[^'\\]|\\.)*') |
         (?P<dquote>"(?:[^"\\]|\\.)*") |
-        (?P<word>[^\s()\[\],!=<>]+)
+        (?P<word>[^\s()\[\],!=<>'"]+)
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "TO", "IN", "EXISTS", "IS", "NULL"}
+
+
+def _or_null(field: str, cond: Column) -> Column:
+    return cond | F.col(field).isNull()
 
 
 def _tokenize(expr: str) -> "list[tuple[str, str]]":
@@ -112,42 +130,47 @@ class _Parser:
         return t
 
     def parse(self) -> Column:
-        col = self._or()
+        col = self._or(False)
         if self.i != len(self.toks):
             raise ConfigError(
                 f"trailing filter tokens: {self.toks[self.i:]!r}"
             )
         return col
 
-    def _or(self) -> Column:
-        left = self._and()
+    # ``neg`` threads set-complement negation down to the leaves
+    # (De Morgan): NOT (a OR b) = NOT a AND NOT b, etc.
+
+    def _or(self, neg: bool) -> Column:
+        left = self._and(neg)
         while self._peek() == ("kw", "OR"):
             self._next()
-            left = left | self._and()
+            right = self._and(neg)
+            left = (left & right) if neg else (left | right)
         return left
 
-    def _and(self) -> Column:
-        left = self._not()
+    def _and(self, neg: bool) -> Column:
+        left = self._not(neg)
         while self._peek() == ("kw", "AND"):
             self._next()
-            left = left & self._not()
+            right = self._not(neg)
+            left = (left | right) if neg else (left & right)
         return left
 
-    def _not(self) -> Column:
+    def _not(self, neg: bool) -> Column:
         if self._peek() == ("kw", "NOT"):
             # lookahead: 'field NOT EXISTS' is handled in _condition;
             # here NOT is a prefix only before '(' or another condition
             self._next()
-            return ~self._not()
-        return self._primary()
+            return self._not(not neg)
+        return self._primary(neg)
 
-    def _primary(self) -> Column:
+    def _primary(self, neg: bool) -> Column:
         if self._peek()[0] == "lparen":
             self._next()
-            col = self._or()
+            col = self._or(neg)
             self._expect("rparen")
             return col
-        return self._condition()
+        return self._condition(neg)
 
     def _field(self) -> str:
         kind, text = self._next()
@@ -160,21 +183,32 @@ class _Parser:
             )
         return text
 
-    def _condition(self) -> Column:
+    def _condition(self, neg: bool) -> Column:
         field = self._field()
         kind, text = self._peek()
+        c = F.col(field)
         if kind == "op":
             self._next()
-            val = _literal(self._next())
-            c = F.col(field)
-            return {
-                "=": c == F.lit(val),
-                "!=": c != F.lit(val),
-                ">": c > F.lit(val),
-                ">=": c >= F.lit(val),
-                "<": c < F.lit(val),
-                "<=": c <= F.lit(val),
-            }[text]
+            val = F.lit(_literal(self._next()))
+            # positive leaves need no NULL handling (SQL drops NULL
+            # results = two-valued False); complements OR in IS NULL
+            pos = {
+                "=": c == val, "!=": c != val,
+                ">": c > val, ">=": c >= val,
+                "<": c < val, "<=": c <= val,
+            }
+            comp = {
+                "=": _or_null(field, c != val),
+                "!=": c == val,
+                ">": _or_null(field, c <= val),
+                ">=": _or_null(field, c < val),
+                "<": _or_null(field, c >= val),
+                "<=": _or_null(field, c > val),
+            }
+            if text == "!=" and not neg:
+                # != itself is a complement (includes missing values)
+                return _or_null(field, c != val)
+            return comp[text] if neg else pos[text]
         if (kind, text) == ("kw", "IN"):
             self._next()
             self._expect("lbrack")
@@ -186,28 +220,32 @@ class _Parser:
             self._expect("rbrack")
             if not vals:
                 raise ConfigError(f"empty IN list for {field!r}")
-            return F.col(field).isin(vals)
+            if neg:
+                return _or_null(field, ~c.isin(vals))
+            return c.isin(vals)
         if (kind, text) == ("kw", "EXISTS"):
             self._next()
-            return F.col(field).isNotNull()
+            return c.isNull() if neg else c.isNotNull()
         if (kind, text) == ("kw", "NOT"):
             self._next()
             self._expect("kw", "EXISTS")
-            return F.col(field).isNull()
+            return c.isNotNull() if neg else c.isNull()
         if (kind, text) == ("kw", "IS"):
             self._next()
             k2, t2 = self._next()
             if (k2, t2) == ("kw", "NULL"):
-                return F.col(field).isNull()
+                return c.isNotNull() if neg else c.isNull()
             if (k2, t2) == ("kw", "NOT"):
                 self._expect("kw", "NULL")
-                return F.col(field).isNotNull()
+                return c.isNull() if neg else c.isNotNull()
             raise ConfigError(f"expected NULL/NOT NULL after IS, got {t2!r}")
         # range: field low TO high (inclusive, Meilisearch TO)
-        low = _literal(self._next())
+        low = F.lit(_literal(self._next()))
         self._expect("kw", "TO")
-        high = _literal(self._next())
-        return F.col(field).between(F.lit(low), F.lit(high))
+        high = F.lit(_literal(self._next()))
+        if neg:
+            return _or_null(field, (c < low) | (c > high))
+        return c.between(low, high)
 
 
 def parse_filter(expr: str, filterable: "tuple[str, ...]") -> Column:

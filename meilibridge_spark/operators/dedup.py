@@ -130,9 +130,14 @@ def jaccard_pairs(
     |candidates|^2 row blowup the way a token-level equi-join would.
     Output rows == candidate pairs (before thresholding), by
     construction."""
+    # NULL text -> empty token set (F.size of a NULL array is -1, which
+    # would poison the counts); jaccard with an empty set is 0
     tok_sets = df.select(
         F.col(id_col),
-        F.array_sort(F.array_distinct(_tokens(text_col))).alias("_ts"),
+        F.coalesce(
+            F.array_sort(F.array_distinct(_tokens(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("_ts"),
     )
     docs_needed = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
@@ -150,9 +155,14 @@ def jaccard_pairs(
         .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ),
+            F.when(
+                F.col("na") + F.col("nb") - F.col("inter") > 0,
+                F.round(
+                    F.col("inter")
+                    / (F.col("na") + F.col("nb") - F.col("inter")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),  # two empty sets -> 0, not NULL
         )
         .select("id_a", "id_b", "jaccard")
     )
@@ -189,6 +199,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -200,6 +211,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("dlabel").alias("nmin"))
         )
+        # checkpoint FIRST, then read both the changed-count and the
+        # next labels from the materialized result — otherwise the
+        # join+agg (the dominant cost) executes twice per round
         updated = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -209,14 +223,22 @@ def dedup_clusters(
                 ).alias("new_label"),
                 "label",
             )
+            .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        changed = (
+            updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        )
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the bound; raise "
+            "max_iter (rounds needed = max component diameter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -31,7 +31,7 @@ def windowed_event_counts(
         events.groupBy(F.window(ts_col, window), F.col(type_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -82,15 +82,14 @@ def sessionize(
     with the same gap rule."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    # unix_timestamp, not a long cast: the events fixture is
-    # TIMESTAMP_NTZ, and the session tz is pinned UTC so this matches
-    # DuckDB's epoch() on naive timestamps
+    # microsecond precision (unix_timestamp truncates to whole seconds
+    # and would split sub-second gaps differently from the oracle's
+    # epoch()); TIMESTAMP_NTZ casts to TIMESTAMP in the pinned-UTC
+    # session, matching DuckDB's treatment of naive timestamps
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     is_new = F.when(
         prev.isNull()
-        | (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
-            > gap_minutes * 60
-        ),
+        | (us(F.col(ts_col)) - us(prev) > gap_minutes * 60 * 1_000_000),
         1,
     ).otherwise(0)
     tagged = events.select(

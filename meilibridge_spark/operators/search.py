@@ -480,7 +480,10 @@ def search_many(
     plan = [(key, terms) for key, terms in plan if terms]
     if not plan:
         return spark.createDataFrame(
-            [], "query_id string, doc_id long, score double, rank int"
+            [],
+            "query_id string, doc_id long, score double, matched_terms int, rank int"
+            if words_rank
+            else "query_id string, doc_id long, score double, rank int",
         )
     qkeys = sorted(key for key, _ in plan)
 
@@ -933,17 +936,19 @@ def prefix_expand_terms(
         return []
     last = q_terms[-1]
     out = list(dict.fromkeys(q_terms))
+    # over-fetch by the number of query terms that could collide with
+    # the prefix scan (any term in `out` sharing the prefix), so the
+    # caller always gets max_expansions NEW candidates when they exist
+    overlap = sum(1 for t in out if t.startswith(last))
     rows = (
         index.terms.filter(F.col("term").startswith(last))
         .select("term")
         .orderBy("term")
-        .limit(max_expansions + 1)  # +1: the exact term may be included
+        .limit(max_expansions + overlap)
         .collect()
     )
     added = 0
     for r in rows:
-        if r["term"] == last:
-            continue
         if added >= max_expansions:
             break
         if r["term"] not in out:

@@ -60,6 +60,11 @@ def start_cdc_sync(
     """
     if (source is None) == (cdc_path is None):
         raise ValueError("pass exactly one of cdc_path / source")
+    if not index_dir or cfg is None or not checkpoint_dir:
+        raise ValueError(
+            "index_dir, cfg and checkpoint_dir are required (they are "
+            "keyword-optional only so cdc_path/source can be swapped)"
+        )
 
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():

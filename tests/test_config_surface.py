@@ -129,3 +129,12 @@ def test_facet_distribution_and_stats(spark, idx):
     # per-facet value cap
     capped = facet_distribution(hits, docs, ["doc_id"], max_values=2).collect()
     assert len(capped) == 2
+
+
+def test_prefix_expand_with_colliding_query_terms(idx):
+    from meilibridge_spark.operators.search import prefix_expand_terms
+
+    # 'join' is both a query term and a prefix candidate of 'jo':
+    # it must not consume an expansion slot
+    got = prefix_expand_terms(idx, ["join", "jo"], max_expansions=3)
+    assert got == ["join", "jo", "joined", "joint", "journey"]

@@ -56,6 +56,20 @@ def test_range_in_exists_null(df):
     assert _ids(df, "tag IS NOT NULL") == [0, 2, 3, 4]
 
 
+def test_complement_null_semantics(df):
+    """Meilisearch set-complement model: != and NOT INCLUDE documents
+    whose attribute is missing; plain comparisons select nothing for
+    them."""
+    # doc 1 has tag = NULL
+    assert _ids(df, "tag = 'news'") == [0, 3]
+    assert _ids(df, "tag != 'news'") == [1, 2, 4]  # null INCLUDED
+    assert _ids(df, "NOT tag = 'news'") == [1, 2, 4]
+    assert _ids(df, "NOT tag != 'news'") == [0, 3]
+    assert _ids(df, "NOT tag IN ['news', 'wiki']") == [1, 2]
+    # comparisons on a missing value select nothing (not complement)
+    assert _ids(df, "tag > 'a'") == [0, 2, 3, 4]
+
+
 def test_boolean_precedence(df):
     # AND binds tighter than OR
     assert _ids(df, "lang = en AND stars > 2 OR lang = fr") == [0, 3]
@@ -82,6 +96,11 @@ def test_rejects_bad_input(df):
         parse_filter("lang IN []", FILTERABLE)
     with pytest.raises(ConfigError):
         parse_filter("(lang = en", FILTERABLE)
+    # unterminated quotes are syntax errors, not silent bare words
+    with pytest.raises(ConfigError):
+        parse_filter("lang = 'en", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter('tag = "news', FILTERABLE)
 
 
 def test_filter_pushdown_plan(df, spark):
@@ -92,10 +111,19 @@ def test_filter_pushdown_plan(df, spark):
     d = tempfile.mkdtemp()
     df.write.mode("overwrite").parquet(d)
     pq = spark.read.parquet(d)
+    import re
+
     plan = pq.filter(
         parse_filter("lang = en AND stars > 2", FILTERABLE)
     )._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan and "lang" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1) and "stars" in m.group(1), m and m.group(1)
+    # complemented leaves stay pushable too (no coalesce wrapping)
+    plan2 = pq.filter(
+        parse_filter("NOT (lang = en) AND tag != 'news'", FILTERABLE)
+    )._jdf.queryExecution().executedPlan().toString()
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan2)
+    assert m2 and "lang" in m2.group(1) and "tag" in m2.group(1), m2 and m2.group(1)
 
 
 def test_end_to_end_search_filtering(spark, df):
@@ -175,18 +203,22 @@ def _render(node) -> str:
     raise AssertionError(node)
 
 
-def _eval3(node, row):
-    """Three-valued evaluation for NOT: returns True/False/None."""
+def _eval2(node, row) -> bool:
+    """Reference evaluator with Meilisearch set-complement semantics:
+    every leaf is two-valued (missing attribute -> not selected), != and
+    NOT are true complements."""
     op = node[0]
     if op == "cmp":
         _, f, o, v = node
+        if o == "!=":
+            return not _eval2(("cmp", f, "=", v), row)
         x = row[f]
         if x is None:
-            return None
-        return {"=": x == v, "!=": x != v, ">": x > v, "<=": x <= v}[o]
+            return False
+        return {"=": x == v, ">": x > v, "<=": x <= v}[o]
     if op == "in":
         x = row[node[1]]
-        return None if x is None else x in node[2]
+        return x is not None and x in node[2]
     if op == "exists":
         return row[node[1]] is not None
     if op == "notexists":
@@ -194,24 +226,13 @@ def _eval3(node, row):
     if op == "range":
         _, f, lo, hi = node
         x = row[f]
-        return None if x is None else (lo <= x <= hi)
+        return x is not None and lo <= x <= hi
     if op == "not":
-        v = _eval3(node[1], row)
-        return None if v is None else (not v)
+        return not _eval2(node[1], row)
     if op == "and":
-        a, b = _eval3(node[1], row), _eval3(node[2], row)
-        if a is False or b is False:
-            return False
-        if a is None or b is None:
-            return None
-        return True
+        return _eval2(node[1], row) and _eval2(node[2], row)
     if op == "or":
-        a, b = _eval3(node[1], row), _eval3(node[2], row)
-        if a is True or b is True:
-            return True
-        if a is None or b is None:
-            return None
-        return False
+        return _eval2(node[1], row) or _eval2(node[2], row)
     raise AssertionError(node)
 
 
@@ -224,5 +245,5 @@ def test_filter_parser_matches_reference_eval(spark, node):
         r["doc_id"] for r in df.filter(parse_filter(expr, FILTERABLE)).collect()
     )
     rows = [dict(zip(("doc_id", "text", "lang", "stars", "tag"), r)) for r in ROWS]
-    want = sorted(r["doc_id"] for r in rows if _eval3(node, r) is True)
+    want = sorted(r["doc_id"] for r in rows if _eval2(node, r))
     assert got == want, expr

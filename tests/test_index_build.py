@@ -355,3 +355,9 @@ def test_search_many_words_rank_matches_single(built):
                 rtol=0,
                 atol=1e-9,
             )
+
+
+def test_search_many_words_rank_empty_plan_schema(built):
+    res = search_many(built, [("q0", "zzznotaterm")], k=5, words_rank=True)
+    assert res.columns == ["query_id", "doc_id", "score", "matched_terms", "rank"]
+    assert res.count() == 0

@@ -217,3 +217,29 @@ def test_resize_images_stub_and_gate(spark, docs):
         assert r["resized_digest"] == want
     with pytest.raises(Exception, match="PIL"):
         resize_images(assets, real_decode=True).collect()
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    from meilibridge_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, max_iter=3)
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_jaccard_null_text_pairs(spark):
+    """NULL text behaves as an empty token set: jaccard 0, never
+    negative/NULL garbage from size(-1)."""
+    from meilibridge_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, None)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df, pairs).collect()}
+    assert got == {(0, 1): 0.0, (1, 2): 0.0}
+    # thresholded call drops them
+    assert jaccard_pairs(df, pairs, threshold=0.1).count() == 0

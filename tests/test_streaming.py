@@ -189,3 +189,8 @@ def test_windowed_agg_with_watermark(spark):
         by_window[r["window_start"]] += r["n_events"]
     # each closed 2-min window = 2 rate batches x 10 rows
     assert all(v == 20 for v in by_window.values()), by_window
+
+
+def test_start_cdc_sync_requires_sink_args(spark, tmp_path):
+    with pytest.raises(ValueError, match="required"):
+        start_cdc_sync(spark, cdc_path=str(tmp_path))
