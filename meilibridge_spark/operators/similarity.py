@@ -170,7 +170,9 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF list assignment: each vector -> its nearest centroid by
     cosine (ties broken by centroid_id) -> (vec_id, centroid_id).
-    Centroids are broadcast; the plan is one scan of the embeddings."""
+    Centroids are broadcast and the argmax is a max_by AGGREGATION
+    (map-side combinable), not a row_number window — the n_centroids-x
+    row expansion never shuffles."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -179,13 +181,12 @@ def ivf_assign(
             / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
         ).alias("cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id")
+    # lexicographic max over (cos, -centroid_id) = highest cosine,
+    # lowest centroid_id on ties
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")))
+        ).alias("centroid_id")
     )
 
 
@@ -199,15 +200,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: "DataFrame | None" = None,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: exact scoring restricted to the
     vectors whose IVF list is among the query's ``n_probe`` closest
     centroids. Same output shape as cosine_topk; recall traded via
     n_probe/n_centroids (ANN ⊆ exact, tested). At scale the
     centroid-id equi-join replaces the full scan — the inverted lists
-    are the partition key."""
-    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
-    assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
+    are the partition key.
+
+    ``centroids`` / ``assigned``: pass the precomputed quantizer and
+    list assignment (emb columns + centroid_id) — the STORED layout of
+    a production IVF index, built once and partitioned by centroid_id —
+    so queries never recompute assignment. Omitted = derived on the
+    fly (the self-contained demo path)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, id_col, vec_col)
+    )
+    if assigned is None:
+        assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
     q_scored = queries.crossJoin(F.broadcast(cents)).select(
         F.col(query_id_col),
         F.col(query_vec_col),

@@ -117,3 +117,38 @@ def test_view_cdc_events_shape(spark, setup):
     assert ops == {"replace", "delete"}
     # every touched key appears exactly once
     assert ev.count() == cdc.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_base_insert_outside_view_is_noop(spark, setup):
+    """A base-table insert for a key the VIEW drops (conv missing from
+    the dim join) must produce a delete no-op, not a ghost doc."""
+    import datetime as dt
+
+    from meilibridge_spark.sources.cdc import CDC_SCHEMA
+
+    base, dim, index = setup
+    ts = dt.datetime(2026, 7, 1)
+    ev = spark.createDataFrame(
+        [(
+            "insert", "conv-not-in-dim", 0,
+            ("conv-not-in-dim", 0, "user", "orphan text quasar", None, ts),
+            None, None, ts,
+        )],
+        CDC_SCHEMA,
+    )
+    base2 = base.unionByName(
+        spark.createDataFrame(
+            [("conv-not-in-dim", 0, "user", "orphan text quasar", None, ts)],
+            base.schema,
+        )
+    )
+    ev_view = view_cdc_events(_view(base2, dim), ev)
+    rows = ev_view.collect()
+    assert len(rows) == 1 and rows[0]["op"] == "delete"
+    from meilibridge_spark.operators.views import sync_view_index
+
+    new = sync_view_index(index, _view(base2, dim), ev, CFG)
+    assert new.n_docs == index.n_docs  # nothing added
+    assert (
+        new.docs.filter(F.col("conv_id") == "conv-not-in-dim").count() == 0
+    )
