@@ -167,6 +167,10 @@ class IndexConfig:
     searchable_attributes: tuple[str, ...] = ("text",)
     displayed_attributes: tuple[str, ...] = ()
     filterable_attributes: tuple[str, ...] = ()
+    #: Meilisearch-style case-insensitive string filter comparison
+    #: (functions/filters.py); off by default to keep filter leaves in
+    #: parquet PushedFilters.
+    filter_fold_case: bool = False
     sortable_attributes: tuple[str, ...] = ()
     distinct_attribute: str | None = None
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)

@@ -8,11 +8,18 @@ Meilisearch user writes today works against our docs table:
   condition:   field = value | field != value | field > value
                | field >= value | field < value | field <= value
                | field low TO high            (inclusive range)
-               | field IN [v1, v2, ...]
+               | field IN [v1, v2, ...] | field NOT IN [v1, v2, ...]
                | field EXISTS | field NOT EXISTS
                | field IS NULL | field IS NOT NULL
+               | field IS EMPTY | field IS NOT EMPTY
+               | field CONTAINS value | field NOT CONTAINS value
+               | field STARTS WITH value | field NOT STARTS WITH value
   combinators: NOT expr, expr AND expr, expr OR expr, ( expr )
   values:      'single' / "double" quoted strings, bare words, numbers
+
+Not implemented (raise loudly, never silently mis-filter): the
+experimental ``_geoRadius``/``_geoBoundingBox`` geo filters (the
+transcripts/docs model has no geo attributes).
 
 Fields must be declared filterable — a filter on any other attribute
 raises ConfigError, mirroring Meilisearch's invalid_search_filter
@@ -33,9 +40,13 @@ Implementation note for pushdown: negation is applied at PARSE time
 ``coalesce``/``NOT`` — a coalesce-wrapped predicate cannot reach the
 parquet scan, while these stay in PushedFilters (plan-tested).
 
-Deviation (documented): string comparisons are case-sensitive here;
-Meilisearch folds case. Callers wanting folded semantics can store
-lowercased attributes.
+Case folding: Meilisearch compares filter strings case-insensitively;
+the default here is case-SENSITIVE because a ``lower(col)`` wrapper
+cannot reach the parquet scan (PushedFilters dies — measured). Pass
+``fold_case=True`` (or set ``IndexConfig.filter_fold_case``) for
+Meilisearch-faithful folded equality/IN/CONTAINS/STARTS WITH on string
+values, trading scan pushdown for fidelity on exactly the folded
+leaves; numeric comparisons are unaffected.
 """
 
 from __future__ import annotations
@@ -59,7 +70,10 @@ _TOKEN_RX = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "TO", "IN", "EXISTS", "IS", "NULL"}
+_KEYWORDS = {
+    "AND", "OR", "NOT", "TO", "IN", "EXISTS", "IS", "NULL",
+    "EMPTY", "CONTAINS", "STARTS", "WITH",
+}
 
 
 def _or_null(field: str, cond: Column) -> Column:
@@ -110,10 +124,18 @@ def _literal(tok: "tuple[str, str]"):
 
 
 class _Parser:
-    def __init__(self, tokens, filterable: "tuple[str, ...]"):
+    def __init__(self, tokens, filterable: "tuple[str, ...]", fold_case=False):
         self.toks = tokens
         self.i = 0
         self.filterable = set(filterable)
+        self.fold_case = fold_case
+
+    def _fold(self, c: Column, val):
+        """(column, literal) for an equality-family comparison —
+        lower()-folded when fold_case and the value is a string."""
+        if self.fold_case and isinstance(val, str):
+            return F.lower(c), F.lit(val.lower())
+        return c, F.lit(val)
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -176,6 +198,12 @@ class _Parser:
         kind, text = self._next()
         if kind not in ("word", "str"):
             raise ConfigError(f"expected an attribute name, got {text!r}")
+        if text.startswith("_geo"):
+            raise ConfigError(
+                "geo filters (_geoRadius/_geoBoundingBox) are not "
+                "supported: the transcripts data model has no geo "
+                "attributes"
+            )
         if text not in self.filterable:
             raise ConfigError(
                 f"attribute {text!r} is not filterable; declare it in "
@@ -189,56 +217,90 @@ class _Parser:
         c = F.col(field)
         if kind == "op":
             self._next()
-            val = F.lit(_literal(self._next()))
+            raw = _literal(self._next())
+            fc, val = self._fold(c, raw)
             # positive leaves need no NULL handling (SQL drops NULL
             # results = two-valued False); complements OR in IS NULL
             pos = {
-                "=": c == val, "!=": c != val,
-                ">": c > val, ">=": c >= val,
-                "<": c < val, "<=": c <= val,
+                "=": fc == val, "!=": fc != val,
+                ">": c > F.lit(raw), ">=": c >= F.lit(raw),
+                "<": c < F.lit(raw), "<=": c <= F.lit(raw),
             }
             comp = {
-                "=": _or_null(field, c != val),
-                "!=": c == val,
-                ">": _or_null(field, c <= val),
-                ">=": _or_null(field, c < val),
-                "<": _or_null(field, c >= val),
-                "<=": _or_null(field, c > val),
+                "=": _or_null(field, fc != val),
+                "!=": fc == val,
+                ">": _or_null(field, c <= F.lit(raw)),
+                ">=": _or_null(field, c < F.lit(raw)),
+                "<": _or_null(field, c >= F.lit(raw)),
+                "<=": _or_null(field, c > F.lit(raw)),
             }
             if text == "!=" and not neg:
                 # != itself is a complement (includes missing values)
-                return _or_null(field, c != val)
+                return _or_null(field, fc != val)
             return comp[text] if neg else pos[text]
         if (kind, text) == ("kw", "IN"):
+            return self._in_list(field, c, neg)
+        if (kind, text) == ("kw", "CONTAINS"):
             self._next()
-            self._expect("lbrack")
-            vals = []
-            while self._peek()[0] != "rbrack":
-                vals.append(_literal(self._next()))
-                if self._peek()[0] == "comma":
-                    self._next()
-            self._expect("rbrack")
-            if not vals:
-                raise ConfigError(f"empty IN list for {field!r}")
+            fc, val = self._fold(c, str(_literal(self._next())))
             if neg:
-                return _or_null(field, ~c.isin(vals))
-            return c.isin(vals)
+                return _or_null(field, ~fc.contains(val))
+            return fc.contains(val)
+        if (kind, text) == ("kw", "STARTS"):
+            self._next()
+            self._expect("kw", "WITH")
+            fc, val = self._fold(c, str(_literal(self._next())))
+            if neg:
+                return _or_null(field, ~fc.startswith(val))
+            return fc.startswith(val)
         if (kind, text) == ("kw", "EXISTS"):
             self._next()
             return c.isNull() if neg else c.isNotNull()
         if (kind, text) == ("kw", "NOT"):
             self._next()
-            self._expect("kw", "EXISTS")
-            return c.isNotNull() if neg else c.isNull()
+            k2, t2 = self._peek()
+            if (k2, t2) == ("kw", "EXISTS"):
+                self._next()
+                return c.isNotNull() if neg else c.isNull()
+            if (k2, t2) == ("kw", "IN"):
+                return self._in_list(field, c, not neg)
+            if (k2, t2) == ("kw", "CONTAINS"):
+                self._next()
+                fc, val = self._fold(c, str(_literal(self._next())))
+                if neg:  # double negation
+                    return fc.contains(val)
+                return _or_null(field, ~fc.contains(val))
+            if (k2, t2) == ("kw", "STARTS"):
+                self._next()
+                self._expect("kw", "WITH")
+                fc, val = self._fold(c, str(_literal(self._next())))
+                if neg:
+                    return fc.startswith(val)
+                return _or_null(field, ~fc.startswith(val))
+            raise ConfigError(
+                f"expected EXISTS/IN/CONTAINS/STARTS WITH after "
+                f"'{field} NOT', got {t2!r}"
+            )
         if (kind, text) == ("kw", "IS"):
             self._next()
             k2, t2 = self._next()
             if (k2, t2) == ("kw", "NULL"):
                 return c.isNotNull() if neg else c.isNull()
+            if (k2, t2) == ("kw", "EMPTY"):
+                # empty-string value; complement includes missing docs
+                return _or_null(field, c != "") if neg else (c == "")
             if (k2, t2) == ("kw", "NOT"):
-                self._expect("kw", "NULL")
-                return c.isNull() if neg else c.isNotNull()
-            raise ConfigError(f"expected NULL/NOT NULL after IS, got {t2!r}")
+                k3, t3 = self._next()
+                if (k3, t3) == ("kw", "NULL"):
+                    return c.isNull() if neg else c.isNotNull()
+                if (k3, t3) == ("kw", "EMPTY"):
+                    return (c == "") if neg else _or_null(field, c != "")
+                raise ConfigError(
+                    f"expected NULL/EMPTY after IS NOT, got {t3!r}"
+                )
+            raise ConfigError(
+                f"expected NULL/EMPTY/NOT after IS, got {t2!r}"
+            )
         # range: field low TO high (inclusive, Meilisearch TO)
         low = F.lit(_literal(self._next()))
         self._expect("kw", "TO")
@@ -247,19 +309,50 @@ class _Parser:
             return _or_null(field, (c < low) | (c > high))
         return c.between(low, high)
 
+    def _in_list(self, field: str, c: Column, neg: bool) -> Column:
+        """IN [...] — ``neg`` True is the NOT IN / negated complement
+        (includes docs missing the attribute, set-complement rule)."""
+        self._expect("kw", "IN")
+        self._expect("lbrack")
+        vals = []
+        while self._peek()[0] != "rbrack":
+            vals.append(_literal(self._next()))
+            if self._peek()[0] == "comma":
+                self._next()
+        self._expect("rbrack")
+        if not vals:
+            raise ConfigError(f"empty IN list for {field!r}")
+        if self.fold_case and any(isinstance(v, str) for v in vals):
+            fc = F.lower(c)
+            vals = [v.lower() if isinstance(v, str) else v for v in vals]
+        else:
+            fc = c
+        if neg:
+            return _or_null(field, ~fc.isin(vals))
+        return fc.isin(vals)
 
-def parse_filter(expr: str, filterable: "tuple[str, ...]") -> Column:
+
+def parse_filter(
+    expr: str, filterable: "tuple[str, ...]", fold_case: bool = False
+) -> Column:
     """Compile a Meilisearch filter string to a Catalyst Column,
-    enforcing ``filterable_attributes`` membership."""
+    enforcing ``filterable_attributes`` membership. ``fold_case``:
+    Meilisearch-style case-insensitive string comparison (see module
+    docstring for the pushdown trade)."""
     tokens = _tokenize(expr)
     if not tokens:
         raise ConfigError("empty filter expression")
-    return _Parser(tokens, filterable).parse()
+    return _Parser(tokens, filterable, fold_case=fold_case).parse()
 
 
-def filter_doc_ids(index, expr: str):
+def filter_doc_ids(index, expr: str, fold_case: "bool | None" = None):
     """Apply a filter expression against the index's docs table ->
     doc_id DataFrame, ready for ``search(..., filter_docs=...)`` /
-    ``search_many(..., filter_docs=...)``."""
-    col = parse_filter(expr, tuple(index.cfg.filterable_attributes))
+    ``search_many(..., filter_docs=...)``. ``fold_case`` defaults to
+    the index's ``cfg.filter_fold_case``."""
+    if fold_case is None:
+        fold_case = getattr(index.cfg, "filter_fold_case", False)
+    col = parse_filter(
+        expr, tuple(index.cfg.filterable_attributes), fold_case=fold_case
+    )
     return index.docs.filter(col).select("doc_id")

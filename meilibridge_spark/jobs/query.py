@@ -60,10 +60,10 @@ def main() -> None:
         ap.error("--filter and --filter-role are mutually exclusive")
 
     spark = build_session("query", cores=args.cores)
-    cfg = IndexConfig(
-        index_name="transcripts",
-        filterable_attributes=("role", "tool", "conv_id"),
-    )
+    # attribute lists (filterable/sortable/...) are NOT hardcoded here:
+    # load_snapshot adopts the settings the index was BUILT with from
+    # the manifest, so --filter enforcement is index-defined
+    cfg = IndexConfig(index_name="transcripts")
     index = load_snapshot(spark, args.index_dir, cfg)
 
     def make_filter():

@@ -93,12 +93,32 @@ def lsh_bands(
     ).select(id_col, F.col("b.band_id"), F.col("b.band_hash"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: "int | None" = None,
+) -> DataFrame:
     """Distinct candidate pairs sharing >= 1 band: self equi-join on
-    (band_id, band_hash) — a bucket join, never a cross join. Skew note:
-    a degenerate band value (e.g. many empty docs) would hot-spot; at
-    scale cap bucket size or salt the join (AQE skew-join handles the
-    rest)."""
+    (band_id, band_hash) — a bucket join, never a cross join.
+
+    ``max_bucket``: degenerate-bucket cap. A band value shared by
+    millions of docs (empty/boilerplate text hashing identically) makes
+    that ONE bucket quadratic — size^2 pairs from content that is
+    near-dup only in the degenerate sense. Buckets larger than
+    ``max_bucket`` are dropped from candidate generation BEFORE the
+    self-join (one groupBy(count) guard; members stay discoverable
+    through their other, non-degenerate bands). Set it at scale;
+    ``lsh_dropped_buckets`` reports what a cap would drop so the
+    decision is observable, not silent. None (default) = uncapped."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -110,6 +130,22 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(
+    bands: DataFrame, max_bucket: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Observability companion to ``lsh_candidate_pairs(max_bucket=...)``:
+    the buckets a cap of ``max_bucket`` would exclude ->
+    (band_id, band_hash, n_docs), largest first. Log/inspect these
+    before enabling the cap — they should be boilerplate."""
+    del id_col  # any column works for counting; kept for symmetry
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+        .orderBy(F.col("n_docs").desc(), "band_id", "band_hash")
     )
 
 

@@ -826,6 +826,12 @@ def _typo_candidate_terms(index: InvertedIndex, typo=None) -> DataFrame:
     if key not in cache:
         from meilibridge_spark.operators.docs import make_term_freq_udf
 
+        # bounded cache: a long-lived session cycling through different
+        # disable_on_attributes configs must not accumulate persisted
+        # DataFrames — keep only the most recent key, unpersisting the
+        # evicted entries (re-deriving a config is one tokenize pass)
+        for old_key in list(cache):
+            cache.pop(old_key).unpersist()
         tf_udf = make_term_freq_udf(index.cfg.analyzer)
         text = F.concat_ws(
             " ", *[F.coalesce(F.col(a), F.lit("")) for a in attrs]
@@ -971,26 +977,60 @@ def search_prefix(
 
 class DriverSearcher:
     """Low-latency serving path: the term dictionary (term -> df) is
-    collected once and the decoded postings of recently-used terms are
-    LRU-cached on the driver, so a warm query costs zero Spark jobs.
+    collected once (BOUNDED — see below) and the decoded postings of
+    recently-used terms are LRU-cached on the driver, so a warm query
+    costs zero Spark jobs.
 
-    Scale note: the dictionary is ~vocab-sized (fine up to tens of
-    millions of terms); at larger vocabularies swap the dict for a
-    postings-backed lookup with a bloom filter — the cache interface
-    stays the same. Cache capacity bounds memory, hot Zipf terms make
-    the hit rate high by construction.
+    Scale guard: the full-dictionary prefetch only happens below
+    PREFETCH_MAX_TERMS (the same bound ``prepare_serving`` applies).
+    Above it — a 10^8-10^9-term vocabulary would OOM the driver — the
+    searcher falls back to a memoized per-term df lookup against the
+    terms table (one bounded ``isin`` scan per batch of unseen terms;
+    hot Zipf terms make the memo hit rate high by construction). Both
+    modes are rank-identical (tested). Cache capacity bounds postings
+    memory either way.
     """
 
-    def __init__(self, index: InvertedIndex, cache_capacity: int = 4096) -> None:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        cache_capacity: int = 4096,
+        max_prefetch_terms: int = PREFETCH_MAX_TERMS,
+    ) -> None:
         from collections import OrderedDict
 
         self.index = index
-        self._df_map = {
-            r["term"]: int(r["df"])
-            for r in index.terms.select("term", "df").collect()
-        }
+        self._df_memo: "dict[str, int | None]" = {}
+        if (
+            getattr(index, "_df_map", None) is not None
+            or index.terms.count() <= max_prefetch_terms
+        ):
+            self._df_map = getattr(index, "_df_map", None) or {
+                r["term"]: int(r["df"])
+                for r in index.terms.select("term", "df").collect()
+            }
+        else:
+            self._df_map = None  # vocabulary too large: lookup path
         self._cache: "OrderedDict[str, dict]" = OrderedDict()
         self._capacity = cache_capacity
+
+    def _dfs(self, terms: "list[str]") -> "dict[str, int]":
+        """df for each known term — dict hit when prefetched, else a
+        memoized ``isin``-pushed terms-table lookup (misses memoized
+        too, so absent terms never re-scan)."""
+        if self._df_map is not None:
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
+        missing = [t for t in terms if t not in self._df_memo]
+        if missing:
+            rows = (
+                self.index.terms.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_memo.get(t)) is not None}
 
     def _get_raw(self, terms: "list[str]") -> "dict[str, dict]":
         missing = [t for t in terms if t not in self._cache]
@@ -1025,15 +1065,11 @@ class DriverSearcher:
         negative ids always route to WAND (dense would reject them).
         """
         k = k or self.index.cfg.max_total_hits
-        q_terms = [
-            t
-            for t in parse_query(query, self.index.cfg.analyzer)
-            if t in self._df_map
-        ]
-        raws = self._get_raw(q_terms)
+        dfs = self._dfs(parse_query(query, self.index.cfg.analyzer))
+        raws = self._get_raw(list(dfs))
         n = self.index.n_docs
         tps = [
-            _to_term_postings(t, raw, float(idf_fn(n, self._df_map[t])), self.index)
+            _to_term_postings(t, raw, float(idf_fn(n, dfs[t])), self.index)
             for t, raw in raws.items()
         ]
         cfg = self.index.cfg

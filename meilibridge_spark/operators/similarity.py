@@ -37,6 +37,21 @@ def _norm(a: "F.Column") -> "F.Column":
     )
 
 
+# Zero-norm semantics (shared by every operator here): cosine against a
+# zero vector is undefined. Under ANSI mode (Spark 4 default) a naive
+# division would THROW DIVIDE_BY_ZERO on the first zero vector, so
+# ``_cos`` guards explicitly: NULL when either norm is 0, and every
+# top-k path filters NULL scores — zero-norm vectors never appear as
+# hits in the exact OR the ANN paths (tested). ivf_assign additionally
+# routes them to an explicit sentinel list instead of letting max_by
+# pick an arbitrary one.
+
+
+def _cos(a: "F.Column", b: "F.Column") -> "F.Column":
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -56,12 +71,11 @@ def cosine_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
-        ).alias("cos"),
+        _cos(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
     )
-    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.filter(
+        (F.col(query_id_col) != F.col(id_col)) & F.col("cos").isNotNull()
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
     )
@@ -123,12 +137,11 @@ def lsh_ann_topk(
     scored = emb_b.join(F.broadcast(q_b), "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
-        ).alias("cos"),
+        _cos(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
     )
-    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.filter(
+        (F.col(query_id_col) != F.col(id_col)) & F.col("cos").isNotNull()
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
     )
@@ -172,22 +185,29 @@ def ivf_assign(
     cosine (ties broken by centroid_id) -> (vec_id, centroid_id).
     Centroids are broadcast and the argmax is a max_by AGGREGATION
     (map-side combinable), not a row_number window — the n_centroids-x
-    row expansion never shuffles."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    row expansion never shuffles.
+
+    Zero-norm vectors (cosine undefined against every centroid) are
+    assigned the sentinel list ``centroid_id = -1`` explicitly — no
+    query ever probes it, matching the module-wide rule that zero-norm
+    vectors are never hits."""
+    nz = _norm(F.col(vec_col)) > 0
+    scored = emb.filter(nz).crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("centroid_id"),
-        (
-            _dot(F.col(vec_col), F.col("centroid_vec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
-        ).alias("cos"),
+        _cos(F.col(vec_col), F.col("centroid_vec")).alias("cos"),
     )
     # lexicographic max over (cos, -centroid_id) = highest cosine,
     # lowest centroid_id on ties
-    return scored.groupBy(id_col).agg(
+    assigned = scored.groupBy(id_col).agg(
         F.max_by(
             "centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")))
         ).alias("centroid_id")
     )
+    zeros = emb.filter(~nz).select(
+        F.col(id_col), F.lit(-1).cast("long").alias("centroid_id")
+    )
+    return assigned.unionByName(zeros)
 
 
 def ivf_topk(
@@ -226,10 +246,7 @@ def ivf_topk(
         F.col(query_id_col),
         F.col(query_vec_col),
         F.col("centroid_id"),
-        (
-            _dot(F.col(query_vec_col), F.col("centroid_vec"))
-            / (_norm(F.col(query_vec_col)) * _norm(F.col("centroid_vec")))
-        ).alias("cos"),
+        _cos(F.col(query_vec_col), F.col("centroid_vec")).alias("cos"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col("centroid_id").asc()
@@ -242,12 +259,11 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
-        ).alias("cos"),
+        _cos(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
     )
-    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.filter(
+        (F.col(query_id_col) != F.col(id_col)) & F.col("cos").isNotNull()
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
     )
@@ -280,10 +296,7 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cos"),
+            _cos(F.col("va"), F.col("vb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))

@@ -176,6 +176,13 @@ def save_snapshot(
         # silently, so load_snapshot validates these loudly.
         "shard_range": index.cfg.shard_range,
         "block_size": index.cfg.block_size,
+        # the settings surface the index was BUILT with (S17 analog):
+        # loaders adopt these so e.g. --filter enforcement is defined by
+        # the index, not by whatever cfg a CLI happens to construct
+        "searchable_attributes": list(index.cfg.searchable_attributes),
+        "filterable_attributes": list(index.cfg.filterable_attributes),
+        "sortable_attributes": list(index.cfg.sortable_attributes),
+        "distinct_attribute": index.cfg.distinct_attribute,
     }
     _write_manifest(index_dir, manifest)
     index.snapshot_id = snap_id
@@ -203,6 +210,27 @@ def load_snapshot(
                 "postings layout is a function of these — load with a "
                 "matching IndexConfig"
             )
+    # adopt the BUILT settings surface for any attribute list the caller
+    # left at its default — filter/sort/distinct enforcement is then
+    # defined by the index (manifest), not by the loading CLI/cfg; an
+    # explicitly-set caller value still wins (tests/overrides).
+    import dataclasses
+
+    adopted = {}
+    for knob, default in (
+        ("searchable_attributes", IndexConfig.__dataclass_fields__[
+            "searchable_attributes"].default),
+        ("filterable_attributes", ()),
+        ("sortable_attributes", ()),
+        ("distinct_attribute", None),
+    ):
+        stored = meta.get(knob)
+        if stored is not None and getattr(cfg, knob) == default:
+            adopted[knob] = (
+                tuple(stored) if isinstance(stored, list) else stored
+            )
+    if adopted:
+        cfg = dataclasses.replace(cfg, **adopted)
     sid = snapshot_id or manifest["current"]
     entry = next(
         (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
@@ -245,6 +273,14 @@ def expire_snapshots(index_dir: str, keep_last: int = 1) -> "list[int]":
     A long-running CDC stream commits one snapshot per micro-batch
     (streaming/cdc_stream.py); without expiry the store grows by a full
     index copy per batch — this is the compaction lever.
+
+    Serving-safety contract (same as Iceberg's): expiry removes DATA
+    DIRS, so a session still holding lazy DataFrames over an expired
+    snapshot (an earlier ``load_snapshot``) will fail on its next
+    action. Run expiry only for snapshots no reader is serving — in
+    practice: keep_last >= the number of concurrently-served snapshots
+    + 1, and roll readers forward before expiring (the manifest rewrite
+    is atomic, so a reader that re-loads never sees a dangling entry).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")

@@ -103,6 +103,76 @@ def test_rejects_bad_input(df):
         parse_filter('tag = "news', FILTERABLE)
 
 
+EMPTY_ROWS = [
+    (0, "alpha", "en", 5, "news"),
+    (1, "beta", "de", 3, None),
+    (2, "gamma", "en", 1, ""),
+    (3, "delta", "fr", 4, "Newsroom"),
+]
+
+
+@pytest.fixture(scope="module")
+def dfe(spark):
+    return spark.createDataFrame(EMPTY_ROWS, SCHEMA)
+
+
+def _ids2(df, expr, fold=False):
+    return sorted(
+        r["doc_id"]
+        for r in df.filter(
+            parse_filter(expr, FILTERABLE, fold_case=fold)
+        ).collect()
+    )
+
+
+def test_not_in(df):
+    # NOT IN = set complement: includes docs missing the attribute
+    assert _ids(df, "tag NOT IN ['news', 'wiki']") == [1, 2]
+    assert _ids(df, "NOT tag NOT IN ['news', 'wiki']") == [0, 3, 4]
+    assert _ids(df, "lang NOT IN [en]") == [1, 3]
+
+
+def test_is_empty(dfe):
+    assert _ids2(dfe, "tag IS EMPTY") == [2]
+    # complement includes missing (set-complement), excludes only ""
+    assert _ids2(dfe, "tag IS NOT EMPTY") == [0, 1, 3]
+    assert _ids2(dfe, "NOT tag IS EMPTY") == [0, 1, 3]
+    assert _ids2(dfe, "NOT tag IS NOT EMPTY") == [2]
+
+
+def test_contains_starts_with(dfe):
+    assert _ids2(dfe, "tag CONTAINS 'ews'") == [0, 3]
+    assert _ids2(dfe, "tag NOT CONTAINS 'ews'") == [1, 2]
+    assert _ids2(dfe, "NOT tag CONTAINS 'ews'") == [1, 2]
+    assert _ids2(dfe, "tag STARTS WITH 'New'") == [3]
+    assert _ids2(dfe, "tag NOT STARTS WITH 'New'") == [0, 1, 2]
+    assert _ids2(dfe, "NOT tag STARTS WITH 'New'") == [0, 1, 2]
+
+
+def test_fold_case(dfe):
+    # default: case-sensitive (pushdown-friendly)
+    assert _ids2(dfe, "tag = 'NEWS'") == []
+    # folded: Meilisearch-style case-insensitive string comparison
+    assert _ids2(dfe, "tag = 'NEWS'", fold=True) == [0]
+    assert _ids2(dfe, "tag != 'NEWS'", fold=True) == [1, 2, 3]
+    assert _ids2(dfe, "tag IN ['NEWS', 'newsROOM']", fold=True) == [0, 3]
+    assert _ids2(dfe, "tag CONTAINS 'news'", fold=True) == [0, 3]
+    assert _ids2(dfe, "tag STARTS WITH 'news'", fold=True) == [0, 3]
+    # numbers unaffected by folding
+    assert _ids2(dfe, "stars > 3", fold=True) == [0, 3]
+
+
+def test_rejects_bad_not_and_is(df):
+    with pytest.raises(ConfigError, match="after"):
+        parse_filter("tag NOT NULL", FILTERABLE)
+    with pytest.raises(ConfigError, match="after IS"):
+        parse_filter("tag IS 'news'", FILTERABLE)
+    with pytest.raises(ConfigError):
+        parse_filter("tag STARTS 'x'", FILTERABLE)  # missing WITH
+    with pytest.raises(ConfigError, match="geo"):
+        parse_filter("_geoRadius(1, 2, 3)", ("_geoRadius",))
+
+
 def test_filter_pushdown_plan(df, spark):
     """The compiled Column is a plain Catalyst predicate — it reaches
     the parquet scan like a hand-written filter."""
@@ -161,8 +231,13 @@ def _leaf():
         vals = _NUM_VALS if kind == "n" else [v for v in _STR_VALS if v]
         conds += [("cmp", f, op, v) for op in ("=", "!=", ">", "<=") for v in vals]
         conds += [("in", f, vals[:2]), ("exists", f), ("notexists", f)]
+        conds += [("notin", f, vals[:2])]
         if kind == "n":
             conds += [("range", f, vals[0], vals[-1])]
+        else:
+            conds += [
+                ("contains", f, str(v)[:2]) for v in vals[:3]
+            ] + [("starts", f, str(v)[:2]) for v in vals[:3]]
     return st.sampled_from(conds)
 
 
@@ -189,6 +264,15 @@ def _render(node) -> str:
         return f"{f} IN [" + ", ".join(
             str(v) if isinstance(v, int) else f"'{v}'" for v in vals
         ) + "]"
+    if op == "notin":
+        _, f, vals = node
+        return f"{f} NOT IN [" + ", ".join(
+            str(v) if isinstance(v, int) else f"'{v}'" for v in vals
+        ) + "]"
+    if op == "contains":
+        return f"{node[1]} CONTAINS '{node[2]}'"
+    if op == "starts":
+        return f"{node[1]} STARTS WITH '{node[2]}'"
     if op == "exists":
         return f"{node[1]} EXISTS"
     if op == "notexists":
@@ -219,6 +303,14 @@ def _eval2(node, row) -> bool:
     if op == "in":
         x = row[node[1]]
         return x is not None and x in node[2]
+    if op == "notin":
+        return not _eval2(("in", node[1], node[2]), row)
+    if op == "contains":
+        x = row[node[1]]
+        return x is not None and node[2] in x
+    if op == "starts":
+        x = row[node[1]]
+        return x is not None and x.startswith(node[2])
     if op == "exists":
         return row[node[1]] is not None
     if op == "notexists":

@@ -152,6 +152,22 @@ def test_driver_searcher_matches_wand(built, oracle):
         assert got2 == got
 
 
+def test_driver_searcher_large_vocab_guard(built, oracle):
+    """Above max_prefetch_terms the searcher must NOT collect the whole
+    vocabulary (driver-OOM hazard at 10^9 terms); it falls back to the
+    memoized per-term df lookup and stays rank-identical."""
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built, max_prefetch_terms=0)  # force lookup mode
+    assert s._df_map is None  # no full-vocabulary collect happened
+    for q in QUERIES:
+        want = oracle.topk(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r}"
+    # misses are memoized: absent terms never re-scan
+    assert s._df_memo.get("zzznotaterm", "absent") is None
+
+
 def test_search_many_matches_single(built):
     batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
     res = search_many(built, batch, k=10).collect()
@@ -215,6 +231,41 @@ def test_load_snapshot_validates_layout_knobs(spark, tmp_index_dir):
         load_snapshot(
             spark, tmp_index_dir, dataclasses.replace(CFG, block_size=64)
         )
+
+
+def test_load_snapshot_adopts_built_settings(spark, tmp_index_dir):
+    """The manifest records the settings surface the index was BUILT
+    with; a loader that leaves attribute lists at their defaults adopts
+    them (index-defined filter enforcement), while an explicit caller
+    value still wins."""
+    import dataclasses
+
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import load_snapshot
+
+    built_cfg = dataclasses.replace(
+        CFG,
+        filterable_attributes=("role", "tool"),
+        sortable_attributes=("ts",),
+        distinct_attribute="conv_id",
+    )
+    sdf = generate_transcripts(spark, n_convs=6, seed=3)
+    build_and_save(spark, sdf, built_cfg, tmp_index_dir)
+    # default-cfg loader adopts the stored settings
+    idx = load_snapshot(spark, tmp_index_dir, CFG)
+    assert idx.cfg.filterable_attributes == ("role", "tool")
+    assert idx.cfg.sortable_attributes == ("ts",)
+    assert idx.cfg.distinct_attribute == "conv_id"
+    # ...so index-defined --filter enforcement works out of the box
+    from meilibridge_spark.functions.filters import filter_doc_ids
+
+    assert filter_doc_ids(idx, "role = 'user'").count() > 0
+    # explicit caller value wins over the stored one
+    idx2 = load_snapshot(
+        spark, tmp_index_dir,
+        dataclasses.replace(CFG, filterable_attributes=("role",)),
+    )
+    assert idx2.cfg.filterable_attributes == ("role",)
 
 
 def test_search_many_filtered_matches_single(built):

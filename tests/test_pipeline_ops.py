@@ -243,3 +243,68 @@ def test_jaccard_null_text_pairs(spark):
     assert got == {(0, 1): 0.0, (1, 2): 0.0}
     # thresholded call drops them
     assert jaccard_pairs(df, pairs, threshold=0.1).count() == 0
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate corpus (many identical docs -> one hot bucket) must
+    produce bounded candidate pairs under max_bucket, and the dropped
+    buckets must be observable via lsh_dropped_buckets."""
+    from meilibridge_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "lorem ipsum boilerplate footer text") for i in range(50)]
+    real = [
+        (100, "spark query planning with adaptive execution"),
+        (101, "spark query planning with adaptive executions"),
+    ]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    bands = lsh_bands(minhash_signatures(df)).persist()
+    uncapped = lsh_candidate_pairs(bands).count()
+    assert uncapped >= 50 * 49 // 2  # quadratic blowup without the cap
+    capped = lsh_candidate_pairs(bands, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # real near-dups survive the cap
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
+    dropped = lsh_dropped_buckets(bands, max_bucket=10).collect()
+    assert dropped and all(r["n_docs"] == 50 for r in dropped)
+    bands.unpersist()
+
+
+def test_ivf_zero_norm_vectors(spark):
+    """Zero-norm vectors: assigned to the -1 sentinel list, never
+    returned as hits by exact or IVF search."""
+    from meilibridge_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, ivf_centroids(emb, 2)).collect()
+    }
+    assert assign[2] == -1  # explicit sentinel, not an arbitrary list
+    assert len(assign) == 5
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact_hits = {r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    ivf_hits = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=5, n_centroids=2, n_probe=2).collect()
+    }
+    assert 2 not in exact_hits and 2 not in ivf_hits
+    assert ivf_hits <= exact_hits
