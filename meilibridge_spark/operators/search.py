@@ -36,10 +36,9 @@ from meilibridge_spark.sources.tables import InvertedIndex
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
+#: base scorer output; Q11 criteria append int columns (matched,
+#: best_attr, exact_form) in search_many's rank_cols order
 SCORED_SCHEMA = "qkey string, doc_id long, score double"
-
-#: scorer output when the batch runs with the 'words' ranking criterion
-SCORED_SCHEMA_M = "qkey string, doc_id long, score double, matched int"
 
 
 def decode_postings(postings: DataFrame) -> DataFrame:
@@ -122,6 +121,11 @@ def candidate_rows(index: InvertedIndex, q_terms: "list[str]") -> DataFrame:
     return decode_postings(index.postings.filter(F.col("term").isin(q_terms)))
 
 
+#: best_attr for a matched (term, doc) without attribute info — re-export
+#: of operators/attrs.ATTR_RANK_SENTINEL (kept import-light here)
+ATTR_RANK_SENTINEL = 1 << 20
+
+
 def search(
     index: InvertedIndex,
     query: str,
@@ -130,30 +134,50 @@ def search(
     words_rank: "bool | None" = None,
     orig_terms: "list[str] | None" = None,
     typo_rank: bool = False,
+    attribute_rank: bool = False,
+    exact_terms: "list[str] | None" = None,
+    exactness_rank: bool = False,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
-    [, matched_exact]).
+    [, matched_exact][, best_attr][, exact_form]).
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates (Q7 filterable attributes -> pre-score semi-join); BM25
     stats stay corpus-global (Meilisearch filter semantics).
 
-    ``words_rank`` (default cfg.words_ranking): Q11 'words' criterion —
-    docs matching more query terms rank first (matched_terms desc),
-    BM25 then doc_id break ties; the head of the reference's default
-    ranking_rules [words, typo, ...] (config/type.go:56).
+    Ranking criteria — the reference's default ranking_rules list
+    [words, typo, proximity, attribute, sort, exactness]
+    (config/type.go:56) composes here in exactly that order ahead of
+    the BM25 score (proximity is the verified reference no-op, sort is
+    the separate Q9 operator):
 
-    ``orig_terms`` + ``typo_rank``: Q11 'typo' criterion (second rule
-    of the default list), simplified as documented: when the query was
-    typo-expanded, docs matching more ORIGINAL (exact) terms rank above
-    docs matched only through expansions (matched_exact desc). Both
-    flags compose in reference rule order: words, then typo, then BM25.
+    - ``words_rank`` (default cfg.words_ranking): docs matching more
+      query terms first (matched_terms desc).
+    - ``orig_terms`` + ``typo_rank``: docs matching more ORIGINAL
+      (pre-typo-expansion) terms above expansion-only matches
+      (matched_exact desc) — the documented 'typo' simplification.
+    - ``attribute_rank``: docs whose matched terms occur in more
+      important searchable attributes first (best_attr asc; Q5 order;
+      requires an index built with with_attributes=True). Per-doc key =
+      min attribute rank over matched terms; docs with no attribute
+      info take ATTR_RANK_SENTINEL.
+    - ``exact_terms`` + ``exactness_rank``: docs matching more terms in
+      their EXACT user-typed form (vs synonym/prefix/typo derivatives)
+      first (exact_form desc) — the 'exactness' simplification; pass
+      the pre-expansion term list as ``exact_terms``.
     """
     k = k or index.cfg.max_total_hits
     if words_rank is None:
         words_rank = index.cfg.words_ranking
     if typo_rank and orig_terms is None:
         raise ValueError("typo_rank requires orig_terms")
+    if exactness_rank and exact_terms is None:
+        raise ValueError("exactness_rank requires exact_terms")
+    if attribute_rank and index.attrs is None:
+        raise ValueError(
+            "attribute_rank requires an index built with "
+            "with_attributes=True (operators/attrs.py)"
+        )
     q_terms = parse_query(query, index.cfg.analyzer)
     idf_map = _idf_map(index, q_terms)
     spark = index.postings.sparkSession
@@ -168,6 +192,13 @@ def search(
         # joins) — AQE picks broadcast from the MEASURED filter size
         # when it is actually small
         rows = rows.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+    if attribute_rank:
+        attr_rows = decode_postings(
+            index.attrs.filter(F.col("term").isin(list(idf_map)))
+        ).select(
+            "term", "doc_id", (F.col("tf") - 1).alias("_attr_rank")
+        )
+        rows = rows.join(attr_rows, ["term", "doc_id"], "left")
     idf_expr = F.create_map(
         *[x for t, v in idf_map.items() for x in (F.lit(t), F.lit(v))]
     )
@@ -186,8 +217,30 @@ def search(
             .cast("int")
             .alias("matched_exact")
         )
+    if attribute_rank:
+        aggs.append(
+            F.min(
+                F.coalesce(F.col("_attr_rank"), F.lit(ATTR_RANK_SENTINEL))
+            )
+            .cast("int")
+            .alias("best_attr")
+        )
+    if exact_terms is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col("term").isin(list(exact_terms)), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("exact_form")
+        )
     agg = scored.groupBy("doc_id").agg(*aggs)
     order = [F.col("score").desc(), F.col("doc_id").asc()]
+    # reference rule order words > typo > attribute > exactness composes
+    # by inserting in REVERSE priority at the head
+    if exactness_rank:
+        order.insert(0, F.col("exact_form").desc())
+    if attribute_rank:
+        order.insert(0, F.col("best_attr").asc())
     if typo_rank:
         order.insert(0, F.col("matched_exact").desc())
     if words_rank:
@@ -228,6 +281,29 @@ def _decode_shard_terms(
     return per_term
 
 
+def _decode_shard_attrs(
+    rows, base: int
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """Decode one shard's attribute-rank blocks (operators/attrs.py:
+    tf slot = best_attr_rank + 1): term -> (doc offsets, 0-based attr
+    ranks)."""
+    per_attr: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    for r in rows:
+        d, t, _ = decode_block(
+            r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
+        )
+        o, ranks = d - base, t - 1
+        prev = per_attr.get(r.term)
+        if prev is None:
+            per_attr[r.term] = (o, ranks)
+        else:
+            per_attr[r.term] = (
+                np.concatenate((prev[0], o)),
+                np.concatenate((prev[1], ranks)),
+            )
+    return per_attr
+
+
 def _score_shard(
     per_term: "dict[str, tuple[np.ndarray, np.ndarray]]",
     term_plan: "dict[str, list[tuple[str, float]]]",
@@ -237,19 +313,31 @@ def _score_shard(
     k: int,
     query_chunk: int,
     track_matched: bool = False,
-) -> "tuple[list, list, list, list]":
+    per_attr: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
+    attr_rank: bool = False,
+    exact_sets: "dict[str, frozenset] | None" = None,
+) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
     at chunk*shard_range*8 bytes (64 * 2^14 * 8 = 8 MiB at the default
     cfg.shard_range of 2^14).
 
-    Ordering: (score desc, doc_id asc); with ``track_matched`` a
-    matched-term-count array is accumulated alongside and the local
-    top-k uses the 'words' key (matched desc, score desc, doc_id asc) —
-    matching the single-query words_rank contract exactly. The count
-    scatter-add only runs when requested, so the default batch path
-    pays nothing."""
-    out_q, out_d, out_s, out_m = [], [], [], []
+    Ordering: (score desc, doc_id asc); the optional Q11 ranking
+    criteria compose in reference rule order ahead of the score —
+    ``track_matched`` ('words': matched desc), ``attr_rank`` +
+    ``per_attr`` ('attribute': best_attr asc via a dense running-min
+    array), ``exact_sets`` ('exactness': per-qkey exact-form term set,
+    exact_form desc) — each local top-k rank-identical to the
+    single-query contract (tested). Criteria that are off cost
+    nothing."""
+    out_q, out_d, out_s = [], [], []
+    extras: "dict[str, list]" = {}
+    if track_matched:
+        extras["matched"] = []
+    if attr_rank:
+        extras["best_attr"] = []
+    if exact_sets is not None:
+        extras["exact_form"] = []
     for c0 in range(0, len(qkeys), query_chunk):
         chunk = qkeys[c0 : c0 + query_chunk]
         scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
@@ -258,8 +346,21 @@ def _score_shard(
             if track_matched
             else None
         )
+        best = (
+            np.full(
+                (len(chunk), shard_range), ATTR_RANK_SENTINEL, dtype=np.int32
+            )
+            if attr_rank
+            else None
+        )
+        exc = (
+            np.zeros((len(chunk), shard_range), dtype=np.int32)
+            if exact_sets is not None
+            else None
+        )
         touched = np.zeros(len(chunk), dtype=bool)
         for qi, qkey in enumerate(chunk):
+            exact = exact_sets.get(qkey) if exact_sets is not None else None
             for term, idf in term_plan[qkey]:
                 hit = per_term.get(term)
                 if hit is None or not hit[0].size:
@@ -269,14 +370,23 @@ def _score_shard(
                 scores[qi][hit[0]] += idf * hit[1]
                 if counts is not None:
                     counts[qi][hit[0]] += 1
+                if exc is not None and exact and term in exact:
+                    exc[qi][hit[0]] += 1
+                if best is not None and per_attr is not None:
+                    a = per_attr.get(term)
+                    if a is not None and a[0].size:
+                        # offsets unique per term -> fancy-min is exact
+                        b = best[qi]
+                        b[a[0]] = np.minimum(b[a[0]], a[1])
                 touched[qi] = True
+        extras_only_score = counts is None and best is None and exc is None
         for qi, qkey in enumerate(chunk):
             if not touched[qi]:
                 continue
             row = scores[qi]
             pos = np.flatnonzero(row)
             vals = row[pos]
-            if counts is None:
+            if extras_only_score:
                 if pos.size > k:
                     kth = np.partition(vals, pos.size - k)[pos.size - k]
                     keep = vals >= kth
@@ -284,14 +394,39 @@ def _score_shard(
                 order = np.lexsort((pos, -vals))[:k]
                 pos, vals = pos[order], vals[order]
             else:
-                mts = counts[qi][pos]
-                order = np.lexsort((pos, -vals, -mts))[:k]
+                # lexsort: LAST key is primary. Priority (first to
+                # last): matched desc, best_attr asc, exact_form desc,
+                # score desc, doc_id asc.
+                keys: "list[np.ndarray]" = [pos, -vals]
+                if exc is not None:
+                    keys.append(-exc[qi][pos])
+                if best is not None:
+                    keys.append(best[qi][pos])
+                if counts is not None:
+                    keys.append(-counts[qi][pos])
+                order = np.lexsort(tuple(keys))[:k]
+                if counts is not None:
+                    extras["matched"].append(counts[qi][pos][order])
+                if best is not None:
+                    extras["best_attr"].append(best[qi][pos][order])
+                if exc is not None:
+                    extras["exact_form"].append(exc[qi][pos][order])
                 pos, vals = pos[order], vals[order]
-                out_m.append(mts[order])
             out_q.append(np.repeat(qkey, pos.size))
             out_d.append(pos + base)
             out_s.append(vals)
-    return out_q, out_d, out_s, out_m
+    return out_q, out_d, out_s, extras
+
+
+def _out_cols(out_q, out_d, out_s, extras) -> "dict[str, np.ndarray]":
+    cols = {
+        "qkey": np.concatenate(out_q),
+        "doc_id": np.concatenate(out_d),
+        "score": np.concatenate(out_s),
+    }
+    for name, parts in extras.items():
+        cols[name] = np.concatenate(parts)
+    return cols
 
 
 def _make_shard_scorer(
@@ -304,6 +439,8 @@ def _make_shard_scorer(
     k: int,
     query_chunk: int = 64,
     track_matched: bool = False,
+    attr_rank: bool = False,
+    exact_sets: "dict[str, frozenset] | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -314,33 +451,41 @@ def _make_shard_scorer(
     impact, then accumulate every query's scores into a dense
     (queries x shard_range) float64 array — doc offsets within a shard
     index directly, so accumulation is pure numpy scatter-add. Exact
-    per-query top-k (score desc, doc_id asc tie-break) is selected per
-    shard; only n_shards*k rows per query leave the partition.
+    per-query local top-k is selected per shard under the composed Q11
+    criteria key; only n_shards*k rows per query leave the partition.
+
+    With ``attr_rank``, input rows carry a ``bkind`` column: 0 = score
+    blocks, 1 = attribute-rank blocks (operators/attrs.py) co-shuffled
+    in the same exchange (no extra doc-granular traffic).
     """
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
 
     def scorer(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         # buffer the partition's (compressed) blocks grouped by shard
         by_shard: "dict[int, list]" = {}
+        attr_by_shard: "dict[int, list]" = {}
         for pdf in batches:
+            has_kind = "bkind" in pdf.columns
             for row in pdf.itertuples(index=False):
-                by_shard.setdefault(int(row.first_doc) // shard_range, []).append(row)
+                shard = int(row.first_doc) // shard_range
+                if has_kind and row.bkind == 1:
+                    attr_by_shard.setdefault(shard, []).append(row)
+                else:
+                    by_shard.setdefault(shard, []).append(row)
         for shard in sorted(by_shard):
             base = shard * shard_range
             per_term = _decode_shard_terms(by_shard[shard], base, avgdl, k1, b)
-            out_q, out_d, out_s, out_m = _score_shard(
+            per_attr = (
+                _decode_shard_attrs(attr_by_shard.get(shard, ()), base)
+                if attr_rank
+                else None
+            )
+            out_q, out_d, out_s, extras = _score_shard(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-                track_matched,
+                track_matched, per_attr, attr_rank, exact_sets,
             )
             if out_q:
-                cols = {
-                    "qkey": np.concatenate(out_q),
-                    "doc_id": np.concatenate(out_d),
-                    "score": np.concatenate(out_s),
-                }
-                if track_matched:
-                    cols["matched"] = np.concatenate(out_m)
-                yield pd.DataFrame(cols)
+                yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
 
     return scorer
 
@@ -355,6 +500,8 @@ def _make_filtered_shard_scorer(
     k: int,
     query_chunk: int = 64,
     track_matched: bool = False,
+    attr_rank: bool = False,
+    exact_sets: "dict[str, frozenset] | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
     (Q7 semantics in the batch path): key = doc-shard; left = the
@@ -363,11 +510,17 @@ def _make_filtered_shard_scorer(
     boolean mask applied at decode time; BM25 stats stay corpus-global
     (Meilisearch filter semantics). A shard with blocks but no allowed
     docs emits nothing; a shard with allowed docs but no blocks has no
-    candidates by construction."""
+    candidates by construction. With ``attr_rank`` the left side also
+    carries attribute-rank blocks marked bkind=1 (attr ranks of docs
+    the mask later drops are harmless: their scores stay 0)."""
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
     empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
     if track_matched:
         empty_cols["matched"] = []
+    if attr_rank:
+        empty_cols["best_attr"] = []
+    if exact_sets is not None:
+        empty_cols["exact_form"] = []
     empty = pd.DataFrame(empty_cols)
 
     def scorer(key, blocks_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -376,23 +529,26 @@ def _make_filtered_shard_scorer(
         base = int(key[0]) * shard_range
         mask = np.zeros(shard_range, dtype=bool)
         mask[filt_pdf["doc_id"].to_numpy(dtype=np.int64) - base] = True
+        if "bkind" in blocks_pdf.columns:
+            attr_pdf = blocks_pdf[blocks_pdf["bkind"] == 1]
+            blocks_pdf = blocks_pdf[blocks_pdf["bkind"] == 0]
+        else:
+            attr_pdf = None
         per_term = _decode_shard_terms(
             blocks_pdf.itertuples(index=False), base, avgdl, k1, b, mask=mask
         )
-        out_q, out_d, out_s, out_m = _score_shard(
+        per_attr = (
+            _decode_shard_attrs(attr_pdf.itertuples(index=False), base)
+            if attr_rank and attr_pdf is not None
+            else None
+        )
+        out_q, out_d, out_s, extras = _score_shard(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-            track_matched,
+            track_matched, per_attr, attr_rank, exact_sets,
         )
         if not out_q:
             return empty
-        cols = {
-            "qkey": np.concatenate(out_q),
-            "doc_id": np.concatenate(out_d),
-            "score": np.concatenate(out_s),
-        }
-        if track_matched:
-            cols["matched"] = np.concatenate(out_m)
-        return pd.DataFrame(cols)
+        return pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
 
     return scorer
 
@@ -406,6 +562,9 @@ def search_many(
     typo: bool = False,
     typo_cfg=None,
     words_rank: "bool | None" = None,
+    attribute_rank: bool = False,
+    exactness_rank: bool = False,
+    exact_terms: "dict[str, list[str]] | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms], rank<=k).
@@ -447,6 +606,11 @@ def search_many(
     k = k or index.cfg.max_total_hits
     if words_rank is None:
         words_rank = index.cfg.words_ranking
+    if attribute_rank and index.attrs is None:
+        raise ValueError(
+            "attribute_rank requires an index built with "
+            "with_attributes=True (operators/attrs.py)"
+        )
     spark = index.postings.sparkSession
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
@@ -458,8 +622,20 @@ def search_many(
             dict.fromkeys(t for ts in parsed.values() for t in ts)
         )
         exp_map = typo_expansion_map(index, all_q_terms, typo_cfg)
+    exact_of: "dict[str, frozenset]" = {}
+    if exactness_rank:
+        # exact form = what the user typed BEFORE any derivation
+        # (synonym/typo expansion); overridable per query via exact_terms
+        from meilibridge_spark.functions.tokenizer import tokenize
+
+        for qid, text in queries:
+            if exact_terms is not None and qid in exact_terms:
+                exact_of[qid] = frozenset(exact_terms[qid])
+            else:
+                exact_of[qid] = frozenset(tokenize(text, index.cfg.analyzer))
     key_of: dict[str, str] = {}
     key_terms: dict[str, tuple[str, ...]] = {}
+    exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
     for qid, _ in queries:
         terms = list(dict.fromkeys(parsed[qid]))
         if exp_map:
@@ -469,6 +645,11 @@ def search_many(
                         terms.append(c)
         terms = tuple(terms)
         key = "\x1f".join(terms)
+        if exactness_rank:
+            # two queries with identical term sets but different exact
+            # forms must not dedup onto one key
+            key += "\x01" + ",".join(sorted(exact_of[qid]))
+            exact_sets[key] = exact_of[qid]
         key_of[qid] = key
         key_terms[key] = terms
     all_terms = sorted({t for ts in key_terms.values() for t in ts})
@@ -478,21 +659,36 @@ def search_many(
         for key, ts in key_terms.items()
     ]
     plan = [(key, terms) for key, terms in plan if terms]
+    # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
+    # rule order words > (typo: single-path only) > attribute > exactness
+    rank_cols: "list[tuple[str, str, bool]]" = []
+    if words_rank:
+        rank_cols.append(("matched", "matched_terms", False))
+    if attribute_rank:
+        rank_cols.append(("best_attr", "best_attr", True))
+    if exactness_rank:
+        rank_cols.append(("exact_form", "exact_form", False))
+    scored_schema = SCORED_SCHEMA + "".join(
+        f", {c} int" for c, _, _ in rank_cols
+    )
     if not plan:
-        return spark.createDataFrame(
-            [],
-            "query_id string, doc_id long, score double, matched_terms int, rank int"
-            if words_rank
-            else "query_id string, doc_id long, score double, rank int",
+        out_schema = (
+            "query_id string, doc_id long, score double"
+            + "".join(f", {o} int" for _, o, _ in rank_cols)
+            + ", rank int"
         )
+        return spark.createDataFrame([], out_schema)
     qkeys = sorted(key for key, _ in plan)
+    scorer_kw = dict(
+        track_matched=words_rank,
+        attr_rank=attribute_rank,
+        exact_sets=exact_sets,
+    )
 
     if filter_docs is not None:
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
-        src = index.serving if index.serving is not None else index.postings
-        blocks = src.filter(F.col("term").isin(sorted(idf_map))).select(
-            "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
-        ).withColumn("_shard", shard_of(F.col("first_doc")))
+        blocks, _ = _batch_blocks(index, sorted(idf_map), attribute_rank)
+        blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
         fids = filter_docs.select(
             F.col("doc_id").cast("long").alias("doc_id")
         ).withColumn("_shard", shard_of(F.col("doc_id")))
@@ -508,23 +704,15 @@ def search_many(
                     index.cfg.k1,
                     index.cfg.b,
                     k,
-                    track_matched=words_rank,
+                    **scorer_kw,
                 ),
-                schema=SCORED_SCHEMA_M if words_rank else SCORED_SCHEMA,
+                schema=scored_schema,
             )
         )
-        return _gather_hits(index, per_key, key_of, qkeys, k, gather, words_rank)
+        return _gather_hits(index, per_key, key_of, qkeys, k, gather, rank_cols)
 
-    if index.serving is not None:
-        # serving layout is already doc-shard partitioned and cached:
-        # the term filter is a narrow op, so the query runs SHUFFLE-FREE
-        sharded = index.serving.filter(
-            F.col("term").isin(sorted(idf_map))
-        ).select("term", "first_doc", "docs_bin", "tfs_bin", "dls_bin")
-    else:
-        blocks = index.postings.filter(F.col("term").isin(sorted(idf_map))).select(
-            "term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"
-        )
+    sharded, needs_shuffle = _batch_blocks(index, sorted(idf_map), attribute_rank)
+    if needs_shuffle:
         # partition count: no more than the corpus' shard count (extra
         # partitions would be empty tasks), no more than the session's
         # shuffle width. Per-partition memory is the batch's compressed
@@ -534,7 +722,7 @@ def search_many(
         n_parts = min(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")), n_shards
         )
-        sharded = blocks.repartition(
+        sharded = sharded.repartition(
             n_parts, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
         )
     per_key = sharded.mapInPandas(
@@ -546,11 +734,48 @@ def search_many(
             index.cfg.k1,
             index.cfg.b,
             k,
-            track_matched=words_rank,
+            **scorer_kw,
         ),
-        schema=SCORED_SCHEMA_M if words_rank else SCORED_SCHEMA,
+        schema=scored_schema,
     )
-    return _gather_hits(index, per_key, key_of, qkeys, k, gather, words_rank)
+    return _gather_hits(index, per_key, key_of, qkeys, k, gather, rank_cols)
+
+
+def _batch_blocks(
+    index: InvertedIndex, terms: "list[str]", attribute_rank: bool
+) -> "tuple[DataFrame, bool]":
+    """Block source for the batch scatter-gather: (DataFrame of the
+    query terms' compressed blocks, needs_shuffle).
+
+    Serving layout (prepare_serving) is used when it can satisfy the
+    request without a shuffle: always for score-only batches; for
+    attribute_rank batches only when the layout was prepared WITH the
+    attr blocks resident (bkind column) — otherwise falls back to the
+    shuffled union (attr blocks must be co-located with score blocks by
+    doc-shard, and a union of two differently-partitioned DataFrames
+    concatenates partitions instead of aligning them)."""
+    sel = ["term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"]
+    tf = F.col("term").isin(terms)
+    s = index.serving
+    if s is not None:
+        has_kind = "bkind" in s.columns
+        if attribute_rank and has_kind:
+            return s.filter(tf).select(*sel, "bkind"), False
+        if not attribute_rank:
+            if has_kind:
+                return s.filter(tf & (F.col("bkind") == 0)).select(*sel), False
+            return s.filter(tf).select(*sel), False
+        # serving layout lacks resident attr blocks: shuffled path
+    base = index.postings.filter(tf).select(*sel)
+    if attribute_rank:
+        ab = index.attrs.filter(tf).select(*sel)
+        return (
+            base.withColumn("bkind", F.lit(0).cast("int")).unionByName(
+                ab.withColumn("bkind", F.lit(1).cast("int"))
+            ),
+            True,
+        )
+    return base, True
 
 
 #: Driver-gather ceiling for the scatter-GATHER merge: when the scorer's
@@ -579,10 +804,16 @@ def _gather_hits(
     qkeys: "list[str]",
     k: int,
     gather: str,
-    words_rank: bool = False,
+    rank_cols: "list[tuple[str, str, bool]] | None" = None,
 ) -> DataFrame:
-    """Merge per-shard local top-k rows (qkey, doc_id, score) into the
-    global per-query top-k and fan deduped qkeys back out to query_ids.
+    """Merge per-shard local top-k rows (qkey, doc_id, score [, Q11
+    criteria columns]) into the global per-query top-k and fan deduped
+    qkeys back out to query_ids.
+
+    ``rank_cols``: ordered criteria ahead of (score desc, doc_id asc)
+    as (scorer_col, output_col, ascending) — e.g.
+    [("matched", "matched_terms", False), ("best_attr", "best_attr",
+    True)] — the same composed key the shard-local top-k used.
 
     ``gather``: 'driver' | 'window' | 'tree' | 'auto' (auto switches
     driver vs window on DRIVER_GATHER_MAX_ROWS; above TREE_MERGE_SHARDS
@@ -598,48 +829,48 @@ def _gather_hits(
     """
     from pyspark.sql.window import Window
 
+    rank_cols = rank_cols or []
     spark = per_key.sparkSession
     n_shards = max(1, -(-index.n_docs // index.cfg.shard_range))
     if gather == "auto" and n_shards > TREE_MERGE_SHARDS:
         gather = "tree"
     out_schema = (
-        "query_id string, doc_id long, score double, matched_terms int, rank int"
-        if words_rank
-        else "query_id string, doc_id long, score double, rank int"
+        "query_id string, doc_id long, score double"
+        + "".join(f", {o} int" for _, o, _ in rank_cols)
+        + ", rank int"
     )
     if gather == "driver" or (
         gather == "auto" and n_shards * k * len(qkeys) <= DRIVER_GATHER_MAX_ROWS
     ):
         rows = per_key.collect()
         by_key: "dict[str, list]" = {key: [] for key in qkeys}
-        if words_rank:
-            for r in rows:
-                by_key[r["qkey"]].append(
-                    (r["doc_id"], r["score"], r["matched"])
-                )
-            sort_key = lambda t: (-t[2], -t[1], t[0])  # noqa: E731
-        else:
-            for r in rows:
-                by_key[r["qkey"]].append((r["doc_id"], r["score"]))
-            sort_key = lambda t: (-t[1], t[0])  # noqa: E731
+        in_cols = [c for c, _, _ in rank_cols]
+        for r in rows:
+            by_key[r["qkey"]].append(
+                (r["doc_id"], r["score"], *(r[c] for c in in_cols))
+            )
+
+        def sort_key(t):
+            # criteria first (negate descending), then score desc, doc asc
+            key = [
+                (t[2 + i] if asc else -t[2 + i])
+                for i, (_, _, asc) in enumerate(rank_cols)
+            ]
+            key.extend((-t[1], t[0]))
+            return tuple(key)
+
         out = []
         for qid, key in key_of.items():
             hits = sorted(by_key.get(key, ()), key=sort_key)[:k]
-            if words_rank:
-                out.extend(
-                    (qid, int(d), float(sc), int(m), rank)
-                    for rank, (d, sc, m) in enumerate(hits, start=1)
-                )
-            else:
-                out.extend(
-                    (qid, int(d), float(sc), rank)
-                    for rank, (d, sc) in enumerate(hits, start=1)
-                )
+            out.extend(
+                (qid, int(d), float(sc), *(int(x) for x in rest), rank)
+                for rank, (d, sc, *rest) in enumerate(hits, start=1)
+            )
         return spark.createDataFrame(out, out_schema)
 
-    order = [F.col("score").desc(), F.col("doc_id").asc()]
-    if words_rank:
-        order.insert(0, F.col("matched").desc())
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, _, asc in rank_cols
+    ] + [F.col("score").desc(), F.col("doc_id").asc()]
 
     if gather == "tree":
         w_local = Window.partitionBy("qkey", "_salt").orderBy(*order)
@@ -660,9 +891,10 @@ def _gather_hits(
     )
     out_cols = ["query_id", "doc_id", "score"]
     joined = ranked.join(F.broadcast(mapping), "qkey")
-    if words_rank:
-        joined = joined.withColumnRenamed("matched", "matched_terms")
-        out_cols.append("matched_terms")
+    for in_c, out_c, _ in rank_cols:
+        if in_c != out_c:
+            joined = joined.withColumnRenamed(in_c, out_c)
+        out_cols.append(out_c)
     return joined.select(*out_cols, "rank")
 
 
@@ -677,6 +909,7 @@ def prepare_serving(
     index: InvertedIndex,
     n_parts: "int | None" = None,
     prefetch_terms: bool = True,
+    include_attributes: "bool | None" = None,
 ) -> InvertedIndex:
     """Switch the index into serving mode: materialize the postings
     re-partitioned by doc-shard and cache them, so every subsequent
@@ -686,12 +919,27 @@ def prepare_serving(
     range across executors; the stored term-sorted parquet remains the
     scan-pruning layout for single-term lookups.
 
+    ``include_attributes`` (default: auto = whenever the index has attr
+    blocks): co-reside the attribute-rank blocks in the SAME doc-shard
+    partitions, marked by a ``bkind`` column (0=score, 1=attr), so
+    attribute_rank batches are shuffle-free too. Score-only batches on
+    such a layout just add a narrow bkind=0 filter.
+
     ``prefetch_terms``: also collect the (bounded, see
     PREFETCH_MAX_TERMS) term -> df dictionary so query planning costs
     zero Spark jobs — the same trade DriverSearcher makes."""
     spark = index.postings.sparkSession
     n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    index.serving = index.postings.repartition(
+    if include_attributes is None:
+        include_attributes = index.attrs is not None
+    src = index.postings
+    if include_attributes:
+        if index.attrs is None:
+            raise ValueError("include_attributes requires index.attrs")
+        src = index.postings.withColumn(
+            "bkind", F.lit(0).cast("int")
+        ).unionByName(index.attrs.withColumn("bkind", F.lit(1).cast("int")))
+    index.serving = src.repartition(
         n, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
     ).persist()
     index.serving.count()

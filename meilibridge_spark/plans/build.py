@@ -36,6 +36,7 @@ def build_index(
     source: DataFrame,
     cfg: IndexConfig,
     doc_id_col: "str | None" = None,
+    with_attributes: bool = False,
 ) -> InvertedIndex:
     """In-memory build (no persistence): source rows -> InvertedIndex.
 
@@ -44,15 +45,23 @@ def build_index(
     row (source text columns included) is pure memory-bandwidth waste —
     at 100 TB the text dwarfs the term arrays. The full docs DataFrame
     stays lazy; rarely-used paths (display, facets) recompute it.
+
+    ``with_attributes``: also build the attribute-rank blocks for the
+    Q11 'attribute' ranking criterion (operators/attrs.py).
     """
     docs = assemble_docs(source, cfg, doc_id_col=doc_id_col)
     slim = docs.select("doc_id", "terms", "dl").persist()
     n_docs, avgdl = corpus_stats(slim)
     postings = build_postings(slim, cfg, doc_sorted=doc_id_col is None)
     terms = term_stats(postings)
+    attrs = None
+    if with_attributes:
+        from meilibridge_spark.operators.attrs import build_attr_postings
+
+        attrs = build_attr_postings(docs, cfg)
     return InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
-        n_docs=n_docs, avgdl=avgdl,
+        n_docs=n_docs, avgdl=avgdl, attrs=attrs,
     )
 
 
@@ -69,6 +78,7 @@ def build_and_save(
     recreate: bool = True,
     max_ts: "str | None" = None,
     with_positions: bool = False,
+    with_attributes: bool = False,
 ) -> InvertedIndex:
     """Full build with staged, resumable persistence.
 
@@ -113,9 +123,14 @@ def build_and_save(
         from meilibridge_spark.operators.positions import build_positions
 
         positions = build_positions(docs, cfg)
+    attrs = None
+    if with_attributes:
+        from meilibridge_spark.operators.attrs import build_attr_postings
+
+        attrs = build_attr_postings(docs, cfg)
     index = InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
-        n_docs=n_docs, avgdl=avgdl, positions=positions,
+        n_docs=n_docs, avgdl=avgdl, positions=positions, attrs=attrs,
     )
     save_snapshot(
         index,

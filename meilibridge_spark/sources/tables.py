@@ -50,6 +50,10 @@ class InvertedIndex:
     #: phrase search — present when the snapshot was built with
     #: with_positions=True (operators/positions.py)
     positions: "DataFrame | None" = None
+    #: optional attribute-rank blocks (POSTINGS_SCHEMA with tf =
+    #: best_attr_rank + 1) for the Q11 'attribute' ranking criterion —
+    #: present when built with with_attributes=True (operators/attrs.py)
+    attrs: "DataFrame | None" = None
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -125,6 +129,12 @@ def save_snapshot(
         os.path.join(base, "docs")
     )
     index.terms.write.mode("overwrite").parquet(os.path.join(base, "terms"))
+    if index.attrs is not None:
+        index.attrs.repartitionByRange(
+            _n_write_parts(index.n_docs), "term"
+        ).sortWithinPartitions("term", "block_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "attrs"))
     if index.positions is not None:
         index.positions.repartitionByRange(
             _n_write_parts(index.n_docs), "term"
@@ -160,6 +170,7 @@ def save_snapshot(
                 if index.positions is not None
                 else {}
             ),
+            **({"attrs": f"{snap}/attrs"} if index.attrs is not None else {}),
         },
         "lineage": {"postings": partition_lineage(postings_persisted)},
         "metrics": metrics,
@@ -254,6 +265,11 @@ def load_snapshot(
         positions=(
             spark.read.parquet(os.path.join(index_dir, t["positions"]))
             if "positions" in t
+            else None
+        ),
+        attrs=(
+            spark.read.parquet(os.path.join(index_dir, t["attrs"]))
+            if "attrs" in t
             else None
         ),
     )
