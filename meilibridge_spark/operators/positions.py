@@ -203,7 +203,9 @@ def match_positions(
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, term string, pos int")
-    rows = positions.filter(F.col("term").isin(terms))
+    from meilibridge_spark.operators.search import terms_in
+
+    rows = positions.filter(terms_in("term", list(terms)))
     if doc_ids is not None:
         rows = rows.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     return rows.select(

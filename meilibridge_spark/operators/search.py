@@ -41,6 +41,24 @@ DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 SCORED_SCHEMA = "qkey string, doc_id long, score double"
 
 
+def terms_in(col: str, terms: "list[str]") -> "F.Column":
+    """IN predicate over a term list built with ONE py4j call.
+
+    ``Column.isin(lst)`` costs one py4j round trip PER literal — ~0.5 s
+    of pure driver time at ~700 terms (measured), a constant that does
+    not scale with cores and therefore caps batch-query scaling
+    efficiency. Rendering the literal list into ``F.expr`` parses the
+    SAME In(...) predicate JVM-side in ~40 ms, with identical semantics
+    and identical parquet PushedFilters (plan-tested)."""
+    if not terms:
+        return F.lit(False)
+    rendered = ",".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for t in terms
+    )
+    return F.expr(f"`{col}` IN ({rendered})")
+
+
 def decode_postings(postings: DataFrame) -> DataFrame:
     """Posting blocks -> (term, doc_id, tf, dl) rows via mapInPandas
     (numpy varint decode, Arrow-batched)."""
@@ -98,7 +116,7 @@ def _idf_map(index: InvertedIndex, q_terms: "list[str]") -> "dict[str, float]":
                     float(idf_fn(index.n_docs, df)) if df is not None else None
                 )
         else:
-            rows = index.terms.filter(F.col("term").isin(missing)).collect()
+            rows = index.terms.filter(terms_in("term", missing)).collect()
             found = {
                 r["term"]: float(idf_fn(index.n_docs, r["df"])) for r in rows
             }
@@ -118,7 +136,7 @@ def _contrib_col(index: InvertedIndex) -> "F.Column":
 def candidate_rows(index: InvertedIndex, q_terms: "list[str]") -> DataFrame:
     """Decoded candidate postings for the query terms. The term filter
     lands on the parquet scan (sorted-by-term layout -> row-group skip)."""
-    return decode_postings(index.postings.filter(F.col("term").isin(q_terms)))
+    return decode_postings(index.postings.filter(terms_in("term", q_terms)))
 
 
 #: best_attr for a matched (term, doc) without attribute info — re-export
@@ -194,7 +212,7 @@ def search(
         rows = rows.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
     if attribute_rank:
         attr_rows = decode_postings(
-            index.attrs.filter(F.col("term").isin(list(idf_map)))
+            index.attrs.filter(terms_in("term", list(idf_map)))
         ).select(
             "term", "doc_id", (F.col("tf") - 1).alias("_attr_rank")
         )
@@ -687,8 +705,15 @@ def search_many(
 
     if filter_docs is not None:
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
-        blocks, _ = _batch_blocks(index, sorted(idf_map), attribute_rank)
-        blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
+        blocks, _ = _batch_blocks(
+            index, sorted(idf_map), attribute_rank, keep_shard=True
+        )
+        if "_shard" not in blocks.columns:
+            blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
+        # else: the serving layout carries a materialized _shard column
+        # and is hash-partitioned on it, so the cogroup only shuffles
+        # the (cheap) allowed-id side — the resident blocks are sorted
+        # in place, no block re-shuffle per filtered batch (plan-tested)
         fids = filter_docs.select(
             F.col("doc_id").cast("long").alias("doc_id")
         ).withColumn("_shard", shard_of(F.col("doc_id")))
@@ -742,7 +767,10 @@ def search_many(
 
 
 def _batch_blocks(
-    index: InvertedIndex, terms: "list[str]", attribute_rank: bool
+    index: InvertedIndex,
+    terms: "list[str]",
+    attribute_rank: bool,
+    keep_shard: bool = False,
 ) -> "tuple[DataFrame, bool]":
     """Block source for the batch scatter-gather: (DataFrame of the
     query terms' compressed blocks, needs_shuffle).
@@ -753,18 +781,30 @@ def _batch_blocks(
     attr blocks resident (bkind column) — otherwise falls back to the
     shuffled union (attr blocks must be co-located with score blocks by
     doc-shard, and a union of two differently-partitioned DataFrames
-    concatenates partitions instead of aligning them)."""
+    concatenates partitions instead of aligning them).
+
+    ``keep_shard``: also keep the serving layout's materialized _shard
+    column (the column it is hash-partitioned on), letting a cogroup
+    consumer group on it WITHOUT re-shuffling the resident blocks."""
     sel = ["term", "first_doc", "docs_bin", "tfs_bin", "dls_bin"]
-    tf = F.col("term").isin(terms)
+    tf = terms_in("term", terms)
     s = index.serving
     if s is not None:
+        shard_extra = (
+            ["_shard"] if keep_shard and "_shard" in s.columns else []
+        )
         has_kind = "bkind" in s.columns
         if attribute_rank and has_kind:
-            return s.filter(tf).select(*sel, "bkind"), False
+            return s.filter(tf).select(*sel, "bkind", *shard_extra), False
         if not attribute_rank:
             if has_kind:
-                return s.filter(tf & (F.col("bkind") == 0)).select(*sel), False
-            return s.filter(tf).select(*sel), False
+                return (
+                    s.filter(tf & (F.col("bkind") == 0)).select(
+                        *sel, *shard_extra
+                    ),
+                    False,
+                )
+            return s.filter(tf).select(*sel, *shard_extra), False
         # serving layout lacks resident attr blocks: shuffled path
     base = index.postings.filter(tf).select(*sel)
     if attribute_rank:
@@ -939,9 +979,19 @@ def prepare_serving(
         src = index.postings.withColumn(
             "bkind", F.lit(0).cast("int")
         ).unionByName(index.attrs.withColumn("bkind", F.lit(1).cast("int")))
-    index.serving = src.repartition(
-        n, F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range))
-    ).persist()
+    # _shard is MATERIALIZED (not just a partitioning expression) so the
+    # filtered-batch cogroup can group on the resident column and Spark
+    # elides the Exchange on the blocks side — only allowed ids shuffle
+    index.serving = (
+        src.withColumn(
+            "_shard",
+            F.floor(F.col("first_doc") / F.lit(index.cfg.shard_range)).cast(
+                "long"
+            ),
+        )
+        .repartition(n, "_shard")
+        .persist()
+    )
     index.serving.count()
     if prefetch_terms and getattr(index, "_df_map", None) is None:
         n_terms = index.terms.count()
@@ -959,7 +1009,7 @@ def _fetch_raw(index: InvertedIndex, terms: "list[str]") -> "dict[str, dict]":
     bounds can be rebuilt under any (idf, avgdl)."""
     if not terms:
         return {}
-    rows = index.postings.filter(F.col("term").isin(terms)).collect()
+    rows = index.postings.filter(terms_in("term", terms)).collect()
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
@@ -1093,6 +1143,74 @@ def _typo_candidate_terms(index: InvertedIndex, typo=None) -> DataFrame:
     return cache[key]
 
 
+#: deletion-neighborhood depth of the typo index — covers edit distance
+#: <= 2 (the reference's two_typos ceiling, config/type.go:70-80)
+TYPO_INDEX_DEPTH = 2
+
+
+def _deletion_keys(term: str, depth: int) -> "set[str]":
+    """All strings reachable from ``term`` by deleting <= depth chars
+    (term itself included). Size O(len^depth / depth!) — ~1 + L + L²/2
+    at depth 2."""
+    out = {term}
+    frontier = {term}
+    for _ in range(depth):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def prepare_typo_index(index: InvertedIndex, typo_cfg=None) -> DataFrame:
+    """Build (and cache on the index) the DELETION-NEIGHBORHOOD typo
+    candidate table: (delkey, term) for every <=TYPO_INDEX_DEPTH-char
+    deletion of every candidate-dictionary term (SymSpell/FastSS —
+    SURVEY §2B Q12's indexed design). Two terms within edit distance d
+    <= depth always share a key, so query-time candidate lookup is a
+    key-pruned ``isin`` filter instead of a full-dictionary levenshtein
+    scan — the path that stays viable at a 10^8-10^9-term vocabulary
+    (the table is ~(1+L+L²/2)x terms rows; at serving scale store it
+    partitioned by delkey hash like any keyed lookup table).
+
+    Cached per disable_on_attributes candidate source (same keying as
+    the candidate dictionary itself); the cache keeps only the latest
+    config, like _typo_candidate_terms."""
+    typo = typo_cfg or index.cfg.typo
+    disabled = set(typo.disable_on_attributes)
+    attrs_key = tuple(
+        a for a in index.cfg.searchable_attributes if a not in disabled
+    )
+    cache: dict = getattr(index, "_typo_nbr", None) or {}
+    index._typo_nbr = cache
+    if attrs_key not in cache:
+        for old_key in list(cache):
+            cache.pop(old_key).unpersist()
+        depth = TYPO_INDEX_DEPTH
+
+        def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keys, terms = [], []
+                for t in pdf["term"]:
+                    ks = _deletion_keys(t, depth)
+                    keys.extend(ks)
+                    terms.extend([t] * len(ks))
+                yield pd.DataFrame({"delkey": keys, "term": terms})
+
+        src = _typo_candidate_terms(index, typo).select("term")
+        cache[attrs_key] = (
+            src.mapInPandas(expand, schema="delkey string, term string")
+            .persist()
+        )
+        cache[attrs_key].count()
+    return cache[attrs_key]
+
+
 def typo_expansion_map(
     index: InvertedIndex,
     q_terms: "list[str]",
@@ -1101,9 +1219,15 @@ def typo_expansion_map(
     """Q12: map each eligible query term to its dictionary terms within
     edit distance 1 (len >= one_typo, default 5) or 2 (len >= two_typos,
     default 9) — reference knobs config/type.go:70-80. Terms listed in
-    ``disable_on_words`` are never expanded. One JVM levenshtein scan
-    over the candidate dictionary covers ALL terms (batch-friendly);
-    candidates are assigned to their query terms driver-side."""
+    ``disable_on_words`` are never expanded.
+
+    Candidate generation: when ``prepare_typo_index`` has been called,
+    ONE key-pruned lookup against the deletion-neighborhood table
+    covers the whole batch (superset by the SymSpell property, then
+    exact driver-side levenshtein verify — identical output, tested).
+    Without it, the fallback is one JVM levenshtein scan over the
+    candidate dictionary per batch — correct and batch-amortized, but a
+    full-dictionary scan, which is why the indexed path exists."""
     typo = typo_cfg or index.cfg.typo
     if not typo.enabled:
         return {}
@@ -1115,18 +1239,38 @@ def typo_expansion_map(
     }
     if not fuzzy:
         return {}
-    conds = None
-    for t, d in fuzzy.items():
-        c = F.levenshtein(F.col("term"), F.lit(t)) <= d
-        conds = c if conds is None else (conds | c)
-    cands = [
-        r["term"]
-        for r in _typo_candidate_terms(index, typo)
-        .filter(conds)
-        .select("term")
-        .orderBy("term")
-        .collect()
-    ]
+    nbr_cache = getattr(index, "_typo_nbr", None)
+    attrs_key = tuple(
+        a
+        for a in index.cfg.searchable_attributes
+        if a not in set(typo.disable_on_attributes)
+    )
+    nbr = nbr_cache.get(attrs_key) if nbr_cache else None
+    if nbr is not None:
+        qkeys = set()
+        for t, d in fuzzy.items():
+            qkeys |= _deletion_keys(t, d)
+        cands = [
+            r["term"]
+            for r in nbr.filter(terms_in("delkey", sorted(qkeys)))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .collect()
+        ]
+    else:
+        conds = None
+        for t, d in fuzzy.items():
+            c = F.levenshtein(F.col("term"), F.lit(t)) <= d
+            conds = c if conds is None else (conds | c)
+        cands = [
+            r["term"]
+            for r in _typo_candidate_terms(index, typo)
+            .filter(conds)
+            .select("term")
+            .orderBy("term")
+            .collect()
+        ]
     out: "dict[str, list[str]]" = {}
     for t, d in fuzzy.items():
         exp = [c for c in cands if c != t and _edit_distance(t, c) <= d]
@@ -1271,7 +1415,7 @@ class DriverSearcher:
         missing = [t for t in terms if t not in self._df_memo]
         if missing:
             rows = (
-                self.index.terms.filter(F.col("term").isin(missing))
+                self.index.terms.filter(terms_in("term", missing))
                 .select("term", "df")
                 .collect()
             )

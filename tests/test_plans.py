@@ -146,3 +146,48 @@ def test_single_query_scoring_is_codegen(saved):
     assert "TakeOrderedAndProject" in plan, plan
     # partial (map-side) aggregation before the exchange
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_serving_filtered_batch_blocks_not_reshuffled(saved):
+    """Filtered batches in serving mode must NOT re-shuffle the resident
+    posting blocks: the serving layout is hash-partitioned on its
+    materialized _shard column, the cogroup groups on that column, and
+    only the (cheap) allowed-id side exchanges."""
+    from pyspark.sql import functions as F
+
+    prepare_serving(saved)
+    try:
+        assert "_shard" in saved.serving.columns
+        filt = saved.docs.filter(F.col("role") == "user").select("doc_id")
+        df = search_many(
+            saved, [("a", "baba cedi"), ("b", "dila")], k=5,
+            gather="window", filter_docs=filt,
+        )
+        plan = _explain(df)
+        pos = plan.find("FlatMapCoGroupsInPandas")
+        assert pos != -1, plan
+        # formatted explain lists the cogroup's LEFT child (blocks)
+        # first: between the cogroup operator and the cached scan there
+        # must be no Exchange — only Sort/Filter over resident partitions
+        left = plan[pos:]
+        scan_pos = left.find("InMemoryTableScan")
+        assert scan_pos != -1, plan
+        assert "Exchange" not in left[:scan_pos], left[:scan_pos]
+        # correctness unchanged: serving filtered == non-serving filtered
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"]) for r in df.collect()
+        )
+        saved_serving = saved.serving
+        saved.serving = None
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in search_many(
+                saved, [("a", "baba cedi"), ("b", "dila")], k=5,
+                gather="window", filter_docs=filt,
+            ).collect()
+        )
+        saved.serving = saved_serving
+        assert got == want
+    finally:
+        saved.serving.unpersist()
+        saved.serving = None

@@ -151,3 +151,66 @@ def test_typo_rank_exact_first(idx):
     assert ranks[1] < ranks[4]
     mes = [r["matched_exact"] for r in hits]
     assert mes == sorted(mes, reverse=True)
+
+
+def test_deletion_index_matches_levenshtein_scan(idx):
+    """The SymSpell deletion-neighborhood path must produce the exact
+    same expansion map as the full-dictionary levenshtein scan, and its
+    candidate lookup plan must be a key-pruned filter — no levenshtein
+    over the terms table."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.search import (
+        _deletion_keys,
+        prepare_typo_index,
+        typo_expansion_map,
+    )
+
+    queries = ["recieve", "windoe", "zebro", "xxxxx", "wird"]
+    # scan path first (no index cached yet)
+    assert getattr(idx, "_typo_nbr", None) in (None, {})
+    scan_map = typo_expansion_map(idx, queries)
+    nbr = prepare_typo_index(idx)
+    try:
+        idx_map = typo_expansion_map(idx, queries)
+        assert idx_map == scan_map and idx_map  # identical, non-trivial
+        # plan: the candidate lookup is delkey-pruned, not a
+        # levenshtein scan
+        qkeys = sorted(_deletion_keys("recieve", 1))
+        lookup = nbr.filter(F.col("delkey").isin(qkeys)).select("term")
+        plan = lookup._jdf.queryExecution().executedPlan().toString()
+        assert "levenshtein" not in plan.lower()
+        assert "delkey" in plan
+        # the SymSpell superset property: every <=d-distance dictionary
+        # term shares a deletion key with the query term
+        for q, exps in scan_map.items():
+            d = 2 if len(q) >= 9 else 1
+            qk = _deletion_keys(q, d)
+            for c in exps:
+                assert qk & _deletion_keys(c, 2), (q, c)
+    finally:
+        for df in idx._typo_nbr.values():
+            df.unpersist()
+        idx._typo_nbr = {}
+
+
+def test_deletion_index_respects_disable_on_attributes(idx):
+    """The typo index is keyed by the candidate-dictionary config:
+    with tag disabled, 'zebra' (tag-only vocabulary) must not be a
+    candidate even through the indexed path."""
+    from meilibridge_spark.config import TypoToleranceConfig
+    from meilibridge_spark.operators.search import (
+        prepare_typo_index,
+        typo_expansion_map,
+    )
+
+    tc = TypoToleranceConfig.make(disable_on_attributes=("tag",))
+    prepare_typo_index(idx, tc)
+    try:
+        got = typo_expansion_map(idx, ["zebro", "receve"], tc)
+        assert "zebro" not in got
+        assert got.get("receve") == ["receive"]
+    finally:
+        for df in idx._typo_nbr.values():
+            df.unpersist()
+        idx._typo_nbr = {}
