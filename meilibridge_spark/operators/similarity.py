@@ -301,3 +301,67 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_train_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means training for the IVF coarse quantizer ->
+    (centroid_id, centroid_vec), a drop-in for ``ivf_topk(centroids=)``.
+
+    Deterministic Lloyd iterations from the sampled-centroid init
+    (``ivf_centroids``): assign (max-cosine, the same map-side-combinable
+    ivf_assign), recompute each list's mean direction (per-dimension avg
+    via posexplode + one groupBy — dims x rows narrow explode, partial
+    aggregation JVM-side), L2-normalize (spherical k-means — the right
+    objective for cosine), keep the previous centroid for lists that go
+    empty. Per-iteration driver traffic is n_centroids x dim floats
+    (the centroid table itself); everything row-scale stays distributed.
+    At 100 TB: train on a SAMPLE (emb.sample(fraction, seed)) — the
+    quantizer only needs the density shape; the signature takes whatever
+    DataFrame you pass.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    spark = emb.sparkSession
+    prev = {
+        int(r["centroid_id"]): list(r["centroid_vec"])
+        for r in cents.collect()
+    }
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, id_col, vec_col).filter(
+            F.col("centroid_id") >= 0
+        )
+        sums = (
+            emb.join(assigned, id_col)
+            .select("centroid_id", F.posexplode(F.col(vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("mean_vec"),
+            )
+        )
+        new = dict(prev)
+        for r in sums.collect():
+            v = r["mean_vec"]
+            norm = sum(x * x for x in v) ** 0.5
+            if norm > 0:
+                new[int(r["centroid_id"])] = [x / norm for x in v]
+        prev = new
+        cents = spark.createDataFrame(
+            sorted((cid, vec) for cid, vec in prev.items()),
+            f"centroid_id long, centroid_vec array<float>",
+        )
+    return cents

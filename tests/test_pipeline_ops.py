@@ -308,3 +308,50 @@ def test_ivf_zero_norm_vectors(spark):
     }
     assert 2 not in exact_hits and 2 not in ivf_hits
     assert ivf_hits <= exact_hits
+
+
+def test_ivf_kmeans_training(spark, emb):
+    """Spherical k-means centroids: deterministic, balanced lists, and
+    recall@k at least the sampled-centroid baseline on the fixed corpus
+    (0.68 vs 0.67 at k=10, n_probe=2 — pinned by determinism)."""
+    from meilibridge_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        ivf_train_kmeans,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    K = 10
+    exact: dict = {}
+    for r in cosine_topk(emb, q, k=K).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(cents):
+        hits: dict = {}
+        for r in ivf_topk(emb, q, k=K, n_probe=2, centroids=cents).collect():
+            hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(hits.get(k_, set()) & v) / K for k_, v in exact.items()
+        ) / len(exact)
+
+    trained = ivf_train_kmeans(emb, 8, n_iter=5)
+    assert recall(trained) >= recall(ivf_centroids(emb, 8))
+    # deterministic across runs (no Date.now/random anywhere)
+    again = ivf_train_kmeans(emb, 8, n_iter=5)
+    assert sorted(
+        (r["centroid_id"], tuple(r["centroid_vec"])) for r in trained.collect()
+    ) == sorted(
+        (r["centroid_id"], tuple(r["centroid_vec"])) for r in again.collect()
+    )
+    # trained lists are reasonably balanced (no empty/hot list)
+    counts = [
+        r["count"]
+        for r in ivf_assign(emb, trained).groupBy("centroid_id").count().collect()
+    ]
+    assert len(counts) == 8 and min(counts) > 0
+    assert max(counts) <= 4 * min(counts)
