@@ -7,8 +7,10 @@ Three paths over the same postings tables, all rank-identical (tested):
                     term-sorted layout), decode via mapInPandas, score
                     JVM-side, groupBy(doc_id) + orderBy + limit(k).
 - ``search_many``   batch of queries in ONE job — the throughput path:
-                    decode the union of needed terms once, broadcast-join
-                    the (query_id, term, idf) plan, window top-k per query.
+                    doc-shard scatter-gather over compressed blocks;
+                    each shard scores every query in a dense numpy pass
+                    and emits local top-k; merge via driver gather /
+                    window / tree (see _gather_hits).
 - ``search_wand``   driver-side block-max WAND over the collected term
                     postings — the serving path; exact (WAND-on ==
                     WAND-off, FIXTURES.md §6).

@@ -96,8 +96,13 @@ def apply_cdc(
     keys = folded.select("conv_id", "turn_idx")
 
     # --- doc_id assignment: keep existing, append new
+    # (old rows carry every searchable attribute so the attr-rank table
+    # can derive its removal delta below)
+    old_cols = ["conv_id", "turn_idx", "doc_id"] + [
+        a for a in dict.fromkeys(("text", *cfg.searchable_attributes))
+    ]
     existing = docs.join(keys, ["conv_id", "turn_idx"], "inner").select(
-        "conv_id", "turn_idx", "doc_id", "text"
+        *old_cols
     ).persist()
     live = folded.filter(~F.col("deleted"))
     new_keys = live.join(
@@ -202,6 +207,68 @@ def apply_cdc(
         kept = index.positions.join(touched_ids, "doc_id", "left_anti")
         positions_new = kept.unionByName(build_positions(upserts, cfg))
 
+    # --- attribute-rank blocks MERGE (only when the snapshot carries
+    # them): same cogrouped merger as the postings — the attrs table IS
+    # a postings table with tf = best_attr_rank + 1 (operators/attrs.py)
+    # — with the delta derived from per-attribute tokenization of the
+    # old and new rows. Byte-identical to a fresh attr build (tested).
+    attrs_new = None
+    if index.attrs is not None:
+        from meilibridge_spark.operators.attrs import make_attr_rank_udf
+
+        a_udf = make_attr_rank_udf(cfg.analyzer, len(cfg.searchable_attributes))
+
+        def _attr_inputs(df):
+            return [
+                F.coalesce(F.col(a).cast("string"), F.lit(""))
+                for a in cfg.searchable_attributes
+            ]
+
+        old_attr = (
+            existing.withColumn("_at", a_udf(*_attr_inputs(existing)))
+            .select("doc_id", F.explode("_at.terms").alias("term"))
+            .select(
+                "term",
+                "doc_id",
+                F.lit(0).alias("tf"),
+                F.lit(0).alias("dl"),
+                F.lit(False).alias("is_add"),
+            )
+        )
+        add_attr = (
+            upserts.withColumn("_at", a_udf(*_attr_inputs(upserts)))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("_at.terms").alias("term"),
+                        F.col("_at.tfs").alias("tf"),
+                    )
+                ).alias("_z"),
+            )
+            .select(
+                F.col("_z.term").alias("term"),
+                "doc_id",
+                F.col("_z.tf").alias("tf"),
+                F.lit(0).alias("dl"),
+                F.lit(True).alias("is_add"),
+            )
+        )
+        delta_a = old_attr.unionByName(add_attr).persist()
+        affected_a = delta_a.select("term").distinct()
+        merged_a = (
+            index.attrs.join(affected_a, "term", "left_semi")
+            .groupBy("term")
+            .cogroup(delta_a.groupBy("term"))
+            .applyInPandas(
+                _make_merger(cfg.block_size, cfg.shard_range),
+                schema=POSTINGS_SCHEMA,
+            )
+        )
+        attrs_new = index.attrs.join(affected_a, "term", "left_anti").unionByName(
+            merged_a
+        )
+
     # --- exact stats refresh
     row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
@@ -216,4 +283,5 @@ def apply_cdc(
         n_docs=n_docs,
         avgdl=avgdl,
         positions=positions_new,
+        attrs=attrs_new,
     )

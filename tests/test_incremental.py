@@ -182,3 +182,43 @@ def test_expire_snapshots(spark, tmp_index_dir):
         load_snapshot(spark, tmp_index_dir, CFG, snapshot_id=1)
     # no-op when nothing to expire
     assert expire_snapshots(tmp_index_dir, keep_last=5) == []
+
+
+def test_attrs_cdc_equals_fresh_rebuild(spark):
+    """The attribute-rank blocks (with_attributes=True) are maintained
+    through apply_cdc byte-identically to a fresh attr build of the
+    final state — same guarantee the postings have."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, index_name="inc-attrs", searchable_attributes=("tool", "text")
+    )
+    src = generate_transcripts(spark, n_convs=10, seed=5).persist()
+    base = build_index(src, cfg, with_attributes=True)
+    base.docs = base.docs.persist()
+    base.postings = base.postings.persist()
+    base.attrs = base.attrs.persist()
+    cdc = generate_cdc_batch(spark, src, seed=3).persist()
+    new = apply_cdc(base, cdc)
+    assert new.attrs is not None
+    final_src = new.docs.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_id"
+    )
+    fresh = build_index(final_src, cfg, doc_id_col="doc_id", with_attributes=True)
+    a = _postings_pdf(new.attrs)
+    b = _postings_pdf(fresh.attrs)
+    assert len(a) == len(b) and len(a) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"attrs column {col} differs"
+    # and the attribute criterion still answers rank-identically
+    from meilibridge_spark.operators.search import search
+
+    got = [
+        (r["doc_id"], r["best_attr"])
+        for r in search(new, "baba cedi", 10, attribute_rank=True).collect()
+    ]
+    want = [
+        (r["doc_id"], r["best_attr"])
+        for r in search(fresh, "baba cedi", 10, attribute_rank=True).collect()
+    ]
+    assert got == want
