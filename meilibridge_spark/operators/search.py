@@ -275,30 +275,43 @@ def _decode_shard_terms(
     k1: float,
     b: float,
     mask: "np.ndarray | None" = None,
+    idf_map: "dict[str, float] | None" = None,
 ) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
-    """Decode one shard's blocks: term -> (doc offsets, idf-independent
-    BM25 impacts), each term decoded ONCE. ``mask`` (bool, shard_range
-    wide) drops disallowed doc offsets at decode time, so a filtered
-    batch pays the filter once per term instead of once per query."""
-    per_term: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    """Decode one shard's blocks: term -> (doc offsets, BM25 impacts),
+    each term decoded ONCE. With ``idf_map`` the per-term idf constant
+    is folded into the impact HERE, so the per-(query, term)
+    scatter-add needs no multiply/temporary — a hot term used by many
+    queries pays the product once. ``mask`` (bool, shard_range wide)
+    drops disallowed doc offsets at decode time, so a filtered batch
+    pays the filter once per term instead of once per query.
+
+    Multi-block terms buffer per-block arrays and concatenate ONCE at
+    the end (per-block concatenate onto a growing array is quadratic —
+    a 128-block hot term would copy ~64x the data)."""
+    parts: "dict[str, tuple[list, list]]" = {}
     for r in rows:
-        offs, impact = per_term.get(r.term, (None, None))
         d, t, dl = decode_block(
             r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
         )
+        # expression kept bit-identical to the single-query JVM path
         imp = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
+        if idf_map is not None:
+            imp *= idf_map[r.term]
         o = d - base
         if mask is not None:
             keep = mask[o]
             o, imp = o[keep], imp[keep]
-        if offs is None:
-            per_term[r.term] = (o, imp)
-        else:
-            per_term[r.term] = (
-                np.concatenate((offs, o)),
-                np.concatenate((impact, imp)),
-            )
-    return per_term
+        lo, li = parts.setdefault(r.term, ([], []))
+        lo.append(o)
+        li.append(imp)
+    return {
+        term: (
+            (lo[0], li[0])
+            if len(lo) == 1
+            else (np.concatenate(lo), np.concatenate(li))
+        )
+        for term, (lo, li) in parts.items()
+    }
 
 
 def _decode_shard_attrs(
@@ -381,13 +394,14 @@ def _score_shard(
         touched = np.zeros(len(chunk), dtype=bool)
         for qi, qkey in enumerate(chunk):
             exact = exact_sets.get(qkey) if exact_sets is not None else None
-            for term, idf in term_plan[qkey]:
+            for term, _idf in term_plan[qkey]:
                 hit = per_term.get(term)
                 if hit is None or not hit[0].size:
                     continue
                 # a term's doc offsets are unique within a shard,
                 # so plain fancy-index += is a correct scatter-add
-                scores[qi][hit[0]] += idf * hit[1]
+                # (idf is folded into the impact at decode time)
+                scores[qi][hit[0]] += hit[1]
                 if counts is not None:
                     counts[qi][hit[0]] += 1
                 if exc is not None and exact and term in exact:
@@ -479,6 +493,7 @@ def _make_shard_scorer(
     in the same exchange (no extra doc-granular traffic).
     """
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
+    idf_of = {t: i for terms in term_plan.values() for t, i in terms}
 
     def scorer(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         # buffer the partition's (compressed) blocks grouped by shard
@@ -494,7 +509,9 @@ def _make_shard_scorer(
                     by_shard.setdefault(shard, []).append(row)
         for shard in sorted(by_shard):
             base = shard * shard_range
-            per_term = _decode_shard_terms(by_shard[shard], base, avgdl, k1, b)
+            per_term = _decode_shard_terms(
+                by_shard[shard], base, avgdl, k1, b, idf_map=idf_of
+            )
             per_attr = (
                 _decode_shard_attrs(attr_by_shard.get(shard, ()), base)
                 if attr_rank
@@ -534,6 +551,7 @@ def _make_filtered_shard_scorer(
     carries attribute-rank blocks marked bkind=1 (attr ranks of docs
     the mask later drops are harmless: their scores stay 0)."""
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
+    idf_of = {t: i for terms in term_plan.values() for t, i in terms}
     empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
     if track_matched:
         empty_cols["matched"] = []
@@ -555,7 +573,8 @@ def _make_filtered_shard_scorer(
         else:
             attr_pdf = None
         per_term = _decode_shard_terms(
-            blocks_pdf.itertuples(index=False), base, avgdl, k1, b, mask=mask
+            blocks_pdf.itertuples(index=False), base, avgdl, k1, b,
+            mask=mask, idf_map=idf_of,
         )
         per_attr = (
             _decode_shard_attrs(attr_pdf.itertuples(index=False), base)
