@@ -606,19 +606,30 @@ def search_many(
     exact_terms: "dict[str, list[str]] | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
-    (query_id, doc_id, score[, matched_terms], rank<=k).
+    (query_id, doc_id, score[, matched_terms][, best_attr]
+    [, exact_form], rank<=k).
 
-    ``words_rank`` (default cfg.words_ranking): the Q11 'words'
-    criterion in the batch path — per-shard local top-k and the global
-    merge both order by (matched_terms desc, score desc, doc_id asc),
-    rank-identical to search(words_rank=True) (tested). The
-    matched-count accumulation only runs when the flag is on.
+    Q11 ranking criteria compose in reference rule order ahead of
+    (score desc, doc_id asc), each rank-identical to the single-query
+    contract (tested) and free when off:
+
+    - ``words_rank`` (default cfg.words_ranking): matched_terms desc —
+      a per-query count array alongside the dense scatter-add.
+    - ``attribute_rank``: best_attr asc — the attr-rank blocks
+      (operators/attrs.py; requires with_attributes=True) ride the SAME
+      doc-shard exchange as the score blocks marked ``bkind``, decoded
+      into a per-shard running-min array. Shuffle-free in serving mode
+      when prepare_serving co-resided the attr blocks.
+    - ``exactness_rank``: exact_form desc — count of matched terms in
+      the query's exact user-typed form (default: its pre-expansion
+      tokens; override per query via ``exact_terms[qid]``).
 
     ``typo=True`` applies Q12 typo expansion to every query before
-    planning: ONE levenshtein scan over the candidate dictionary covers
-    the whole batch (typo_expansion_map), then each expanded term scores
-    with its own idf exactly as in ``search_typo`` (rank-identical,
-    tested).
+    planning: ONE candidate lookup covers the whole batch
+    (typo_expansion_map — key-pruned against the deletion-neighborhood
+    table when prepare_typo_index ran, else one levenshtein scan), then
+    each expanded term scores with its own idf exactly as in
+    ``search_typo`` (rank-identical, tested).
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates for EVERY query in the batch (Q7 filterable attributes,
@@ -627,8 +638,9 @@ def search_many(
     blocks by doc-shard and applied as a shard-local bitmap at decode
     time — nothing doc-granular beyond the filtered ids themselves is
     shuffled. Batches mixing different filters = one search_many call
-    per filter group. (The cogroup shuffles blocks by shard even in
-    serving mode; unfiltered batches keep the shuffle-free path.)
+    per filter group. In serving mode the cogroup groups on the
+    resident layout's materialized _shard column, so the blocks side
+    never re-shuffles — only the allowed ids move (plan-tested).
 
     Document-partitioned scatter-gather: the only shuffle moves the
     batch's COMPRESSED posting blocks (grouped by doc-shard); each
