@@ -241,6 +241,31 @@ def _q_filtered(terms_text: str, k: int, lang: str):
     return run
 
 
+def _q_hybrid(terms_text: str, k: int, ratio: float, pool: int, qvec_id: int):
+    """Q16 embedders: hybrid keyword+semantic fusion (semanticRatio
+    analog; reference maps Meilisearch embedders, config/type.go:67)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.hybrid import search_hybrid
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
+        hits = search_hybrid(
+            idx, emb, terms_text, list(qv), k=k, semantic_ratio=ratio, pool=pool
+        )
+        return hits.select(
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+        )
+
+    return run
+
+
 def _view_index(spark: SparkSession, sf_dir: str):
     """S25 view indirection: the indexed 'collection' is a JOIN VIEW
     over orders ⋈ customer ⋈ nation (the reference's user_books
@@ -925,16 +950,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly entries 1-50 of 53). The first 50 below are therefore the
     # curated gate set — every SURVEY §2 operator family keeps at least
     # one entry inside it. Entries AFTER the 50th are secondary variants
-    # of already-gated operators (repeated-terms BM25, typo disable,
-    # phrase stop-gap, multi-facet, doc-length introspection, bare
-    # count); they remain fully oracle-checked by
+    # of already-gated operators (absent-term/repeated-terms BM25, typo
+    # disable, phrase stop-gap, multi-facet, doc-length introspection,
+    # bare count); they remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
         "ft_bm25_rare_multi": _q_topk("customer window vector merge", 20),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
-        "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
+        "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
@@ -996,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_plan": _q_mm_frame_plan,
         # ---- entries 51+: secondary variants (see ORDERING CONTRACT) --
+        "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1064,6 +1090,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_bm25_repeated_terms": _sql_topk(["scan", "hash"], 15),
         "ft_bm25_absent_term": _sql_topk(["zzzmissing", "spark"], 10),
+        "ft_hybrid": f"""
+WITH {_sql_tok()},
+{_sql_score_cte("s_kw", ["spark", "join", "table"])},
+kwpool AS (SELECT doc_id, s FROM s_kw ORDER BY s DESC, doc_id LIMIT 30),
+kwmax AS (SELECT max(s) AS m FROM kwpool),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+semok AS (
+  SELECT doc_id, sem FROM (
+    SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
+    FROM embeddings e CROSS JOIN q
+  ) t WHERE sem IS NOT NULL
+),
+sempool AS (SELECT doc_id FROM semok ORDER BY sem DESC, doc_id LIMIT 30),
+cand AS (SELECT doc_id FROM kwpool UNION SELECT doc_id FROM sempool),
+fused AS (
+  SELECT c.doc_id,
+         coalesce(k.s / (SELECT m FROM kwmax), 0.0) AS kw,
+         coalesce(s.sem, 0.0) AS sem
+  FROM cand c
+  LEFT JOIN kwpool k USING (doc_id)
+  LEFT JOIN semok s USING (doc_id)
+)
+SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
+       round(0.5 * kw + 0.5 * sem, 4)::DOUBLE AS hybrid
+FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
+""",
         "ft_words_rank": f"""
 WITH {_sql_tok()},
 scores AS (

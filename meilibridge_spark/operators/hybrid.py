@@ -1,0 +1,109 @@
+"""Hybrid (keyword + semantic) search — Q16 embedders, completed.
+
+The reference maps Meilisearch's experimental ``embedders`` setting
+(`/root/reference/config/type.go:67,90`; README.md:242-253) so synced
+indexes can serve AI-powered *hybrid* queries: a keyword (BM25) ranked
+list fused with a vector-similarity ranked list under a
+``semanticRatio`` blend. This module is the PySpark-native analog over
+an :class:`InvertedIndex` plus an embeddings table.
+
+Fusion semantics (deterministic, oracle-expressible — documented
+simplification of Meilisearch's ranking-score fusion):
+
+1. keyword pool  = top ``pool`` BM25 hits for ``query``.
+2. semantic pool = top ``pool`` cosine hits for ``query_vec``.
+3. candidates    = the union of both pools' doc ids.
+4. per candidate:
+   - ``kw``  = BM25 score / max BM25 score in the keyword pool
+     (0 when the doc is outside the keyword pool — list fusion, the
+     engine never rescans for keyword scores of semantic-only hits);
+   - ``sem`` = (1 + cosine(query_vec, doc_vec)) / 2, 0 when the doc
+     has no (or a zero-norm) embedding.
+5. ``hybrid = (1 - semantic_ratio) * kw + semantic_ratio * sem``;
+   top-k by (hybrid desc, doc_id asc).
+
+Scale shape: the keyword side is the engine's scatter-gather (bounded
+merge); the semantic side is ONE pruned scan of the embeddings table
+ending in TakeOrdered (no global sort materialization); both pools are
+<= ``pool`` rows, so every later join broadcasts a tiny candidate set
+against the embeddings table — no wide shuffle anywhere. At 100 TB the
+semantic pool swaps to the IVF path (`similarity.ivf_topk`) behind the
+same fusion, which only changes step 2's plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.operators.search import InvertedIndex, search
+from meilibridge_spark.operators.similarity import _cos
+
+
+def search_hybrid(
+    index: InvertedIndex,
+    emb: DataFrame,
+    query: str,
+    query_vec: "list[float]",
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+    pool: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blend BM25 and cosine rankings -> (doc_id, kw, sem, hybrid).
+
+    ``emb`` maps the index's doc ids (``id_col``) to ``array<float>``
+    vectors (``vec_col``); ``query_vec`` is the already-embedded query
+    (embedding happens upstream — the engine is model-agnostic, like
+    the reference which delegates embedding to Meilisearch's
+    configured embedder).
+    """
+    if not 0.0 <= semantic_ratio <= 1.0:
+        raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
+    if pool < k:
+        raise ValueError(f"pool ({pool}) must be >= k ({k})")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    # 1. keyword pool: engine scatter-gather, already top-`pool` bounded.
+    kw_pool = search(index, query, k=pool).select(
+        "doc_id", F.col("score").alias("kw_raw")
+    )
+    kw_max = kw_pool.agg(F.max("kw_raw").alias("kw_max"))
+
+    # 2. semantic pool: one scan -> TakeOrdered(pool). Column-pruned to
+    #    (id, vec); zero-norm vectors yield NULL cosine and are dropped.
+    sem_scored = emb.select(
+        F.col(id_col).alias("doc_id"),
+        ((F.lit(1.0) + _cos(F.col(vec_col), qv)) / F.lit(2.0)).alias("sem"),
+    ).filter(F.col("sem").isNotNull())
+    sem_pool = sem_scored.orderBy(F.col("sem").desc(), F.col("doc_id")).limit(pool)
+
+    # 3. candidate union (<= 2*pool rows — broadcast-small by construction).
+    cand = (
+        kw_pool.select("doc_id").unionByName(sem_pool.select("doc_id")).distinct()
+    )
+
+    # 4-5. fuse: semantic-only docs still get their exact cosine, via a
+    # broadcast INNER probe of the embeddings scan (broadcasting the
+    # preserved side of an outer join is unsupported — Spark would fall
+    # back to shuffling the full table); the subsequent outer joins are
+    # tiny-vs-tiny (<= 2*pool rows each side) with the right side
+    # broadcast. Docs missing an embedding fall back to sem = 0.
+    sem_cand = sem_scored.join(F.broadcast(cand), "doc_id")
+    fused = (
+        cand.join(F.broadcast(sem_cand), "doc_id", "left")
+        .join(F.broadcast(kw_pool), "doc_id", "left")
+        .crossJoin(F.broadcast(kw_max))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kw_raw") / F.col("kw_max"), F.lit(0.0)).alias("kw"),
+            F.coalesce(F.col("sem"), F.lit(0.0)).alias("sem"),
+        )
+        .withColumn(
+            "hybrid",
+            F.lit(1.0 - semantic_ratio) * F.col("kw")
+            + F.lit(semantic_ratio) * F.col("sem"),
+        )
+    )
+    return fused.orderBy(F.col("hybrid").desc(), F.col("doc_id")).limit(k)

@@ -1,0 +1,124 @@
+"""Q16 embedders -> hybrid (keyword + semantic) search: fusion
+semantics on a hand-checkable corpus, the semanticRatio endpoints
+(0 == pure BM25 rank, 1 == pure cosine rank), list-fusion zeroing for
+out-of-pool docs, missing/zero-norm embeddings, and argument
+validation. Reference surface: config/type.go:67,90 (embedders map),
+README.md AI-powered-search section."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    IndexConfig,
+)
+from meilibridge_spark.operators.hybrid import search_hybrid
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_index
+
+ROWS = [
+    (0, "spark join planning and shuffle"),
+    (1, "spark spark join join strategies"),
+    (2, "storage formats for wide tables"),
+    (3, "metrics and observability"),
+    (4, "join order statistics"),
+]
+# 2-d embeddings: doc 2 is nearest to the query vector (1, 0) despite
+# matching no keyword; doc 3 has a zero-norm vector; doc 4 has none.
+EMB = [
+    (0, [0.0, 1.0]),
+    (1, [0.5, 0.5]),
+    (2, [1.0, 0.05]),
+    (3, [0.0, 0.0]),
+]
+QV = [1.0, 0.0]
+
+CFG = IndexConfig(
+    index_name="hybrid-test",
+    primary_key=("doc_id",),
+    searchable_attributes=("text",),
+    analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    idx = build_index(df, CFG, doc_id_col="doc_id")
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    emb = spark.createDataFrame(
+        EMB, "vec_id long, embedding array<double>"
+    ).persist()
+    return idx, emb
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    return num / den
+
+
+def test_fusion_values(built):
+    idx, emb = built
+    rows = {
+        r["doc_id"]: r
+        for r in search_hybrid(
+            idx, emb, "spark join", QV, k=5, semantic_ratio=0.5, pool=5
+        ).collect()
+    }
+    kw_pool = search(idx, "spark join", k=5).collect()
+    kw_max = max(r["score"] for r in kw_pool)
+    kw_raw = {r["doc_id"]: r["score"] for r in kw_pool}
+    for d, r in rows.items():
+        want_kw = kw_raw.get(d, 0.0) / kw_max if d in kw_raw else 0.0
+        want_sem = 0.0
+        for vid, v in EMB:
+            if vid == d and any(v):
+                want_sem = (1.0 + _cos(QV, v)) / 2.0
+        assert r["kw"] == pytest.approx(want_kw, abs=1e-9), d
+        assert r["sem"] == pytest.approx(want_sem, abs=1e-9), d
+        assert r["hybrid"] == pytest.approx(
+            0.5 * want_kw + 0.5 * want_sem, abs=1e-9
+        ), d
+    # semantic-only doc 2 surfaces with kw == 0
+    assert rows[2]["kw"] == 0.0 and rows[2]["sem"] > 0.9
+    # zero-norm doc 3 and embedding-less doc 4: sem == 0 (they can only
+    # appear through the keyword pool)
+    for d in (3, 4):
+        if d in rows:
+            assert rows[d]["sem"] == 0.0
+
+
+def test_ratio_endpoints(built):
+    idx, emb = built
+    kw_order = [r["doc_id"] for r in search(idx, "spark join", k=3).collect()]
+    got0 = [
+        r["doc_id"]
+        for r in search_hybrid(
+            idx, emb, "spark join", QV, k=3, semantic_ratio=0.0, pool=5
+        ).collect()
+    ]
+    assert got0 == kw_order
+    got1 = [
+        r["doc_id"]
+        for r in search_hybrid(
+            idx, emb, "spark join", QV, k=3, semantic_ratio=1.0, pool=5
+        ).collect()
+    ]
+    sem_rank = sorted(
+        ((vid, (1 + _cos(QV, v)) / 2) for vid, v in EMB if any(v)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got1 == [vid for vid, _ in sem_rank[:3]]
+
+
+def test_validation(built):
+    idx, emb = built
+    with pytest.raises(ValueError, match="semantic_ratio"):
+        search_hybrid(idx, emb, "spark", QV, semantic_ratio=1.5)
+    with pytest.raises(ValueError, match="pool"):
+        search_hybrid(idx, emb, "spark", QV, k=20, pool=5)
