@@ -266,6 +266,46 @@ def _q_hybrid(terms_text: str, k: int, ratio: float, pool: int, qvec_id: int):
     return run
 
 
+_HYBRID_BATCH_SPECS = [
+    ("hq0", "spark join table", 3),
+    ("hq1", "customer window", 11),
+    ("hq2", "zzzmissing merge", 19),
+]
+
+
+def _q_hybrid_batch(specs: "list[tuple[str, str, int]]", k: int, ratio: float, pool: int):
+    """Batch hybrid fusion: M queries in ONE job, rank-identical per
+    query to the single path (specs: (query_id, terms, query_vec_id))."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vids = sorted({vid for _, _, vid in specs})
+        vrows = {
+            r["vec_id"]: list(r["embedding"])
+            for r in emb.filter(F.col("vec_id").isin(vids)).collect()
+        }
+        qs = [(qid, terms) for qid, terms, _ in specs]
+        vecs = {qid: vrows[vid] for qid, _, vid in specs}
+        hits = search_hybrid_many(
+            idx, emb, qs, vecs, k=k, semantic_ratio=ratio, pool=pool
+        )
+        return hits.select(
+            "query_id",
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    return run
+
+
 def _view_index(spark: SparkSession, sf_dir: str):
     """S25 view indirection: the indexed 'collection' is a JOIN VIEW
     over orders ⋈ customer ⋈ nation (the reference's user_books
@@ -1022,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_plan": _q_mm_frame_plan,
         # ---- entries 51+: secondary variants (see ORDERING CONTRACT) --
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
+        "ft_hybrid_batch": _q_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1080,6 +1121,66 @@ assign AS (
 )"""
 
 
+def _sql_hybrid_batch(
+    specs: "list[tuple[str, str, int]]", k: int, ratio: float, pool: int
+) -> str:
+    """Batch analog of the ft_hybrid oracle: per-query fusion CTEs over
+    the shared tokenization, ranks assigned within each query."""
+    wk, ws = repr(1.0 - ratio), repr(ratio)
+    parts, selects = [], []
+    for qid, terms, vid in specs:
+        t = terms.split()
+        parts.append(_sql_score_cte(f"s_{qid}", t))
+        parts.append(
+            f"kwp_{qid} AS (SELECT doc_id, s FROM s_{qid} "
+            f"ORDER BY s DESC, doc_id LIMIT {pool})"
+        )
+        parts.append(f"kwm_{qid} AS (SELECT max(s) AS m FROM kwp_{qid})")
+        parts.append(
+            f"qv_{qid} AS (SELECT embedding AS qv FROM embeddings "
+            f"WHERE vec_id = {vid})"
+        )
+        parts.append(
+            f"""sem_{qid} AS (
+  SELECT doc_id, sem FROM (
+    SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
+    FROM embeddings e CROSS JOIN qv_{qid} q
+  ) t WHERE sem IS NOT NULL)"""
+        )
+        parts.append(
+            f"semp_{qid} AS (SELECT doc_id FROM sem_{qid} "
+            f"ORDER BY sem DESC, doc_id LIMIT {pool})"
+        )
+        parts.append(
+            f"cand_{qid} AS (SELECT doc_id FROM kwp_{qid} "
+            f"UNION SELECT doc_id FROM semp_{qid})"
+        )
+        parts.append(
+            f"""fused_{qid} AS (
+  SELECT c.doc_id,
+         coalesce(kp.s / (SELECT m FROM kwm_{qid}), 0.0) AS kw,
+         coalesce(sm.sem, 0.0) AS sem
+  FROM cand_{qid} c
+  LEFT JOIN kwp_{qid} kp USING (doc_id)
+  LEFT JOIN sem_{qid} sm USING (doc_id))"""
+        )
+        selects.append(
+            f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, doc_id,
+         round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
+         round({wk} * kw + {ws} * sem, 4)::DOUBLE AS hybrid,
+         row_number() OVER (
+           ORDER BY {wk} * kw + {ws} * sem DESC, doc_id)::INT AS rank
+  FROM fused_{qid}) t_{qid} WHERE rank <= {k}"""
+        )
+    return (
+        f"WITH {_sql_tok()},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fs = _sql_scores(["spark", "join"])
     return {
@@ -1116,6 +1217,7 @@ SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
        round(0.5 * kw + 0.5 * sem, 4)::DOUBLE AS hybrid
 FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
 """,
+        "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_words_rank": f"""
 WITH {_sql_tok()},
 scores AS (

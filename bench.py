@@ -14,6 +14,8 @@ Workloads:
                       (search_many) -> queries/sec
   query_wand          driver-side block-max WAND serving path, same
                       queries sequentially
+  query_hybrid        keyword+semantic fusion over the documents index
+                      and the embeddings table (semanticRatio blend)
 """
 
 from __future__ import annotations
@@ -148,6 +150,33 @@ def main() -> None:
     n_filtered_hits = search_many(idx, queries, k=10, filter_docs=filt).count()
     timings["query_batch_filtered"] = time.time() - t0
 
+    # --- hybrid keyword+semantic fusion (Q16 embedders): BM25 pools
+    # blended with cosine pools, whole batch in ONE job
+    from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+    t0 = time.time()
+    prepare_serving(didx)
+    timings["serve_prepare_docs"] = time.time() - t0
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    qvecs = [
+        list(r[0])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    hy_queries = [
+        "spark join table", "the data", "customer window vector merge",
+        "scan hash", "key order merge", "fast join", "table scan",
+        "window vector",
+    ]
+    hq = [(f"h{i}", q) for i, q in enumerate(hy_queries)]
+    hv = {f"h{i}": v for i, v in enumerate(qvecs)}
+    t0 = time.time()
+    hybrid_hits = search_hybrid_many(didx, emb, hq, hv, k=10, pool=30).count()
+    timings["query_hybrid"] = time.time() - t0
+
     # --- driver-side WAND serving path (DriverSearcher: dictionary
     # collected once; cold pass fills the postings cache, warm pass is
     # zero-Spark-job latency)
@@ -185,6 +214,10 @@ def main() -> None:
             len(queries) / timings["query_batch_filtered"], 2
         ),
         "filtered_batch_hits": n_filtered_hits,
+        "hybrid_queries_per_sec": round(
+            len(hy_queries) / timings["query_hybrid"], 2
+        ),
+        "hybrid_hits": hybrid_hits,
         "wand_cold_queries_per_sec": round(
             len(queries) / timings["query_wand_cold"], 2
         ),

@@ -15,7 +15,7 @@ from meilibridge_spark.config import (
     AnalyzerConfig,
     IndexConfig,
 )
-from meilibridge_spark.operators.hybrid import search_hybrid
+from meilibridge_spark.operators.hybrid import search_hybrid, search_hybrid_many
 from meilibridge_spark.operators.search import search
 from meilibridge_spark.plans.build import build_index
 
@@ -114,6 +114,36 @@ def test_ratio_endpoints(built):
         key=lambda t: (-t[1], t[0]),
     )
     assert got1 == [vid for vid, _ in sem_rank[:3]]
+
+
+def test_batch_matches_single(built):
+    idx, emb = built
+    queries = [
+        ("q0", "spark join"),
+        ("q1", "storage metrics"),
+        ("q2", "zzzabsent"),
+    ]
+    vecs = {"q0": QV, "q1": [0.0, 1.0], "q2": [0.7, 0.7]}
+    batch = search_hybrid_many(
+        idx, emb, queries, vecs, k=4, semantic_ratio=0.3, pool=5
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in queries:
+        single = search_hybrid(
+            idx, emb, text, vecs[qid], k=4, semantic_ratio=0.3, pool=5
+        ).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], qid
+        for g, s in zip(got, single):
+            assert g["hybrid"] == pytest.approx(s["hybrid"], abs=1e-12), qid
+
+
+def test_batch_validation(built):
+    idx, emb = built
+    with pytest.raises(ValueError, match="missing ids"):
+        search_hybrid_many(idx, emb, [("a", "spark")], {}, k=2, pool=5)
 
 
 def test_validation(built):
