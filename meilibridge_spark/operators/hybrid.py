@@ -28,7 +28,8 @@ ending in TakeOrdered (no global sort materialization); both pools are
 <= ``pool`` rows, so every later join broadcasts a tiny candidate set
 against the embeddings table — no wide shuffle anywhere. At 100 TB the
 semantic pool swaps to the IVF path (`similarity.ivf_topk`) behind the
-same fusion, which only changes step 2's plan.
+same fusion, which only changes step 2's plan —
+``search_hybrid_many(semantic="ivf")`` implements exactly that swap.
 """
 
 from __future__ import annotations
@@ -119,6 +120,11 @@ def search_hybrid_many(
     pool: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    semantic: str = "exact",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    centroids: "DataFrame | None" = None,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """Batch hybrid search, ONE Spark job for M queries ->
     (query_id, doc_id, kw, sem, hybrid, rank <= k).
@@ -139,11 +145,24 @@ def search_hybrid_many(
 
     ``query_vecs`` must map every query_id in ``queries``; queries and
     vectors are paired by id, not position.
+
+    ``semantic``: ``"exact"`` scores every embedding per query (the
+    brute-force pass above); ``"ivf"`` restricts scoring to the
+    query's ``n_probe`` nearest IVF lists — the 100 TB shape, where
+    the stored layout (``centroids`` from `ivf_train_kmeans` /
+    `ivf_centroids`, ``assigned`` partitioned by centroid_id) turns
+    the full scan into a centroid-id equi-join. With ``"ivf"``, a
+    keyword-only candidate outside the probed lists keeps sem = 0
+    (unprobed = unseen, standard ANN semantics); with
+    n_probe == n_centroids the output is rank-identical to exact
+    (tested).
     """
     if not 0.0 <= semantic_ratio <= 1.0:
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
     if pool < k:
         raise ValueError(f"pool ({pool}) must be >= k ({k})")
+    if semantic not in ("exact", "ivf"):
+        raise ValueError(f"semantic must be 'exact' or 'ivf', got {semantic!r}")
     missing = [qid for qid, _ in queries if qid not in query_vecs]
     if missing:
         raise ValueError(f"query_vecs missing ids: {missing}")
@@ -158,17 +177,43 @@ def search_hybrid_many(
     )
     kw_max = kw.groupBy("query_id").agg(F.max("kw_raw").alias("kw_max"))
 
-    sem_scored = (
-        emb.crossJoin(F.broadcast(qdf))
-        .select(
-            "query_id",
-            F.col(id_col).alias("doc_id"),
-            ((F.lit(1.0) + _cos(F.col(vec_col), F.col("qv"))) / F.lit(2.0)).alias(
-                "sem"
-            ),
+    if semantic == "ivf":
+        from meilibridge_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
         )
-        .filter(F.col("sem").isNotNull())
-    )
+
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(emb, n_centroids, id_col, vec_col)
+        )
+        if assigned is None:
+            assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
+        q_probe = qdf.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            _cos(F.col("qv"), F.col("centroid_vec")).alias("_pcos"),
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("_pcos").desc(), F.col("centroid_id")
+        )
+        probes = (
+            q_probe.withColumn("_rn", F.row_number().over(w_probe))
+            .filter(F.col("_rn") <= n_probe)
+            .select("query_id", "qv", "centroid_id")
+        )
+        base = assigned.join(F.broadcast(probes), "centroid_id")
+    else:
+        base = emb.crossJoin(F.broadcast(qdf))
+    sem_scored = base.select(
+        "query_id",
+        F.col(id_col).alias("doc_id"),
+        ((F.lit(1.0) + _cos(F.col(vec_col), F.col("qv"))) / F.lit(2.0)).alias(
+            "sem"
+        ),
+    ).filter(F.col("sem").isNotNull())
     w_sem = Window.partitionBy("query_id").orderBy(
         F.col("sem").desc(), F.col("doc_id")
     )

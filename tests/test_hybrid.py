@@ -140,6 +140,46 @@ def test_batch_matches_single(built):
             assert g["hybrid"] == pytest.approx(s["hybrid"], abs=1e-12), qid
 
 
+def test_batch_ivf_full_probe_matches_exact(built):
+    # probing every IVF list scores every embedding -> rank-identical
+    # to the exact semantic pass
+    idx, emb = built
+    queries = [("q0", "spark join"), ("q1", "zzzabsent")]
+    vecs = {"q0": QV, "q1": [0.6, 0.8]}
+    kw = dict(k=3, semantic_ratio=0.5, pool=5)
+    exact = search_hybrid_many(idx, emb, queries, vecs, **kw).collect()
+    ivf = search_hybrid_many(
+        idx, emb, queries, vecs, semantic="ivf",
+        n_centroids=3, n_probe=3, **kw
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    exact, ivf = sorted(exact, key=key), sorted(ivf, key=key)
+    assert [(r["query_id"], r["doc_id"]) for r in ivf] == [
+        (r["query_id"], r["doc_id"]) for r in exact
+    ]
+    for g, s in zip(ivf, exact):
+        assert g["hybrid"] == pytest.approx(s["hybrid"], abs=1e-12)
+
+
+def test_batch_ivf_single_probe(built):
+    # single-probe ANN: still k hits per query; every sem it reports
+    # is a true cosine (subset of the exact candidates)
+    idx, emb = built
+    queries = [("q0", "spark join")]
+    vecs = {"q0": QV}
+    rows = search_hybrid_many(
+        idx, emb, queries, vecs, k=3, pool=5,
+        semantic="ivf", n_centroids=3, n_probe=1,
+    ).collect()
+    assert len(rows) == 3
+    exact_sem = {
+        vid: (1 + _cos(QV, v)) / 2 for vid, v in EMB if any(v)
+    }
+    for r in rows:
+        if r["sem"] > 0:
+            assert r["sem"] == pytest.approx(exact_sem[r["doc_id"]], abs=1e-9)
+
+
 def test_batch_validation(built):
     idx, emb = built
     with pytest.raises(ValueError, match="missing ids"):
