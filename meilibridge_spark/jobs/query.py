@@ -13,6 +13,14 @@ served from the doc-shard cached layout):
   (qs.txt: one query per line; output: one JSON line per query;
   --filter-role rides the batch scatter-gather as a doc-shard bitmap;
   --mode applies only to single-query runs and errors in batch mode)
+
+Hybrid mode (keyword+semantic fusion, Q16 embedders analog):
+  ... query.py --index-dir ... --embeddings emb.parquet \
+      --query "spark join" --query-vec-id 7 [--semantic-ratio 0.5] \
+      [--pool 30] [--semantic exact|ivf]
+  (--query-vec "0.1,0.2,..." passes an already-embedded query inline;
+  batch: --queries-file lines become "vec_id<TAB>query text";
+  filters are keyword-path only and error with --embeddings)
 """
 
 from __future__ import annotations
@@ -35,6 +43,16 @@ def main() -> None:
                          "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet of (vec_id, embedding) -> hybrid fusion")
+    ap.add_argument("--query-vec", default=None,
+                    help="comma-separated query embedding (hybrid)")
+    ap.add_argument("--query-vec-id", type=int, default=None,
+                    help="query embedding looked up in --embeddings by vec_id")
+    ap.add_argument("--semantic-ratio", type=float, default=0.5)
+    ap.add_argument("--pool", type=int, default=30)
+    ap.add_argument("--semantic", choices=["exact", "ivf"], default="exact",
+                    help="semantic pool source: brute-force or probed IVF lists")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if not args.query and not args.queries_file:
@@ -58,6 +76,12 @@ def main() -> None:
 
     if args.filter_expr and args.filter_role:
         ap.error("--filter and --filter-role are mutually exclusive")
+    if args.embeddings and (args.filter_expr or args.filter_role or args.typo):
+        ap.error("--embeddings (hybrid) does not compose with filters/--typo")
+    if args.embeddings and args.query and not (
+        args.query_vec or args.query_vec_id is not None
+    ):
+        ap.error("hybrid --query needs --query-vec or --query-vec-id")
 
     spark = build_session("query", cores=args.cores)
     # attribute lists (filterable/sortable/...) are NOT hardcoded here:
@@ -76,6 +100,64 @@ def main() -> None:
                 F.col("role") == args.filter_role
             ).select("doc_id")
         return None
+
+    if args.embeddings:
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+        emb = spark.read.parquet(args.embeddings)
+
+        def vec_by_id(vid: int) -> "list[float]":
+            row = emb.filter(F.col("vec_id") == vid).select("embedding").head()
+            if row is None:
+                ap.error(f"vec_id {vid} not found in {args.embeddings}")
+            return list(row[0])
+
+        hk = dict(
+            k=args.k, semantic_ratio=args.semantic_ratio, pool=args.pool
+        )
+        if args.queries_file:
+            batch, vecs = [], {}
+            with open(args.queries_file) as f:
+                for i, line in enumerate(line.strip() for line in f):
+                    if not line:
+                        continue
+                    vid, _, text = line.partition("\t")
+                    qid = f"q{i:05d}"
+                    batch.append((qid, text))
+                    vecs[qid] = vec_by_id(int(vid))
+            prepare_serving(index)
+            rows = search_hybrid_many(
+                index, emb, batch, vecs, semantic=args.semantic, **hk
+            ).collect()
+            hits = {qid: [] for qid, _ in batch}
+            for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+                hits[r["query_id"]].append(
+                    {"doc_id": r["doc_id"], "hybrid": round(r["hybrid"], 6),
+                     "kw": round(r["kw"], 6), "sem": round(r["sem"], 6)}
+                )
+            for qid, text in batch:
+                print(json.dumps(
+                    {"query_id": qid, "query": text, "hits": hits[qid]}
+                ))
+            return
+        qv = (
+            [float(x) for x in args.query_vec.split(",")]
+            if args.query_vec
+            else vec_by_id(args.query_vec_id)
+        )
+        # single query rides the batch path so --semantic ivf applies
+        # uniformly (rank-identical to search_hybrid for "exact")
+        rows = search_hybrid_many(
+            index, emb, [("q", args.query)], {"q": qv},
+            semantic=args.semantic, **hk,
+        ).collect()
+        out = [
+            {"doc_id": r["doc_id"], "hybrid": round(r["hybrid"], 6),
+             "kw": round(r["kw"], 6), "sem": round(r["sem"], 6)}
+            for r in sorted(rows, key=lambda r: r["rank"])
+        ]
+        print(json.dumps({"query": args.query, "k": args.k, "hits": out}))
+        return
 
     if args.queries_file:
         with open(args.queries_file) as f:
