@@ -306,6 +306,37 @@ def _q_hybrid_batch(specs: "list[tuple[str, str, int]]", k: int, ratio: float, p
     return run
 
 
+def _q_matching_all(terms_text: str, k: int):
+    """matchingStrategy='all' (Meilisearch search param): only docs
+    matching EVERY query word qualify; BM25 order within them."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        hits = search(idx, terms_text, k=k, matching_strategy="all")
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _sql_matching_all(terms: "list[str]", k: int) -> str:
+    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return (
+        _sql_scores(terms)
+        + f""",
+ok AS (
+  SELECT doc_id FROM tf WHERE term IN {inlist}
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+)
+SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score
+FROM scores s JOIN ok USING (doc_id)
+ORDER BY s.s DESC, doc_id LIMIT {k}"""
+    )
+
+
 def _view_index(spark: SparkSession, sf_dir: str):
     """S25 view indirection: the indexed 'collection' is a JOIN VIEW
     over orders ⋈ customer ⋈ nation (the reference's user_books
@@ -1063,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries 51+: secondary variants (see ORDERING CONTRACT) --
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_hybrid_batch": _q_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
+        "ft_matching_all": _q_matching_all("spark join table", 20),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1218,6 +1250,7 @@ SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
 FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
 """,
         "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
+        "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
         "ft_words_rank": f"""
 WITH {_sql_tok()},
 scores AS (

@@ -109,6 +109,36 @@ def expand_query_terms(terms: list[str], cfg: AnalyzerConfig) -> list[str]:
     return out
 
 
+def query_word_groups(
+    query: str,
+    cfg: AnalyzerConfig,
+    expansions: "dict[str, list[str]] | None" = None,
+) -> "list[list[str]]":
+    """Per-word alternative groups for ``matching_strategy='all'``
+    (Meilisearch's matchingStrategy search param): one group per
+    distinct original token, holding the token, its synonyms, and the
+    typo ``expansions`` of the token and of each synonym. A document
+    satisfies 'all' iff EVERY group has at least one matching term —
+    alternates derived from a word stand in for that word, they don't
+    add requirements."""
+    syn = cfg.synonym_map()
+    exp = expansions or {}
+    groups: "list[list[str]]" = []
+    seen: set[str] = set()
+    for t in tokenize(query, cfg):
+        if t in seen:
+            continue
+        seen.add(t)
+        alts = [t, *syn.get(t, ())]
+        g = list(
+            dict.fromkeys(
+                alts + [c for a in alts for c in exp.get(a, ())]
+            )
+        )
+        groups.append(g)
+    return groups
+
+
 def parse_query(query: str, cfg: AnalyzerConfig) -> list[str]:
     """Tokenize a query string with the same analyzer as the index, then
     apply synonym expansion. Unique terms, first-seen order."""

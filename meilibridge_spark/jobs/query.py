@@ -43,6 +43,9 @@ def main() -> None:
                          "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
+    ap.add_argument("--matching-strategy", choices=["last", "all"],
+                    default="last",
+                    help="'all' = only docs matching every query word")
     ap.add_argument("--embeddings", default=None,
                     help="parquet of (vec_id, embedding) -> hybrid fusion")
     ap.add_argument("--query-vec", default=None,
@@ -170,7 +173,8 @@ def main() -> None:
         if filt is None:
             prepare_serving(index)  # shuffle-free only helps unfiltered
         rows = search_many(
-            index, batch, k=args.k, filter_docs=filt, typo=args.typo
+            index, batch, k=args.k, filter_docs=filt, typo=args.typo,
+            matching_strategy=args.matching_strategy,
         ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -182,6 +186,19 @@ def main() -> None:
         return
 
     query_text = args.query
+    if args.matching_strategy == "all":
+        # the batch path owns the word-group machinery (synonyms + typo
+        # alternates satisfying their word); singles ride it
+        rows = search_many(
+            index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
+            typo=args.typo, matching_strategy="all",
+        ).collect()
+        out = [
+            {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+            for r in sorted(rows, key=lambda r: r["rank"])
+        ]
+        print(json.dumps({"query": args.query, "k": args.k, "hits": out}))
+        return
     if args.typo:
         from meilibridge_spark.functions.tokenizer import parse_query
         from meilibridge_spark.operators.search import typo_expand_terms

@@ -157,6 +157,8 @@ def search(
     attribute_rank: bool = False,
     exact_terms: "list[str] | None" = None,
     exactness_rank: bool = False,
+    matching_strategy: str = "last",
+    word_groups: "list[list[str]] | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
     [, matched_exact][, best_attr][, exact_form]).
@@ -198,6 +200,10 @@ def search(
             "attribute_rank requires an index built with "
             "with_attributes=True (operators/attrs.py)"
         )
+    if matching_strategy not in ("last", "all"):
+        raise ValueError(
+            f"matching_strategy must be 'last' or 'all', got {matching_strategy!r}"
+        )
     q_terms = parse_query(query, index.cfg.analyzer)
     idf_map = _idf_map(index, q_terms)
     spark = index.postings.sparkSession
@@ -205,6 +211,23 @@ def search(
         return spark.createDataFrame(
             [], "doc_id long, score double, matched_terms int"
         )
+    groups: "list[list[str]] | None" = None
+    if matching_strategy == "all":
+        from meilibridge_spark.functions.tokenizer import query_word_groups
+
+        groups = (
+            word_groups
+            if word_groups is not None
+            else query_word_groups(query, index.cfg.analyzer)
+        )
+        present = set(idf_map)
+        groups = [[t for t in g if t in present] for g in groups]
+        if any(not g for g in groups):
+            # a word with no indexed alternates can never be satisfied
+            return spark.createDataFrame(
+                [], "doc_id long, score double, matched_terms int"
+            )
+        groups = groups or None
     rows = candidate_rows(index, list(idf_map))
     if filter_docs is not None:
         # no forced broadcast: a filterable-attribute set can be a large
@@ -253,7 +276,21 @@ def search(
             .cast("int")
             .alias("exact_form")
         )
+    if groups is not None:
+        # matching_strategy='all': per word group, did ANY alternate
+        # match this doc? (group satisfied = max over its terms)
+        for i, g in enumerate(groups):
+            aggs.append(
+                F.max(F.when(F.col("term").isin(g), 1).otherwise(0)).alias(
+                    f"_wg{i}"
+                )
+            )
     agg = scored.groupBy("doc_id").agg(*aggs)
+    if groups is not None:
+        cond = F.lit(True)
+        for i in range(len(groups)):
+            cond = cond & (F.col(f"_wg{i}") == 1)
+        agg = agg.filter(cond).drop(*[f"_wg{i}" for i in range(len(groups))])
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     # reference rule order words > typo > attribute > exactness composes
     # by inserting in REVERSE priority at the head
@@ -349,6 +386,7 @@ def _score_shard(
     per_attr: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
+    require_groups: "dict[str, list[list[str]]] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -418,6 +456,20 @@ def _score_shard(
             if not touched[qi]:
                 continue
             row = scores[qi]
+            if require_groups is not None:
+                # matching_strategy='all': zero out docs missing any
+                # word group BEFORE local top-k (a shard-local doc
+                # filter — exactness of the scatter-gather unaffected)
+                groups = require_groups[qkey]
+                gsat = np.zeros(shard_range, dtype=np.int16)
+                for g in groups:
+                    pres = np.zeros(shard_range, dtype=bool)
+                    for t in g:
+                        hit = per_term.get(t)
+                        if hit is not None and hit[0].size:
+                            pres[hit[0]] = True
+                    gsat += pres
+                row = np.where(gsat >= len(groups), row, 0.0)
             pos = np.flatnonzero(row)
             vals = row[pos]
             if extras_only_score:
@@ -475,6 +527,7 @@ def _make_shard_scorer(
     track_matched: bool = False,
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
+    require_groups: "dict[str, list[list[str]]] | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -519,7 +572,7 @@ def _make_shard_scorer(
             )
             out_q, out_d, out_s, extras = _score_shard(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-                track_matched, per_attr, attr_rank, exact_sets,
+                track_matched, per_attr, attr_rank, exact_sets, require_groups,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -539,6 +592,7 @@ def _make_filtered_shard_scorer(
     track_matched: bool = False,
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
+    require_groups: "dict[str, list[list[str]]] | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
     (Q7 semantics in the batch path): key = doc-shard; left = the
@@ -583,7 +637,7 @@ def _make_filtered_shard_scorer(
         )
         out_q, out_d, out_s, extras = _score_shard(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-            track_matched, per_attr, attr_rank, exact_sets,
+            track_matched, per_attr, attr_rank, exact_sets, require_groups,
         )
         if not out_q:
             return empty
@@ -604,6 +658,7 @@ def search_many(
     attribute_rank: bool = False,
     exactness_rank: bool = False,
     exact_terms: "dict[str, list[str]] | None" = None,
+    matching_strategy: str = "last",
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, best_attr]
@@ -631,6 +686,18 @@ def search_many(
     each expanded term scores with its own idf exactly as in
     ``search_typo`` (rank-identical, tested).
 
+    ``matching_strategy`` (Meilisearch's matchingStrategy search
+    param): ``"last"`` = the default OR semantics ranked by
+    ``words_rank`` (our documented analog of Meilisearch's
+    drop-words-from-the-end); ``"all"`` = only documents matching
+    EVERY query word qualify, where a word is satisfied by itself, a
+    synonym, or (with ``typo=True``) a typo alternate — the word-group
+    mask is applied shard-locally before the local top-k, so the
+    scatter-gather stays exact. A query containing a word with no
+    indexed alternates returns zero hits (dropped from the plan before
+    the job). Rank-identical to the single-path ``search(...,
+    matching_strategy='all')`` contract (tested).
+
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates for EVERY query in the batch (Q7 filterable attributes,
     config/type.go:62); BM25 stats stay corpus-global. The filter rides
@@ -655,6 +722,11 @@ def search_many(
     which a two-level (salted) merge handles the same way.
     """
     k = k or index.cfg.max_total_hits
+    if matching_strategy not in ("last", "all"):
+        raise ValueError(
+            "matching_strategy must be 'last' or 'all', "
+            f"got {matching_strategy!r}"
+        )
     if words_rank is None:
         words_rank = index.cfg.words_ranking
     if attribute_rank and index.attrs is None:
@@ -687,7 +759,10 @@ def search_many(
     key_of: dict[str, str] = {}
     key_terms: dict[str, tuple[str, ...]] = {}
     exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
-    for qid, _ in queries:
+    group_sets: "dict[str, list[list[str]]]" = {}
+    if matching_strategy == "all":
+        from meilibridge_spark.functions.tokenizer import query_word_groups
+    for qid, qtext in queries:
         terms = list(dict.fromkeys(parsed[qid]))
         if exp_map:
             for t in list(terms):
@@ -701,6 +776,14 @@ def search_many(
             # forms must not dedup onto one key
             key += "\x01" + ",".join(sorted(exact_of[qid]))
             exact_sets[key] = exact_of[qid]
+        if matching_strategy == "all":
+            # same term set but different word-group structure must not
+            # dedup either (the groups drive the 'all' constraint)
+            gq = query_word_groups(
+                qtext, index.cfg.analyzer, expansions=exp_map or None
+            )
+            key += "\x02" + "|".join(",".join(sorted(g)) for g in gq)
+            group_sets[key] = gq
         key_of[qid] = key
         key_terms[key] = terms
     all_terms = sorted({t for ts in key_terms.values() for t in ts})
@@ -710,6 +793,22 @@ def search_many(
         for key, ts in key_terms.items()
     ]
     plan = [(key, terms) for key, terms in plan if terms]
+    require_groups: "dict[str, list[list[str]]] | None" = None
+    if matching_strategy == "all":
+        present = set(idf_map)
+        require_groups = {}
+        unsatisfiable: set = set()
+        for key, gq in group_sets.items():
+            fg = [[t for t in g if t in present] for g in gq]
+            if any(not g for g in fg):
+                # a word with zero indexed alternates: the query can
+                # never be satisfied — drop it from the plan entirely
+                unsatisfiable.add(key)
+            else:
+                require_groups[key] = fg
+        plan = [
+            (key, terms) for key, terms in plan if key not in unsatisfiable
+        ]
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
     # rule order words > (typo: single-path only) > attribute > exactness
     rank_cols: "list[tuple[str, str, bool]]" = []
@@ -734,6 +833,7 @@ def search_many(
         track_matched=words_rank,
         attr_rank=attribute_rank,
         exact_sets=exact_sets,
+        require_groups=require_groups,
     )
 
     if filter_docs is not None:
