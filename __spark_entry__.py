@@ -306,6 +306,42 @@ def _q_hybrid_batch(specs: "list[tuple[str, str, int]]", k: int, ratio: float, p
     return run
 
 
+def _q_highlight(terms: "list[str]", k: int):
+    """attributesToHighlight analog: _formatted text of the top-k hits
+    (standalone term occurrences wrapped, case-insensitive, original
+    case preserved)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.config import ASCII_TOKEN_PATTERN
+        from meilibridge_spark.operators.relational import highlight_hits
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hits = search(idx, " ".join(terms), k=k)
+        return highlight_hits(
+            hits, docs, terms, token_pattern=ASCII_TOKEN_PATTERN, hit_bound=k
+        ).select(
+            "doc_id", F.round("score", 4).alias("score"), "_formatted_text"
+        )
+
+    return run
+
+
+def _sql_highlight(terms: "list[str]", k: int) -> str:
+    alts = "|".join(sorted(terms, key=len, reverse=True))
+    return (
+        _sql_scores(terms)
+        + f"""SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score,
+       regexp_replace(d.text, '\\b({alts})\\b', '<em>\\1</em>', 'gi')
+         AS _formatted_text
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.s DESC, s.doc_id LIMIT {k}"""
+    )
+
+
 def _q_matching_all(terms_text: str, k: int):
     """matchingStrategy='all' (Meilisearch search param): only docs
     matching EVERY query word qualify; BM25 order within them."""
@@ -1095,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_hybrid_batch": _q_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_matching_all": _q_matching_all("spark join table", 20),
+        "ft_highlight": _q_highlight(["spark", "join"], 5),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1251,6 +1288,7 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
 """,
         "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
+        "ft_highlight": _sql_highlight(["spark", "join"], 5),
         "ft_words_rank": f"""
 WITH {_sql_tok()},
 scores AS (

@@ -185,3 +185,61 @@ def display(
     return hits_with_docs(hits, docs, list(attrs), hit_bound).select(
         "doc_id", *attrs, "score"
     )
+
+
+def _boundary_class(token_pattern: str) -> str:
+    """Char class for highlight word boundaries, derived from the
+    analyzer's token pattern when it is a plain ``[...]+`` class
+    (both default patterns are); else the \\w fallback."""
+    import re as _re
+
+    m = _re.fullmatch(r"\[(.+)\]\+", token_pattern)
+    return m.group(1) if m else r"\w"
+
+
+def highlight_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: "list[str]",
+    attributes: "tuple[str, ...]" = ("text",),
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    token_pattern: str = r"[^\W_]+",
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Meilisearch ``attributesToHighlight`` analog (the ``_formatted``
+    response object): wrap every standalone occurrence of a query term
+    in ``pre_tag``/``post_tag`` inside each requested attribute ->
+    hits' columns + one ``_formatted_<attr>`` per attribute.
+
+    ``query_terms``: the analyzed (and synonym/typo-expanded, if the
+    caller expanded) term list — pass ``parse_query(query, analyzer)``;
+    expanded alternates highlight like Meilisearch's derived matches.
+    Matching is case-insensitive (the analyzer lowercases) and bounded
+    by the analyzer's token class on both sides, so 'join' does not
+    highlight inside 'joining'. One JVM regexp_replace per attribute —
+    no UDFs, scales with the hits⋈docs join it rides on.
+    """
+    import re as _re
+
+    joined = hits_with_docs(hits, docs, list(attributes), hit_bound)
+    terms = [t for t in dict.fromkeys(query_terms) if t]
+    if not terms:
+        for a in attributes:
+            joined = joined.withColumn(f"_formatted_{a}", F.col(a))
+        return joined
+    cls = _boundary_class(token_pattern)
+    alts = "|".join(
+        _re.escape(t) for t in sorted(terms, key=len, reverse=True)
+    )
+    pat = f"(?i)(?<![{cls}])({alts})(?![{cls}])"
+    repl = (
+        pre_tag.replace("\\", "\\\\").replace("$", "\\$")
+        + "$1"
+        + post_tag.replace("\\", "\\\\").replace("$", "\\$")
+    )
+    for a in attributes:
+        joined = joined.withColumn(
+            f"_formatted_{a}", F.regexp_replace(F.col(a), pat, repl)
+        )
+    return joined

@@ -355,3 +355,45 @@ def test_ivf_kmeans_training(spark, emb):
     ]
     assert len(counts) == 8 and min(counts) > 0
     assert max(counts) <= 4 * min(counts)
+
+
+def test_highlight_hits(spark):
+    from meilibridge_spark.config import ASCII_TOKEN_PATTERN
+    from meilibridge_spark.operators.relational import highlight_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Spark joins and sparkly joining"),
+            (1, "no match here"),
+            (2, "JOIN spark join"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1.0), (1, 0.5), (2, 0.9)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["_formatted_text"]
+        for r in highlight_hits(
+            hits, docs, ["spark", "join"],
+            token_pattern=ASCII_TOKEN_PATTERN, hit_bound=3,
+        ).collect()
+    }
+    # case preserved, case-insensitive match, token-bounded (no
+    # highlight inside 'sparkly'/'joining')
+    assert out[0] == "<em>Spark</em> joins and sparkly joining"
+    assert out[1] == "no match here"
+    assert out[2] == "<em>JOIN</em> <em>spark</em> <em>join</em>"
+
+
+def test_highlight_empty_terms_and_tags(spark):
+    from meilibridge_spark.operators.relational import highlight_hits
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    hits = spark.createDataFrame([(0, 1.0)], "doc_id long, score double")
+    out = highlight_hits(hits, docs, [], hit_bound=1).collect()
+    assert out[0]["_formatted_text"] == "a b c"
+    out2 = highlight_hits(
+        hits, docs, ["b"], pre_tag="**", post_tag="**", hit_bound=1
+    ).collect()
+    assert out2[0]["_formatted_text"] == "a **b** c"
