@@ -496,14 +496,67 @@ def _q_filtered_batch(qs: "list[tuple[str, str]]", k: int, lang: str):
     return run
 
 
-def _q_facet(terms_text: str, attr: str):
+def _q_facet(terms_text: str, attr: str, sort_by: str = "alpha"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from meilibridge_spark.operators.relational import facet_counts
 
         idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
-        return facet_counts(hits, idx.docs, attr)
+        return facet_counts(hits, idx.docs, attr, sort_by=sort_by)
 
     return run
+
+
+def _q_crop(terms: "list[str]", k: int, crop_length: int):
+    """attributesToCrop/cropLength analog: crop_length-word window
+    around the first query-term match, crop markers on truncated
+    sides."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.relational import crop_hits
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hits = search(idx, " ".join(terms), k=k)
+        return crop_hits(
+            hits, docs, terms, crop_length=crop_length, hit_bound=k
+        ).select(
+            "doc_id", F.round("score", 4).alias("score"), "_cropped_text"
+        )
+
+    return run
+
+
+def _sql_crop(terms: "list[str]", k: int, crop_length: int) -> str:
+    half, last = crop_length // 2, crop_length - 1
+    anchor = "least(" + ", ".join(
+        f"nullif(coalesce(list_position(lw, '{t}'), 0), 0)" for t in terms
+    ) + ")" if len(terms) > 1 else (
+        f"nullif(coalesce(list_position(lw, '{terms[0]}'), 0), 0)"
+    )
+    return (
+        _sql_scores(terms)
+        + f""",
+base AS (
+  SELECT s.doc_id, s.s, string_split(d.text, ' ') AS w,
+         list_transform(string_split(d.text, ' '), x -> lower(x)) AS lw
+  FROM scores s JOIN documents d USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, s, w, len(w) AS n,
+         least(greatest(1, coalesce({anchor}, 1) - {half}),
+               greatest(1, len(w) - {last})) AS start
+  FROM base
+)
+SELECT doc_id, round(s, 4)::DOUBLE AS score,
+       (CASE WHEN start > 1 THEN '…' ELSE '' END)
+       || array_to_string(list_slice(w, start, start + {last}), ' ')
+       || (CASE WHEN start + {last} < n THEN '…' ELSE '' END)
+         AS _cropped_text
+FROM pos ORDER BY s DESC, doc_id LIMIT {k}"""
+    )
 
 
 def _q_filter_expr(terms_text: str, k: int, expr: str):
@@ -1132,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_batch": _q_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_matching_all": _q_matching_all("spark join table", 20),
         "ft_highlight": _q_highlight(["spark", "join"], 5),
+        "ft_crop": _q_crop(["spark", "join"], 5, 8),
+        "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1289,6 +1344,13 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
         "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
         "ft_highlight": _sql_highlight(["spark", "join"], 5),
+        "ft_crop": _sql_crop(["spark", "join"], 5, 8),
+        "ft_facet_count_order": (
+            fs
+            + "SELECT d.lang, count(*)::BIGINT AS count "
+            "FROM scores s JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang ORDER BY count(*) DESC, d.lang LIMIT 100"
+        ),
         "ft_words_rank": f"""
 WITH {_sql_tok()},
 scores AS (

@@ -55,20 +55,31 @@ def facet_counts(
     attr: str,
     max_values: int = 100,
     hit_bound: "int | None" = None,
+    sort_by: str = "alpha",
 ) -> DataFrame:
-    """Q8: per-facet value counts over matching docs, <= max_values,
-    lexicographic (faceting.max_values_per_facet, config/type.go:86-88).
+    """Q8: per-facet value counts over matching docs, <= max_values
+    (faceting.max_values_per_facet, config/type.go:86-88).
+
+    ``sort_by``: Meilisearch sortFacetValuesBy — 'alpha' (default,
+    lexicographic) or 'count' (count desc, value asc tie-break).
 
     Counts need only doc identity, so the hit set is projected down to
     ``doc_id`` before the join — the shuffle moves 8-byte keys, not
     scores, and the post-join aggregation is a map-side-combined count.
     """
+    if sort_by not in ("alpha", "count"):
+        raise ValueError(f"sort_by must be 'alpha' or 'count', got {sort_by!r}")
+    order = (
+        [F.col(attr).asc()]
+        if sort_by == "alpha"
+        else [F.col("count").desc(), F.col(attr).asc()]
+    )
     ids = _maybe_broadcast(hits.select("doc_id"), hit_bound)
     return (
         ids.join(docs.select("doc_id", attr), "doc_id")
         .groupBy(attr)
         .agg(F.count("*").alias("count"))
-        .orderBy(F.col(attr).asc())
+        .orderBy(*order)
         .limit(max_values)
     )
 
@@ -241,5 +252,55 @@ def highlight_hits(
     for a in attributes:
         joined = joined.withColumn(
             f"_formatted_{a}", F.regexp_replace(F.col(a), pat, repl)
+        )
+    return joined
+
+
+def crop_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: "list[str]",
+    attributes: "tuple[str, ...]" = ("text",),
+    crop_length: int = 10,
+    crop_marker: str = "…",
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Meilisearch ``attributesToCrop``/``cropLength`` analog: per
+    requested attribute, a ``_cropped_<attr>`` column holding a
+    ``crop_length``-word window centered on the FIRST query-term match
+    (case-insensitive whole-word equality), clamped to the text, with
+    ``crop_marker`` on each truncated side. No match (or no terms) ->
+    the leading ``crop_length`` words. Documented simplification of
+    Meilisearch's multi-match balancing; pure Catalyst array ops
+    (split/transform/array_position/slice) — no UDFs.
+    """
+    if crop_length < 1:
+        raise ValueError(f"crop_length must be >= 1, got {crop_length}")
+    joined = hits_with_docs(hits, docs, list(attributes), hit_bound)
+    terms = [t.lower() for t in dict.fromkeys(query_terms) if t]
+    for a in attributes:
+        words = F.split(F.col(a), r"\s+")
+        n = F.size(words)
+        lower = F.transform(words, lambda w: F.lower(w))
+        if terms:
+            # first 1-based match position; array_position = 0 when
+            # absent -> NULLed out of least()
+            first = F.least(
+                *[F.nullif(F.array_position(lower, t), F.lit(0)) for t in terms]
+            ) if len(terms) > 1 else F.nullif(
+                F.array_position(lower, terms[0]), F.lit(0)
+            )
+        else:
+            first = F.lit(None).cast("int")
+        anchor = F.coalesce(first, F.lit(1))
+        start = F.greatest(F.lit(1), anchor - F.lit(crop_length // 2))
+        start = F.least(start, F.greatest(F.lit(1), n - F.lit(crop_length - 1)))
+        body = F.array_join(F.slice(words, start, crop_length), " ")
+        pre = F.when(start > 1, F.lit(crop_marker)).otherwise(F.lit(""))
+        post = F.when(
+            start + F.lit(crop_length - 1) < n, F.lit(crop_marker)
+        ).otherwise(F.lit(""))
+        joined = joined.withColumn(
+            f"_cropped_{a}", F.concat(pre, body, post)
         )
     return joined

@@ -397,3 +397,67 @@ def test_highlight_empty_terms_and_tags(spark):
         hits, docs, ["b"], pre_tag="**", post_tag="**", hit_bound=1
     ).collect()
     assert out2[0]["_formatted_text"] == "a **b** c"
+
+
+def test_crop_hits(spark):
+    from meilibridge_spark.operators.relational import crop_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 SPARK w6 w7 w8 w9 w10"),
+            (1, "no match in this longer text at all really truly"),
+            (2, "spark starts here"),
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(i, 1.0) for i in range(4)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["_cropped_text"]
+        for r in crop_hits(
+            hits, docs, ["spark"], crop_length=4, hit_bound=4
+        ).collect()
+    }
+    # match at word 5 -> window [3..6], markers both sides
+    assert out[0] == "…w3 w4 SPARK w6…"
+    # no match -> leading words + trailing marker
+    assert out[1] == "no match in this…"
+    # match at word 1 -> window clamps to start
+    assert out[2] == "spark starts here"
+    # text shorter than crop_length -> unchanged, no markers
+    assert out[3] == "short text"
+
+
+def test_crop_validation(spark):
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import crop_hits
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    hits = spark.createDataFrame([(0, 1.0)], "doc_id long, score double")
+    with _pytest.raises(ValueError, match="crop_length"):
+        crop_hits(hits, docs, ["a"], crop_length=0)
+
+
+def test_facet_sort_by_count(spark):
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import facet_counts
+
+    docs = spark.createDataFrame(
+        [(0, "de"), (1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (5, "fr")],
+        "doc_id long, lang string",
+    )
+    hits = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)], "doc_id long, score double"
+    )
+    rows = facet_counts(
+        hits, docs, "lang", sort_by="count", hit_bound=6
+    ).collect()
+    assert [(r["lang"], r["count"]) for r in rows] == [
+        ("fr", 3), ("en", 2), ("de", 1),
+    ]
+    with _pytest.raises(ValueError, match="sort_by"):
+        facet_counts(hits, docs, "lang", sort_by="size")
