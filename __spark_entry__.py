@@ -790,6 +790,16 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_field_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27 stats introspection: Meilisearch fieldDistribution analog
+    (per-field present-document counts from GET /indexes/{uid}/stats)."""
+    from meilibridge_spark.operators.docs import field_distribution
+
+    return field_distribution(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: equality predicate + limit 1 — pushed to the parquet scan."""
     from pyspark.sql import functions as F
@@ -1194,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
         "ft_doc_lengths": _q_doc_lengths,
+        "stats_fields": _q_field_distribution,
         "scan_count": _q_scan_count,
     }
 
@@ -1584,6 +1595,19 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
             "md5(string_agg(coalesce(text, ''), ' ' ORDER BY doc_id)) AS text_md5, "
             "count(*)::BIGINT AS n_members FROM documents GROUP BY source"
         ),
+        "stats_fields": """
+WITH c AS (
+  SELECT count(doc_id) AS doc_id, count(text) AS text, count(lang) AS lang,
+         count(source) AS source, count(n_chars) AS n_chars
+  FROM documents
+)
+SELECT 'doc_id' AS field, doc_id::BIGINT AS n_docs FROM c
+UNION ALL SELECT 'lang', lang FROM c
+UNION ALL SELECT 'n_chars', n_chars FROM c
+UNION ALL SELECT 'source', source FROM c
+UNION ALL SELECT 'text', text FROM c
+ORDER BY field
+""",
         "scan_count": "SELECT count(*)::BIGINT AS n FROM documents",
         "cdc_projection": (
             "SELECT event_id, user_id, ts, event_type FROM events "

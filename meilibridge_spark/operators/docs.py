@@ -267,6 +267,36 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "dl")
 
 
+def field_distribution(
+    df: DataFrame, fields: "tuple[str, ...] | None" = None
+) -> DataFrame:
+    """Meilisearch ``GET /indexes/{uid}/stats`` fieldDistribution analog
+    (the reference exposes index stats through the Meilisearch client it
+    wraps, S27 pkg/logger/logger.go + meilisearch-go Index.GetStats):
+    for every field, the number of documents where the field is PRESENT.
+    Parquet/DataFrame NULL is the analog of a missing JSON key.
+
+    Plan shape: ONE full-scan aggregation producing a single row of
+    per-field ``count(col)`` (map-side combinable partial aggs — only
+    num_partitions tiny rows move), then an explode of that one row
+    into (field, n_docs). 100 TB-safe: the cost is the column scan
+    itself, and only requested columns are read (column pruning).
+    """
+    cols = list(fields) if fields is not None else list(df.columns)
+    counts = df.agg(*[F.count(F.col(c)).alias(c) for c in cols])
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("field"), F.col(c).alias("n_docs"))
+            for c in cols
+        ]
+    )
+    return (
+        counts.select(F.explode(pairs).alias("fd"))
+        .select("fd.field", "fd.n_docs")
+        .orderBy("field")
+    )
+
+
 def corpus_stats(docs: DataFrame) -> "tuple[int, float]":
     """(N, avgdl) — one tiny agg (groupBy().agg, SURVEY §2C)."""
     row = docs.agg(

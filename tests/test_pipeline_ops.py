@@ -461,3 +461,21 @@ def test_facet_sort_by_count(spark):
     ]
     with _pytest.raises(ValueError, match="sort_by"):
         facet_counts(hits, docs, "lang", sort_by="size")
+
+
+def test_field_distribution_null_and_subset(spark):
+    """NULL is the missing-JSON-key analog: a NULL cell must not count
+    toward its field's document tally, and `fields=` restricts (and
+    orders the scan's ReadSchema to) the requested columns."""
+    from meilibridge_spark.operators.docs import field_distribution
+
+    docs = spark.createDataFrame(
+        [(0, "a", "en"), (1, None, "en"), (2, "c", None), (3, None, None)],
+        "doc_id long, text string, lang string",
+    )
+    rows = field_distribution(docs).collect()
+    assert [(r["field"], r["n_docs"]) for r in rows] == [
+        ("doc_id", 4), ("lang", 2), ("text", 2),
+    ]
+    sub = field_distribution(docs, fields=("lang",)).collect()
+    assert [(r["field"], r["n_docs"]) for r in sub] == [("lang", 2)]
