@@ -579,6 +579,16 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_facet_search(terms_text: str, attr: str, facet_query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.relational import facet_search
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
+        return facet_search(hits, idx.docs, attr, facet_query=facet_query)
+
+    return run
+
+
 def _q_facet_multi(terms_text: str, attrs: "tuple[str, ...]", max_values: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from meilibridge_spark.operators.relational import facet_distribution
@@ -1197,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highlight": _q_highlight(["spark", "join"], 5),
         "ft_crop": _q_crop(["spark", "join"], 5, 8),
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
+        "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1533,6 +1544,13 @@ SELECT facet, value, "count" FROM (
   FROM counts
 ) t WHERE rn <= 100
 """
+        ),
+        "ft_facet_search": (
+            fs
+            + "SELECT d.lang::VARCHAR AS value, count(*)::BIGINT AS count "
+            "FROM scores s JOIN documents d USING (doc_id) "
+            "WHERE d.lang IS NOT NULL AND lower(d.lang) LIKE 'e%' "
+            "GROUP BY d.lang ORDER BY value LIMIT 100"
         ),
         "ft_facet_stats": (
             fs

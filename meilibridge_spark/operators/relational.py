@@ -84,6 +84,57 @@ def facet_counts(
     )
 
 
+def facet_search(
+    hits: "DataFrame | None",
+    docs: DataFrame,
+    attr: str,
+    facet_query: "str | None" = None,
+    max_values: int = 100,
+    hit_bound: "int | None" = None,
+    sort_by: str = "alpha",
+) -> DataFrame:
+    """Q8 facet-value search (Meilisearch ``POST /indexes/{uid}/facet-search``):
+    facet values of ``attr`` whose string form starts with ``facet_query``
+    (case-insensitive, like Meilisearch's charabia-normalized match;
+    diacritic folding is out of scope for this ASCII corpus), each with
+    its matching-document count -> (value, count), <= ``max_values``
+    (the endpoint's hard 100-value cap is the caller's default).
+
+    ``hits=None`` is the no-``q`` form of the endpoint: values counted
+    over the whole index. With ``hits``, counts are restricted to the
+    matching docs exactly like :func:`facet_counts`.
+
+    Plan shape: the prefix predicate is applied to the doc side BEFORE
+    the join/aggregation, so non-matching values never reach the
+    shuffle; the count is map-side combinable and at most one value per
+    distinct facet value survives to the (tiny) ordered limit.
+    """
+    if sort_by not in ("alpha", "count"):
+        raise ValueError(f"sort_by must be 'alpha' or 'count', got {sort_by!r}")
+    vals = docs.select(
+        "doc_id", F.col(attr).cast("string").alias("value")
+    ).where(F.col("value").isNotNull())
+    if facet_query:
+        vals = vals.where(
+            F.lower(F.col("value")).startswith(facet_query.lower())
+        )
+    if hits is not None:
+        vals = _maybe_broadcast(hits.select("doc_id"), hit_bound).join(
+            vals, "doc_id"
+        )
+    order = (
+        [F.col("value").asc()]
+        if sort_by == "alpha"
+        else [F.col("count").desc(), F.col("value").asc()]
+    )
+    return (
+        vals.groupBy("value")
+        .agg(F.count("*").alias("count"))
+        .orderBy(*order)
+        .limit(max_values)
+    )
+
+
 def facet_distribution(
     hits: DataFrame,
     docs: DataFrame,

@@ -479,3 +479,30 @@ def test_field_distribution_null_and_subset(spark):
     ]
     sub = field_distribution(docs, fields=("lang",)).collect()
     assert [(r["field"], r["n_docs"]) for r in sub] == [("lang", 2)]
+
+
+def test_facet_search_prefix_and_whole_index(spark):
+    """Facet-value search: case-insensitive prefix match applied BEFORE
+    the aggregation; hits=None counts over the whole table (the no-q
+    endpoint form); sort_by='count' orders by count desc."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import facet_search
+
+    docs = spark.createDataFrame(
+        [(0, "En"), (1, "en"), (2, "es"), (3, "de"), (4, None), (5, "es")],
+        "doc_id long, lang string",
+    )
+    rows = facet_search(None, docs, "lang", facet_query="E").collect()
+    assert [(r["value"], r["count"]) for r in rows] == [
+        ("En", 1), ("en", 1), ("es", 2),
+    ]
+    hits = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (5, 1.0)], "doc_id long, score double"
+    )
+    sub = facet_search(
+        hits, docs, "lang", facet_query="e", hit_bound=3, sort_by="count"
+    ).collect()
+    assert [(r["value"], r["count"]) for r in sub] == [("es", 2), ("en", 1)]
+    with _pytest.raises(ValueError, match="sort_by"):
+        facet_search(None, docs, "lang", sort_by="size")
