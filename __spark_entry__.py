@@ -579,6 +579,25 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_search_on(terms_text: str, k: int, attrs: "tuple[str, ...]"):
+    """attributesToSearchOn: restrict matching to the named searchable
+    attributes (index flavor 'attr': searchable = (source, text))."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "attr")
+        return search(
+            idx, terms_text, k, attributes_to_search_on=attrs
+        ).select(
+            "doc_id", "matched_terms", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_facet_search(terms_text: str, attr: str, facet_query: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from meilibridge_spark.operators.relational import facet_search
@@ -1208,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_crop": _q_crop(["spark", "join"], 5, 8),
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
+        "ft_search_on": _q_search_on("src3 spark join", 15, ("text",)),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1545,6 +1565,33 @@ SELECT facet, value, "count" FROM (
 ) t WHERE rn <= 100
 """
         ),
+        "ft_search_on": f"""
+WITH attrdocs AS (
+  SELECT doc_id, source || ' ' || text AS text FROM documents
+),
+{_sql_tok(src="attrdocs")},
+allowed AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+scores AS (
+  SELECT tf.doc_id,
+         count(*)::INT AS matched,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN allowed USING (doc_id, term)
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('src3', 'spark', 'join')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, matched AS matched_terms, round(s, 4)::DOUBLE AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 15
+""",
         "ft_facet_search": (
             fs
             + "SELECT d.lang::VARCHAR AS value, count(*)::BIGINT AS count "

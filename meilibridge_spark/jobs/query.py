@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--matching-strategy", choices=["last", "all"],
                     default="last",
                     help="'all' = only docs matching every query word")
+    ap.add_argument("--search-on", default=None,
+                    help="attributesToSearchOn: comma-separated searchable "
+                         "attribute names restricting where terms may match "
+                         "(requires an index built with attr blocks)")
     ap.add_argument("--embeddings", default=None,
                     help="parquet of (vec_id, embedding) -> hybrid fusion")
     ap.add_argument("--query-vec", default=None,
@@ -79,8 +83,11 @@ def main() -> None:
 
     if args.filter_expr and args.filter_role:
         ap.error("--filter and --filter-role are mutually exclusive")
-    if args.embeddings and (args.filter_expr or args.filter_role or args.typo):
-        ap.error("--embeddings (hybrid) does not compose with filters/--typo")
+    if args.embeddings and (
+        args.filter_expr or args.filter_role or args.typo or args.search_on
+    ):
+        ap.error("--embeddings (hybrid) does not compose with "
+                 "filters/--typo/--search-on")
     if args.embeddings and args.query and not (
         args.query_vec or args.query_vec_id is not None
     ):
@@ -92,6 +99,14 @@ def main() -> None:
     # the manifest, so --filter enforcement is index-defined
     cfg = IndexConfig(index_name="transcripts")
     index = load_snapshot(spark, args.index_dir, cfg)
+    search_on = (
+        tuple(a.strip() for a in args.search_on.split(",") if a.strip())
+        if args.search_on
+        else None
+    )
+    if search_on is not None and index.attrs is None:
+        ap.error("--search-on requires an index built with attr blocks "
+                 "(build_index with_attributes=True)")
 
     def make_filter():
         if args.filter_expr:
@@ -175,6 +190,7 @@ def main() -> None:
         rows = search_many(
             index, batch, k=args.k, filter_docs=filt, typo=args.typo,
             matching_strategy=args.matching_strategy,
+            attributes_to_search_on=search_on,
         ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -192,6 +208,7 @@ def main() -> None:
         rows = search_many(
             index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
             typo=args.typo, matching_strategy="all",
+            attributes_to_search_on=search_on,
         ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
@@ -206,12 +223,18 @@ def main() -> None:
         query_text = " ".join(
             typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
         )
-    if mode == "wand" and not args.filter_role and not args.filter_expr:
+    if (
+        mode == "wand" and not args.filter_role and not args.filter_expr
+        and search_on is None
+    ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:
+        # --search-on routes to the DataFrame path (WAND's block-max
+        # bounds don't model the attribute restriction)
         rows = search(
-            index, query_text, args.k, filter_docs=make_filter()
+            index, query_text, args.k, filter_docs=make_filter(),
+            attributes_to_search_on=search_on,
         ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows

@@ -159,9 +159,20 @@ def search(
     exactness_rank: bool = False,
     matching_strategy: str = "last",
     word_groups: "list[list[str]] | None" = None,
+    attributes_to_search_on: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
     [, matched_exact][, best_attr][, exact_form]).
+
+    ``attributes_to_search_on`` (Meilisearch's attributesToSearchOn
+    search parameter): restrict matching to terms occurring in the
+    named searchable attributes — a (term, doc) pair qualifies iff its
+    attribute bitmask (operators/attrs.py) intersects the requested
+    set; requires with_attributes=True. Documented deviations: BM25
+    tf/dl stay those of the full concatenated searchable text (stats
+    are index-global, like filters), and dictionary compounds spanning
+    an attribute boundary carry no mask, so they never match under a
+    restriction.
 
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates (Q7 filterable attributes -> pre-score semi-join); BM25
@@ -200,6 +211,16 @@ def search(
             "attribute_rank requires an index built with "
             "with_attributes=True (operators/attrs.py)"
         )
+    search_on_mask: "int | None" = None
+    if attributes_to_search_on is not None:
+        if index.attrs is None:
+            raise ValueError(
+                "attributes_to_search_on requires an index built with "
+                "with_attributes=True (operators/attrs.py)"
+            )
+        from meilibridge_spark.operators.attrs import attrs_search_mask
+
+        search_on_mask = attrs_search_mask(index.cfg, attributes_to_search_on)
     if matching_strategy not in ("last", "all"):
         raise ValueError(
             f"matching_strategy must be 'last' or 'all', got {matching_strategy!r}"
@@ -235,13 +256,32 @@ def search(
         # joins) — AQE picks broadcast from the MEASURED filter size
         # when it is actually small
         rows = rows.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
-    if attribute_rank:
+    if attribute_rank or search_on_mask is not None:
+        # tf slot = attribute bitmask (operators/attrs.py); the Q11 rank
+        # is its lowest set bit: bit_count((m & -m) - 1) == ctz(m)
+        mask_col = F.col("tf")
+        if search_on_mask is not None:
+            mask_col = mask_col.bitwiseAND(F.lit(search_on_mask))
         attr_rows = decode_postings(
             index.attrs.filter(terms_in("term", list(idf_map)))
         ).select(
-            "term", "doc_id", (F.col("tf") - 1).alias("_attr_rank")
+            "term",
+            "doc_id",
+            F.bit_count(
+                mask_col.bitwiseAND(-mask_col) - F.lit(1)
+            ).alias("_attr_rank"),
+            mask_col.alias("_attr_mask"),
         )
-        rows = rows.join(attr_rows, ["term", "doc_id"], "left")
+        if search_on_mask is not None:
+            # inner restriction: only (term, doc) pairs whose mask
+            # intersects the requested attributes stay candidates
+            rows = rows.join(
+                attr_rows.filter(F.col("_attr_mask") != 0),
+                ["term", "doc_id"],
+            )
+        else:
+            rows = rows.join(attr_rows, ["term", "doc_id"], "left")
+        rows = rows.drop("_attr_mask")
     idf_expr = F.create_map(
         *[x for t, v in idf_map.items() for x in (F.lit(t), F.lit(v))]
     )
@@ -352,17 +392,30 @@ def _decode_shard_terms(
 
 
 def _decode_shard_attrs(
-    rows, base: int
+    rows, base: int, search_on_mask: "int | None" = None
 ) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
-    """Decode one shard's attribute-rank blocks (operators/attrs.py:
-    tf slot = best_attr_rank + 1): term -> (doc offsets, 0-based attr
-    ranks)."""
+    """Decode one shard's attribute-mask blocks (operators/attrs.py:
+    tf slot = attr bitmask): term -> (doc offsets, 0-based attr ranks).
+
+    With ``search_on_mask`` (attributesToSearchOn), masks are first
+    intersected with the requested subset and offsets whose
+    intersection is empty are DROPPED — the surviving offsets double as
+    the term's allowed-doc set for _restrict_terms_to_attrs, and the
+    rank is the best attribute WITHIN the subset."""
     per_attr: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
     for r in rows:
         d, t, _ = decode_block(
             r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
         )
-        o, ranks = d - base, t - 1
+        o = d - base
+        if search_on_mask is not None:
+            t = t & search_on_mask
+            keep = t != 0
+            o, t = o[keep], t[keep]
+            if not o.size:
+                continue
+        # ctz via the isolated lowest bit: log2 is exact on powers of 2
+        ranks = np.log2(t & -t).astype(np.int32)
         prev = per_attr.get(r.term)
         if prev is None:
             per_attr[r.term] = (o, ranks)
@@ -372,6 +425,31 @@ def _decode_shard_attrs(
                 np.concatenate((prev[1], ranks)),
             )
     return per_attr
+
+
+def _restrict_terms_to_attrs(
+    per_term: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    per_attr: "dict[str, tuple[np.ndarray, np.ndarray]]",
+    shard_range: int,
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """attributesToSearchOn in the batch path: keep only score postings
+    whose (term, doc) appears in the subset-filtered attr decode. One
+    dense bool per term per shard — cost O(shard_range) per term, paid
+    once per shard for the whole query batch. Terms absent from the
+    attr blocks (dictionary compounds spanning attribute boundaries)
+    have no allowed docs and drop entirely (documented deviation)."""
+    out: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    allow = np.zeros(shard_range, dtype=bool)
+    for term, (o, imp) in per_term.items():
+        a = per_attr.get(term)
+        if a is None or not a[0].size:
+            continue
+        allow[:] = False
+        allow[a[0]] = True
+        keep = allow[o]
+        if keep.any():
+            out[term] = (o[keep], imp[keep])
+    return out
 
 
 def _score_shard(
@@ -528,6 +606,7 @@ def _make_shard_scorer(
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
+    search_on_mask: "int | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -566,13 +645,20 @@ def _make_shard_scorer(
                 by_shard[shard], base, avgdl, k1, b, idf_map=idf_of
             )
             per_attr = (
-                _decode_shard_attrs(attr_by_shard.get(shard, ()), base)
-                if attr_rank
+                _decode_shard_attrs(
+                    attr_by_shard.get(shard, ()), base, search_on_mask
+                )
+                if attr_rank or search_on_mask is not None
                 else None
             )
+            if search_on_mask is not None:
+                per_term = _restrict_terms_to_attrs(
+                    per_term, per_attr, shard_range
+                )
             out_q, out_d, out_s, extras = _score_shard(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-                track_matched, per_attr, attr_rank, exact_sets, require_groups,
+                track_matched, per_attr if attr_rank else None, attr_rank,
+                exact_sets, require_groups,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -593,6 +679,7 @@ def _make_filtered_shard_scorer(
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
+    search_on_mask: "int | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
     (Q7 semantics in the batch path): key = doc-shard; left = the
@@ -631,13 +718,21 @@ def _make_filtered_shard_scorer(
             mask=mask, idf_map=idf_of,
         )
         per_attr = (
-            _decode_shard_attrs(attr_pdf.itertuples(index=False), base)
-            if attr_rank and attr_pdf is not None
+            _decode_shard_attrs(
+                attr_pdf.itertuples(index=False), base, search_on_mask
+            )
+            if (attr_rank or search_on_mask is not None)
+            and attr_pdf is not None
             else None
         )
+        if search_on_mask is not None:
+            per_term = _restrict_terms_to_attrs(
+                per_term, per_attr or {}, shard_range
+            )
         out_q, out_d, out_s, extras = _score_shard(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
-            track_matched, per_attr, attr_rank, exact_sets, require_groups,
+            track_matched, per_attr if attr_rank else None, attr_rank,
+            exact_sets, require_groups,
         )
         if not out_q:
             return empty
@@ -659,6 +754,7 @@ def search_many(
     exactness_rank: bool = False,
     exact_terms: "dict[str, list[str]] | None" = None,
     matching_strategy: str = "last",
+    attributes_to_search_on: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, best_attr]
@@ -698,6 +794,20 @@ def search_many(
     the job). Rank-identical to the single-path ``search(...,
     matching_strategy='all')`` contract (tested).
 
+    ``attributes_to_search_on`` (Meilisearch's attributesToSearchOn):
+    restrict matching for EVERY query in the batch to terms occurring
+    in the named searchable attributes. The attr-mask blocks ride the
+    same doc-shard exchange as for ``attribute_rank`` (bkind column);
+    per shard, each term's allowed-doc set is computed ONCE from its
+    subset-intersected mask and applied to the score postings before
+    the scatter-add, so the restriction costs one dense bool pass per
+    term per shard regardless of batch size. Same documented deviations
+    as the single path (index-global BM25 stats; boundary-spanning
+    dictionary compounds never match under a restriction), and
+    rank-identical to ``search(..., attributes_to_search_on=...)``
+    (tested). Composes with ``attribute_rank``: best_attr becomes the
+    best attribute WITHIN the requested subset.
+
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates for EVERY query in the batch (Q7 filterable attributes,
     config/type.go:62); BM25 stats stay corpus-global. The filter rides
@@ -734,6 +844,17 @@ def search_many(
             "attribute_rank requires an index built with "
             "with_attributes=True (operators/attrs.py)"
         )
+    search_on_mask: "int | None" = None
+    if attributes_to_search_on is not None:
+        if index.attrs is None:
+            raise ValueError(
+                "attributes_to_search_on requires an index built with "
+                "with_attributes=True (operators/attrs.py)"
+            )
+        from meilibridge_spark.operators.attrs import attrs_search_mask
+
+        search_on_mask = attrs_search_mask(index.cfg, attributes_to_search_on)
+    need_attr_blocks = attribute_rank or search_on_mask is not None
     spark = index.postings.sparkSession
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
@@ -834,12 +955,13 @@ def search_many(
         attr_rank=attribute_rank,
         exact_sets=exact_sets,
         require_groups=require_groups,
+        search_on_mask=search_on_mask,
     )
 
     if filter_docs is not None:
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
         blocks, _ = _batch_blocks(
-            index, sorted(idf_map), attribute_rank, keep_shard=True
+            index, sorted(idf_map), need_attr_blocks, keep_shard=True
         )
         if "_shard" not in blocks.columns:
             blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
@@ -869,7 +991,9 @@ def search_many(
         )
         return _gather_hits(index, per_key, key_of, qkeys, k, gather, rank_cols)
 
-    sharded, needs_shuffle = _batch_blocks(index, sorted(idf_map), attribute_rank)
+    sharded, needs_shuffle = _batch_blocks(
+        index, sorted(idf_map), need_attr_blocks
+    )
     if needs_shuffle:
         # partition count: no more than the corpus' shard count (extra
         # partitions would be empty tasks), no more than the session's
@@ -906,7 +1030,9 @@ def _batch_blocks(
     keep_shard: bool = False,
 ) -> "tuple[DataFrame, bool]":
     """Block source for the batch scatter-gather: (DataFrame of the
-    query terms' compressed blocks, needs_shuffle).
+    query terms' compressed blocks, needs_shuffle). ``attribute_rank``
+    here means "attr-mask blocks must ride along" — true for the Q11
+    attribute criterion AND for attributesToSearchOn restriction.
 
     Serving layout (prepare_serving) is used when it can satisfy the
     request without a shuffle: always for score-only batches; for

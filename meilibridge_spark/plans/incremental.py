@@ -209,7 +209,7 @@ def apply_cdc(
 
     # --- attribute-rank blocks MERGE (only when the snapshot carries
     # them): same cogrouped merger as the postings — the attrs table IS
-    # a postings table with tf = best_attr_rank + 1 (operators/attrs.py)
+    # a postings table with tf = attribute bitmask (operators/attrs.py)
     # — with the delta derived from per-attribute tokenization of the
     # old and new rows. Byte-identical to a fresh attr build (tested).
     attrs_new = None

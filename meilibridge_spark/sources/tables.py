@@ -194,6 +194,11 @@ def save_snapshot(
         "filterable_attributes": list(index.cfg.filterable_attributes),
         "sortable_attributes": list(index.cfg.sortable_attributes),
         "distinct_attribute": index.cfg.distinct_attribute,
+        # attrs tf-slot encoding version: "mask" = attribute bitmask
+        # (operators/attrs.py). Older snapshots wrote min_attr_rank+1
+        # and carry no marker; load_snapshot refuses those — reading a
+        # rank as a mask mis-ranks silently.
+        **({"attrs_tf_encoding": "mask"} if index.attrs is not None else {}),
     }
     _write_manifest(index_dir, manifest)
     index.snapshot_id = snap_id
@@ -221,6 +226,14 @@ def load_snapshot(
                 "postings layout is a function of these — load with a "
                 "matching IndexConfig"
             )
+    snaps = {s["snapshot_id"]: s for s in manifest["snapshots"]}
+    _t = snaps.get(snapshot_id or manifest["current"], {}).get("tables", {})
+    if "attrs" in _t and meta.get("attrs_tf_encoding") != "mask":
+        raise ConfigError(
+            f"snapshot at {index_dir} stores attr blocks in the legacy "
+            "min-rank tf encoding; this engine version reads attribute "
+            "bitmasks (attrs_tf_encoding='mask') — rebuild the index"
+        )
     # adopt the BUILT settings surface for any attribute list the caller
     # left at its default — filter/sort/distinct enforcement is then
     # defined by the index (manifest), not by the loading CLI/cfg; an

@@ -233,3 +233,99 @@ def test_attr_blocks_snapshot_roundtrip(spark, tmp_index_dir):
     assert {r["doc_id"]: r["best_attr"] for r in hits} == _brute_attr(
         ["spark", "join"]
     )
+
+
+def _brute_search_on(query_terms, allowed):
+    """Reference: (term, doc) qualifies iff the term occurs in one of
+    the ALLOWED attributes; matched = count of qualifying terms."""
+    out = {}
+    for doc_id, title, body, _ in ROWS:
+        attr_toks = {"title": title.lower().split(), "body": body.lower().split()}
+        n = sum(
+            1
+            for t in query_terms
+            if any(t in attr_toks[a] for a in allowed)
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_attributes_to_search_on_semantics(built):
+    for allowed in (("title",), ("body",)):
+        hits = search(
+            built, "spark join", 10, attributes_to_search_on=allowed
+        ).collect()
+        got = {r["doc_id"]: r["matched_terms"] for r in hits}
+        assert got == _brute_search_on(["spark", "join"], allowed), allowed
+    # restricting to ALL searchable attributes is a no-op
+    full = search(built, "spark join", 10).collect()
+    both = search(
+        built, "spark join", 10, attributes_to_search_on=("title", "body")
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in both] == pytest.approx(
+        [(r["doc_id"], r["score"]) for r in full]
+    )
+    # doc 0: 'spark' only in title, 'join' only in body (disjoint), so
+    # the two restricted scores sum to the unrestricted score
+    score_of = lambda rows, d: next(  # noqa: E731
+        r["score"] for r in rows if r["doc_id"] == d
+    )
+    t = search(built, "spark join", 10, attributes_to_search_on=("title",)).collect()
+    b = search(built, "spark join", 10, attributes_to_search_on=("body",)).collect()
+    assert score_of(t, 0) + score_of(b, 0) == pytest.approx(score_of(full, 0))
+
+
+def test_attributes_to_search_on_with_attribute_rank(built):
+    # best_attr is computed WITHIN the subset: body-restricted hits all
+    # carry best_attr == 1 (body is rank 1 of (title, body))
+    hits = search(
+        built, "spark join", 10,
+        attributes_to_search_on=("body",), attribute_rank=True,
+    ).collect()
+    assert hits and all(r["best_attr"] == 1 for r in hits)
+
+
+def test_attributes_to_search_on_batch_matches_single(built, spark):
+    from meilibridge_spark.operators.search import prepare_serving
+
+    kw = {"attributes_to_search_on": ("title",), "words_rank": True}
+    _cmp_batch_single(
+        built, QUERIES, 4, kw, kw, ["doc_id", "matched_terms"]
+    )
+    # filtered-batch path
+    filt = built.docs.filter(F.col("lang") == "en").select("doc_id")
+    batch = [("q0", "spark join")]
+    res = search_many(
+        built, batch, k=4, filter_docs=filt,
+        attributes_to_search_on=("title",),
+    ).collect()
+    single = search(
+        built, "spark join", 4, filter_docs=filt,
+        attributes_to_search_on=("title",),
+    ).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in res) == pytest.approx(
+        sorted((r["doc_id"], r["score"]) for r in single)
+    )
+    # serving-resident path (attr blocks co-resident via bkind)
+    prepare_serving(built, n_parts=2)
+    try:
+        _cmp_batch_single(
+            built, QUERIES, 4, kw, kw, ["doc_id", "matched_terms"]
+        )
+    finally:
+        built.serving.unpersist()
+        built.serving = None
+
+
+def test_attributes_to_search_on_errors(built, spark):
+    with pytest.raises(ValueError, match="not a searchable"):
+        search(built, "spark", 5, attributes_to_search_on=("lang",))
+    with pytest.raises(ValueError, match="at least one"):
+        search(built, "spark", 5, attributes_to_search_on=())
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    idx = build_index(df, CFG, doc_id_col="doc_id", with_attributes=False)
+    with pytest.raises(ValueError, match="with_attributes"):
+        search(idx, "spark", 5, attributes_to_search_on=("title",))
+    with pytest.raises(ValueError, match="with_attributes"):
+        search_many(idx, [("q", "spark")], k=5, attributes_to_search_on=("title",))
