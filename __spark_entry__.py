@@ -579,6 +579,33 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_ranking_score(terms_text: str, exact: "list[str]", k: int, threshold: float):
+    """showRankingScore / rankingScoreThreshold analog: absolute [0,1]
+    per-hit score from the words + exactness subscores (syn flavor so
+    synonym-derived matches depress the exactness subscore)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.relational import ranking_scores
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "syn")
+        hits = search(
+            idx, terms_text, k, exact_terms=exact, exactness_rank=True
+        )
+        return ranking_scores(
+            hits, n_query_terms=len(exact), threshold=threshold
+        ).select(
+            "doc_id",
+            F.round("_score_words", 6).alias("score_words"),
+            F.round("_score_exactness", 6).alias("score_exactness"),
+            F.round("_ranking_score", 6).alias("ranking_score"),
+        )
+
+    return run
+
+
 def _q_search_on(terms_text: str, k: int, attrs: "tuple[str, ...]"):
     """attributesToSearchOn: restrict matching to the named searchable
     attributes (index flavor 'attr': searchable = (source, text))."""
@@ -1228,6 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_search_on": _q_search_on("src3 spark join", 15, ("text",)),
+        "ft_ranking_score": _q_ranking_score(
+            "fast join", ["fast", "join"], 10, 0.5
+        ),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1565,6 +1595,37 @@ SELECT facet, value, "count" FROM (
 ) t WHERE rn <= 100
 """
         ),
+        "ft_ranking_score": f"""
+WITH {_sql_tok()},
+scores AS (
+  SELECT tf.doc_id,
+         count(*)::INT AS matched,
+         count(*) FILTER (WHERE tf.term IN ('fast', 'join'))::INT
+           AS exact_form,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('fast', 'slow', 'join')
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT * FROM scores ORDER BY exact_form DESC, s DESC, doc_id LIMIT 10
+)
+SELECT doc_id,
+       round(least(matched / 2.0, 1.0), 6)::DOUBLE AS score_words,
+       round(exact_form / CAST(matched AS DOUBLE), 6)::DOUBLE
+         AS score_exactness,
+       round((least(matched / 2.0, 1.0)
+              + exact_form / CAST(matched AS DOUBLE)) / 2, 6)::DOUBLE
+         AS ranking_score
+FROM topk
+WHERE (least(matched / 2.0, 1.0)
+       + exact_form / CAST(matched AS DOUBLE)) / 2 >= 0.5
+""",
         "ft_search_on": f"""
 WITH attrdocs AS (
   SELECT doc_id, source || ' ' || text AS text FROM documents

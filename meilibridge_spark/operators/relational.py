@@ -355,3 +355,69 @@ def crop_hits(
             f"_cropped_{a}", F.concat(pre, body, post)
         )
     return joined
+
+
+def ranking_scores(
+    hits: DataFrame,
+    n_query_terms: int,
+    n_attrs: "int | None" = None,
+    threshold: "float | None" = None,
+) -> DataFrame:
+    """Meilisearch ``showRankingScore`` / ``rankingScoreThreshold``
+    analog: a per-hit ``_ranking_score`` in [0, 1], absolute (no
+    dependence on the other hits), derived from whichever Q11 criteria
+    columns the hit set carries:
+
+    - ``words``:     matched_terms / n_query_terms  (always; requires
+      the ``matched_terms`` column every search() result has)
+    - ``typo``:      matched_exact / matched_terms  (when the hits were
+      produced with ``typo_rank`` -> ``matched_exact`` present)
+    - ``attribute``: (n_attrs - best_attr) / n_attrs, sentinel/no-info
+      -> 0 (when ``best_attr`` present AND ``n_attrs`` given)
+    - ``exactness``: exact_form / matched_terms (when ``exact_form``
+      present)
+
+    ``_ranking_score`` = arithmetic mean of the active per-rule
+    subscores. DOCUMENTED ANALOG, not milli's arithmetic: Meilisearch
+    derives its global score from the same rule-wise [0, 1] subscores
+    but merges them with rule-order weighting; the mean keeps the same
+    [0, 1] range and monotonicity per rule without pretending to
+    reproduce milli's exact blend. Emitted per-rule columns
+    (``_score_words`` etc.) expose the inputs so a caller can apply
+    any other blend.
+
+    ``threshold``: drop hits whose ``_ranking_score`` is below it
+    (rankingScoreThreshold). Pure Catalyst arithmetic on the (already
+    tiny, <= k rows) hit set — no joins, no shuffle.
+    """
+    if n_query_terms <= 0:
+        raise ValueError("n_query_terms must be positive")
+    if threshold is not None and not (0.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    cols = set(hits.columns)
+    if "matched_terms" not in cols:
+        raise ValueError("ranking_scores needs a matched_terms column")
+    matched = F.col("matched_terms").cast("double")
+    subs = {
+        "_score_words": F.least(matched / F.lit(float(n_query_terms)), F.lit(1.0))
+    }
+    if "matched_exact" in cols:
+        subs["_score_typo"] = F.col("matched_exact") / matched
+    if "best_attr" in cols and n_attrs is not None:
+        subs["_score_attribute"] = (
+            F.greatest(
+                F.lit(n_attrs) - F.least(F.col("best_attr"), F.lit(n_attrs)),
+                F.lit(0),
+            ).cast("double")
+            / F.lit(float(n_attrs))
+        )
+    if "exact_form" in cols:
+        subs["_score_exactness"] = F.col("exact_form") / matched
+    out = hits
+    for name, expr in subs.items():
+        out = out.withColumn(name, expr)
+    mean = sum((F.col(n) for n in subs), F.lit(0.0)) / F.lit(float(len(subs)))
+    out = out.withColumn("_ranking_score", mean)
+    if threshold is not None:
+        out = out.filter(F.col("_ranking_score") >= threshold)
+    return out

@@ -506,3 +506,34 @@ def test_facet_search_prefix_and_whole_index(spark):
     assert [(r["value"], r["count"]) for r in sub] == [("es", 2), ("en", 1)]
     with _pytest.raises(ValueError, match="sort_by"):
         facet_search(None, docs, "lang", sort_by="size")
+
+
+def test_ranking_scores_subscores_and_threshold(spark):
+    """showRankingScore analog: per-rule subscores in [0,1], mean as
+    _ranking_score, threshold drops below-par hits, and columns the
+    hit set doesn't carry contribute no subscore."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import ranking_scores
+
+    hits = spark.createDataFrame(
+        [(0, 1.0, 2, 2), (1, 0.9, 2, 0), (2, 0.8, 1, 0)],
+        "doc_id long, score double, matched_terms int, exact_form int",
+    )
+    rows = {r["doc_id"]: r for r in ranking_scores(hits, 2).collect()}
+    assert rows[0]["_ranking_score"] == _pytest.approx(1.0)
+    assert rows[1]["_ranking_score"] == _pytest.approx(0.5)  # (1 + 0)/2
+    assert rows[2]["_ranking_score"] == _pytest.approx(0.25)  # (0.5 + 0)/2
+    kept = ranking_scores(hits, 2, threshold=0.5).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1]
+    # words-only hit set: mean over the single active subscore
+    w = spark.createDataFrame(
+        [(0, 1.0, 1)], "doc_id long, score double, matched_terms int"
+    )
+    row = ranking_scores(w, 4).collect()[0]
+    assert row["_ranking_score"] == _pytest.approx(0.25)
+    assert "_score_exactness" not in w.columns
+    with _pytest.raises(ValueError, match="matched_terms"):
+        ranking_scores(w.drop("matched_terms"), 2)
+    with _pytest.raises(ValueError, match="threshold"):
+        ranking_scores(w, 2, threshold=1.5)
