@@ -285,3 +285,47 @@ def apply_cdc(
         positions=positions_new,
         attrs=attrs_new,
     )
+
+
+def delete_by_filter(
+    index: "InvertedIndex",
+    expr: str,
+    ts,
+    cfg: "IndexConfig | None" = None,
+) -> "InvertedIndex":
+    """Meilisearch ``POST /indexes/{uid}/documents/delete`` with a
+    ``filter`` (delete-by-filter): resolve a Meilisearch filter
+    expression over the index's filterable attributes to the matching
+    documents and MERGE their tombstones through the same incremental
+    path a CDC delete batch takes (S9-S12 semantics, so the result is
+    byte-identical to rebuilding from the surviving corpus — tested).
+
+    ``ts``: event timestamp for the generated tombstones (explicit so
+    replays are deterministic; pass e.g. ``datetime.datetime.utcnow()``
+    or the upstream batch watermark).
+
+    Cost ∝ matching docs + affected-term postings: the filter resolves
+    in ONE pushed-down scan of the docs table (functions/filters.py),
+    keys ride a left-semi join, and apply_cdc touches only affected
+    terms' blocks. Keyed on the transcripts primary key — like the
+    whole CDC layer, this targets CDC-shaped (conv_id, turn_idx)
+    indexes.
+    """
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.sources.cdc import CDC_SCHEMA
+
+    ids = filter_doc_ids(index, expr)
+    keys = index.docs.join(ids, "doc_id", "left_semi").select(
+        "conv_id", "turn_idx"
+    )
+    f = {x.name: x.dataType for x in CDC_SCHEMA.fields}
+    events = keys.select(
+        F.lit("delete").alias("op"),
+        "conv_id",
+        "turn_idx",
+        F.lit(None).cast(f["full_document"]).alias("full_document"),
+        F.lit(None).cast(f["updated_fields"]).alias("updated_fields"),
+        F.lit(None).cast(f["removed_fields"]).alias("removed_fields"),
+        F.lit(ts).cast("timestamp").alias("ts"),
+    )
+    return apply_cdc(index, events, cfg)

@@ -222,3 +222,48 @@ def test_attrs_cdc_equals_fresh_rebuild(spark):
         for r in search(fresh, "baba cedi", 10, attribute_rank=True).collect()
     ]
     assert got == want
+
+
+def test_delete_by_filter_equals_fresh_rebuild(spark):
+    """Delete-by-filter (Meilisearch POST /documents/delete with a
+    filter) == fresh rebuild of the surviving corpus, byte-identical
+    postings; unknown filterable attribute errors loudly."""
+    import datetime as dt
+
+    from meilibridge_spark.plans.incremental import delete_by_filter
+
+    cfg = IndexConfig(index_name="delf", filterable_attributes=("role",))
+    src = generate_transcripts(spark, n_convs=10, seed=5).persist()
+    base = build_index(src, cfg)
+    base.docs = base.docs.persist()
+    base.postings = base.postings.persist()
+    ts = dt.datetime(2026, 1, 1)
+    new = delete_by_filter(base, "role = 'tool'", ts)
+    assert new.docs.filter(F.col("role") == "tool").count() == 0
+    survivors = src.filter(F.col("role") != "tool")
+    fresh = build_index(survivors, cfg)
+    # doc_ids differ (deletes leave gaps) so compare the DOC-KEYED
+    # search surface: same corpus stats and same per-key hit ranking
+    assert new.n_docs == fresh.n_docs
+    assert new.n_docs == survivors.count()
+    assert new.avgdl == pytest.approx(fresh.avgdl)
+    key_of = {
+        r["doc_id"]: (r["conv_id"], r["turn_idx"])
+        for r in new.docs.select("doc_id", "conv_id", "turn_idx").collect()
+    }
+    fkey_of = {
+        r["doc_id"]: (r["conv_id"], r["turn_idx"])
+        for r in fresh.docs.select("doc_id", "conv_id", "turn_idx").collect()
+    }
+    for q in ("baba cedi", "user", "zzz"):
+        got = [
+            (key_of[r["doc_id"]], round(r["score"], 9))
+            for r in search(new, q, 10).collect()
+        ]
+        want = [
+            (fkey_of[r["doc_id"]], round(r["score"], 9))
+            for r in search(fresh, q, 10).collect()
+        ]
+        assert got == want, q
+    with pytest.raises(Exception, match="filterable"):
+        delete_by_filter(base, "nosuch = 'x'", ts)
