@@ -579,6 +579,22 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_paged(terms_text: str, k: int, offset: int):
+    """Q13 offset/limit pagination: page starting at ``offset``."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        return search(idx, terms_text, k, offset=offset).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_ranking_score(terms_text: str, exact: "list[str]", k: int, threshold: float):
     """showRankingScore / rankingScoreThreshold analog: absolute [0,1]
     per-hit score from the words + exactness subscores (syn flavor so
@@ -1255,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_search_on": _q_search_on("src3 spark join", 15, ("text",)),
+        "ft_paged": _q_paged("spark join", 10, 10),
         "ft_ranking_score": _q_ranking_score(
             "fast join", ["fast", "join"], 10, 0.5
         ),
@@ -1594,6 +1611,11 @@ SELECT facet, value, "count" FROM (
   FROM counts
 ) t WHERE rn <= 100
 """
+        ),
+        "ft_paged": (
+            _sql_scores(["spark", "join"])
+            + "SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "
+            "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"
         ),
         "ft_ranking_score": f"""
 WITH {_sql_tok()},

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--query")
     ap.add_argument("--queries-file", help="batch mode: one query per line")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--offset", type=int, default=0,
+                    help="pagination: skip the first N ranked hits")
     ap.add_argument("--mode", choices=["df", "wand"], default=None,
                     help="single-query path (default wand); invalid in batch mode")
     ap.add_argument("--filter-role", default=None)
@@ -190,7 +192,7 @@ def main() -> None:
         rows = search_many(
             index, batch, k=args.k, filter_docs=filt, typo=args.typo,
             matching_strategy=args.matching_strategy,
-            attributes_to_search_on=search_on,
+            attributes_to_search_on=search_on, offset=args.offset,
         ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -208,7 +210,7 @@ def main() -> None:
         rows = search_many(
             index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
             typo=args.typo, matching_strategy="all",
-            attributes_to_search_on=search_on,
+            attributes_to_search_on=search_on, offset=args.offset,
         ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
@@ -225,7 +227,7 @@ def main() -> None:
         )
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
-        and search_on is None
+        and search_on is None and not args.offset
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -234,7 +236,7 @@ def main() -> None:
         # bounds don't model the attribute restriction)
         rows = search(
             index, query_text, args.k, filter_docs=make_filter(),
-            attributes_to_search_on=search_on,
+            attributes_to_search_on=search_on, offset=args.offset,
         ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows

@@ -160,9 +160,15 @@ def search(
     matching_strategy: str = "last",
     word_groups: "list[list[str]] | None" = None,
     attributes_to_search_on: "tuple[str, ...] | None" = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
     [, matched_exact][, best_attr][, exact_form]).
+
+    ``offset`` (Q13, Meilisearch's offset/limit pagination): skip the
+    first ``offset`` ranked hits and return the next ``k`` — one
+    TakeOrdered of offset+k rows, the skip applied to that (tiny)
+    ordered prefix.
 
     ``attributes_to_search_on`` (Meilisearch's attributesToSearchOn
     search parameter): restrict matching to terms occurring in the
@@ -200,6 +206,8 @@ def search(
       the pre-expansion term list as ``exact_terms``.
     """
     k = k or index.cfg.max_total_hits
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     if words_rank is None:
         words_rank = index.cfg.words_ranking
     if typo_rank and orig_terms is None:
@@ -342,7 +350,10 @@ def search(
         order.insert(0, F.col("matched_exact").desc())
     if words_rank:
         order.insert(0, F.col("matched_terms").desc())
-    return agg.orderBy(*order).limit(k)
+    ordered = agg.orderBy(*order)
+    if offset:
+        return ordered.offset(offset).limit(k)
+    return ordered.limit(k)
 
 
 def _decode_shard_terms(
@@ -755,6 +766,7 @@ def search_many(
     exact_terms: "dict[str, list[str]] | None" = None,
     matching_strategy: str = "last",
     attributes_to_search_on: "tuple[str, ...] | None" = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, best_attr]
@@ -794,6 +806,11 @@ def search_many(
     the job). Rank-identical to the single-path ``search(...,
     matching_strategy='all')`` contract (tested).
 
+    ``offset`` (Q13 pagination): per query, skip the first ``offset``
+    ranked hits and return the next ``k``; ``rank`` stays the ABSOLUTE
+    position (offset+1..offset+k). Shards rank their local top
+    offset+k, the skip is a final rank filter.
+
     ``attributes_to_search_on`` (Meilisearch's attributesToSearchOn):
     restrict matching for EVERY query in the batch to terms occurring
     in the named searchable attributes. The attr-mask blocks ride the
@@ -832,6 +849,12 @@ def search_many(
     which a two-level (salted) merge handles the same way.
     """
     k = k or index.cfg.max_total_hits
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    # pagination: shards and merge rank the top offset+k, the skip is a
+    # rank filter at the very end (rank stays the ABSOLUTE position,
+    # Meilisearch offset/limit semantics)
+    k_all = k + offset
     if matching_strategy not in ("last", "all"):
         raise ValueError(
             "matching_strategy must be 'last' or 'all', "
@@ -983,13 +1006,16 @@ def search_many(
                     index.avgdl,
                     index.cfg.k1,
                     index.cfg.b,
-                    k,
+                    k_all,
                     **scorer_kw,
                 ),
                 schema=scored_schema,
             )
         )
-        return _gather_hits(index, per_key, key_of, qkeys, k, gather, rank_cols)
+        res = _gather_hits(
+            index, per_key, key_of, qkeys, k_all, gather, rank_cols
+        )
+        return res.filter(F.col("rank") > offset) if offset else res
 
     sharded, needs_shuffle = _batch_blocks(
         index, sorted(idf_map), need_attr_blocks
@@ -1015,12 +1041,13 @@ def search_many(
             index.avgdl,
             index.cfg.k1,
             index.cfg.b,
-            k,
+            k_all,
             **scorer_kw,
         ),
         schema=scored_schema,
     )
-    return _gather_hits(index, per_key, key_of, qkeys, k, gather, rank_cols)
+    res = _gather_hits(index, per_key, key_of, qkeys, k_all, gather, rank_cols)
+    return res.filter(F.col("rank") > offset) if offset else res
 
 
 def _batch_blocks(

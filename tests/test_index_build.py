@@ -412,3 +412,23 @@ def test_search_many_words_rank_empty_plan_schema(built):
     res = search_many(built, [("q0", "zzznotaterm")], k=5, words_rank=True)
     assert res.columns == ["query_id", "doc_id", "score", "matched_terms", "rank"]
     assert res.count() == 0
+
+
+def test_offset_pagination(built):
+    """Q13 offset/limit: page 2 == rows offset..offset+k of the full
+    ranking in BOTH paths; batch rank stays the absolute position."""
+    idx = built
+    full = search(idx, "baba cedi", 20).collect()
+    page = search(idx, "baba cedi", 5, offset=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in page] == [
+        (r["doc_id"], r["score"]) for r in full[5:10]
+    ]
+    res = search_many(idx, [("q", "baba cedi")], k=5, offset=5).collect()
+    got = sorted((r["rank"], r["doc_id"]) for r in res)
+    assert got == [
+        (i + 6, r["doc_id"]) for i, r in enumerate(full[5:10])
+    ]
+    # past-the-end page -> empty, no error
+    assert search(idx, "baba cedi", 5, offset=10**6).collect() == []
+    with pytest.raises(ValueError, match="offset"):
+        search(idx, "baba", 5, offset=-1)
