@@ -579,6 +579,27 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_quoted_phrase(q: str, k: int):
+    """Meilisearch quoted-phrase query syntax: free terms score, the
+    double-quoted segment constrains docs to a contiguous match."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import (
+            build_positions,
+            search_with_phrases,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        pos = build_positions(idx.docs, idx.cfg, text_col="text")
+        return search_with_phrases(idx, q, k, positions=pos).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_paged(terms_text: str, k: int, offset: int):
     """Q13 offset/limit pagination: page starting at ``offset``."""
 
@@ -1278,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_crop": _q_crop(["spark", "join"], 5, 8),
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
+        "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1615,6 +1637,38 @@ SELECT facet, value, "count" FROM (
 ) t WHERE rn <= 100
 """
         ),
+        "ft_quoted_phrase": f"""
+WITH {_sql_tok()},
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+  FROM arrs
+),
+phrase_docs AS (
+  SELECT DISTINCT t0.doc_id
+  FROM tokpos t0
+  JOIN tokpos t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'spark' AND t1.term = 'join'
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('spark', 'join', 'table')
+    AND tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT 10
+""",
         "ft_paged": (
             _sql_scores(["spark", "join"])
             + "SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "

@@ -225,6 +225,12 @@ def main() -> None:
         ]
         print(json.dumps({"query": args.query, "k": args.k, "hits": out}))
         return
+    has_phrase = '"' in query_text
+    if has_phrase and index.positions is None:
+        ap.error('quoted phrases need a snapshot built with positions '
+                 '(build_index --with-positions)')
+    if has_phrase and args.typo:
+        ap.error("--typo does not compose with quoted phrases")
     if args.typo:
         from meilibridge_spark.functions.tokenizer import parse_query
         from meilibridge_spark.operators.search import typo_expand_terms
@@ -235,16 +241,28 @@ def main() -> None:
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
+        and not has_phrase
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:
         # --search-on routes to the DataFrame path (WAND's block-max
-        # bounds don't model the attribute restriction)
-        rows = search(
-            index, query_text, args.k, filter_docs=make_filter(),
-            attributes_to_search_on=search_on, offset=args.offset,
-        ).collect()
+        # bounds don't model the attribute restriction); quoted phrases
+        # route through the positional-constraint composition
+        if has_phrase:
+            from meilibridge_spark.operators.positions import (
+                search_with_phrases,
+            )
+
+            rows = search_with_phrases(
+                index, query_text, args.k, filter_docs=make_filter(),
+                attributes_to_search_on=search_on, offset=args.offset,
+            ).collect()
+        else:
+            rows = search(
+                index, query_text, args.k, filter_docs=make_filter(),
+                attributes_to_search_on=search_on, offset=args.offset,
+            ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows
         ]
@@ -256,10 +274,20 @@ def main() -> None:
         from meilibridge_spark.operators.relational import facet_distribution
 
         cap = index.cfg.max_total_hits
-        full = search(
-            index, query_text, cap, filter_docs=make_filter(),
-            attributes_to_search_on=search_on,
-        )
+        if has_phrase:
+            from meilibridge_spark.operators.positions import (
+                search_with_phrases as _swp,
+            )
+
+            full = _swp(
+                index, query_text, cap, filter_docs=make_filter(),
+                attributes_to_search_on=search_on,
+            )
+        else:
+            full = search(
+                index, query_text, cap, filter_docs=make_filter(),
+                attributes_to_search_on=search_on,
+            )
         attrs = [a.strip() for a in args.facets.split(",") if a.strip()]
         fd: "dict[str, dict]" = {a: {} for a in attrs}
         for r in facet_distribution(

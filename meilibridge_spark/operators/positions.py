@@ -246,3 +246,72 @@ def phrase_search(
         if t not in seen:
             seen.append(t)
     return search(index, " ".join(seen), k, filter_docs=docs)
+
+
+def parse_quoted(q: str) -> "tuple[str, list[str]]":
+    """Split a Meilisearch-style query into (free_text, quoted_phrases):
+    double-quoted segments become exact-phrase constraints, the rest is
+    ordinary term text. An unbalanced trailing quote opens a phrase to
+    the end of the string (Meilisearch behavior)."""
+    import re
+
+    phrases = [p for p in re.findall(r'"([^"]*)"', q) if p.strip()]
+    rest = re.sub(r'"[^"]*"', " ", q)
+    m = re.search(r'"([^"]*)$', rest)
+    if m:
+        if m.group(1).strip():
+            phrases.append(m.group(1))
+        rest = rest[: m.start()]
+    return rest, phrases
+
+
+def search_with_phrases(
+    index: InvertedIndex,
+    q: str,
+    k: "int | None" = None,
+    positions: "DataFrame | None" = None,
+    filter_docs: "DataFrame | None" = None,
+    **search_kw,
+):
+    """Meilisearch quoted-phrase query syntax: ``spark "hash join"``
+    ranks docs by BM25 over ALL the query's terms but only docs
+    containing every double-quoted segment as a contiguous raw token
+    sequence qualify (stop words keep their slot as a position gap,
+    exactly like :func:`phrase_search`).
+
+    Each phrase constraint is one positional self-join producing a
+    candidate doc_id set; multiple phrases intersect via left-semi
+    joins, compose with an explicit ``filter_docs``, and ride the
+    normal pre-score semi-join — scoring work stays proportional to
+    the constrained candidate set. A phrase consisting only of stop
+    words constrains nothing (no anchor terms). Without quotes this is
+    exactly ``search()``.
+    """
+    free, phrases = parse_quoted(q)
+    all_steps = [phrase_steps(p, index.cfg.analyzer) for p in phrases]
+    all_steps = [s for s in all_steps if s]
+    docs = filter_docs
+    if all_steps:
+        if positions is None:
+            positions = index.positions
+        if positions is None:
+            raise ValueError(
+                "quoted phrases need a positions table: pass one or "
+                "build the snapshot with with_positions=True"
+            )
+        for steps in all_steps:
+            cand = phrase_candidates(positions, steps)
+            docs = (
+                cand
+                if docs is None
+                else docs.join(cand, "doc_id", "left_semi")
+            )
+    terms: "list[str]" = []
+    for steps in all_steps:
+        for t, _ in steps:
+            if t not in terms:
+                terms.append(t)
+    for t in free.split():
+        if t not in terms:
+            terms.append(t)
+    return search(index, " ".join(terms), k, filter_docs=docs, **search_kw)

@@ -197,3 +197,39 @@ def test_positions_survive_cdc(spark, tmp_index_dir):
         for r in loaded.positions.collect()
     )
     assert got_rows == want_rows
+
+
+def test_quoted_phrase_query(built):
+    """Meilisearch quoted-phrase syntax: free terms score, quoted
+    segments constrain; no quotes == plain search; unbalanced trailing
+    quote opens a phrase to end-of-string."""
+    from meilibridge_spark.operators.positions import (
+        parse_quoted,
+        phrase_steps,
+        search_with_phrases,
+    )
+
+    idx, pos = built
+    assert parse_quoted('a "b c" d "e"') == ("a   d  ", ["b c", "e"])
+    assert parse_quoted('a "b c') == ("a ", ["b c"])
+    # 'quick "red fox"': only docs with contiguous red-fox qualify
+    # (0, 1, 2, 4 — not 3), scored over {red, fox, quick}
+    got = search_with_phrases(idx, 'quick "red fox"', 10, positions=pos)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert sorted(ids) == [0, 1, 2, 4]
+    cand = phrase_candidates(
+        pos, phrase_steps("red fox", idx.cfg.analyzer)
+    )
+    want = search(idx, "red fox quick", 10, filter_docs=cand).collect()
+    assert ids == [r["doc_id"] for r in want]
+    # two phrases intersect
+    both = search_with_phrases(
+        idx, '"red fox" "quick red"', 10, positions=pos
+    ).collect()
+    assert sorted(r["doc_id"] for r in both) == [1, 4]
+    # no quotes == plain search
+    plain = search_with_phrases(idx, "red fox", 10, positions=pos).collect()
+    ref = search(idx, "red fox", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in plain] == [
+        (r["doc_id"], r["score"]) for r in ref
+    ]
