@@ -44,6 +44,16 @@ def main() -> None:
     ap.add_argument("--with-positions", action="store_true",
                     help="also build the positional postings table "
                          "(enables phrase search, Q14)")
+    ap.add_argument("--with-attributes", action="store_true",
+                    help="also build attr-mask blocks (attribute "
+                         "criterion + attributesToSearchOn)")
+    ap.add_argument("--filterable", default="",
+                    help="comma-separated filterable_attributes "
+                         "(persisted in the manifest, S17)")
+    ap.add_argument("--sortable", default="",
+                    help="comma-separated sortable_attributes (manifest)")
+    ap.add_argument("--distinct-attribute", default=None,
+                    help="distinct_attribute setting (manifest)")
     args = ap.parse_args()
 
     from meilibridge_spark.config import AnalyzerConfig, IndexConfig
@@ -59,6 +69,11 @@ def main() -> None:
         ),
         k1=args.k1,
         b=args.b,
+        filterable_attributes=tuple(
+            a for a in args.filterable.split(",") if a
+        ),
+        sortable_attributes=tuple(a for a in args.sortable.split(",") if a),
+        distinct_attribute=args.distinct_attribute,
     )
     if args.synthetic_convs:
         source = generate_transcripts(spark, n_convs=args.synthetic_convs, seed=args.seed)
@@ -73,6 +88,7 @@ def main() -> None:
         index = build_and_save(
             spark, source, cfg, args.index_dir, recreate=not is_continue,
             with_positions=args.with_positions,
+            with_attributes=args.with_attributes,
         )
         print(
             json.dumps(

@@ -5,7 +5,8 @@ Usage:
       meilibridge_spark/jobs/query.py \
       --index-dir /path/to/index --query "spark join" [-k 10] \
       [--mode df|wand] [--filter-role user] [--offset N] \
-      [--search-on attr1,attr2] [--facets attr1,attr2]
+      [--search-on attr1,attr2] [--facets attr1,attr2] \
+      [--sort attr:asc,attr2:desc] [--distinct]
 
 Batch mode (one scatter-gather Spark job for the whole file, postings
 served from the doc-shard cached layout):
@@ -38,6 +39,12 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0,
                     help="pagination: skip the first N ranked hits")
+    ap.add_argument("--sort", default=None,
+                    help="Meilisearch sort: 'attr:asc,attr2:desc' over "
+                         "the index's sortable_attributes (single query)")
+    ap.add_argument("--distinct", action="store_true",
+                    help="apply the index's distinct_attribute "
+                         "(manifest) to the hits (single query)")
     ap.add_argument("--facets", default=None,
                     help="comma-separated facet attributes: emit a "
                          "facetDistribution block computed over the top "
@@ -76,6 +83,8 @@ def main() -> None:
                  "the scatter-gather path")
     if args.facets and (args.queries_file or args.embeddings):
         ap.error("--facets applies to single keyword queries only")
+    if (args.sort or args.distinct) and (args.queries_file or args.embeddings):
+        ap.error("--sort/--distinct apply to single keyword queries only")
     mode = args.mode or "wand"
 
     from pyspark.sql import functions as F
@@ -238,10 +247,27 @@ def main() -> None:
         query_text = " ".join(
             typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
         )
+    sort_spec = None
+    if args.sort:
+        sort_spec = []
+        for part in (p.strip() for p in args.sort.split(",") if p.strip()):
+            attr, _, direction = part.partition(":")
+            if direction not in ("asc", "desc", ""):
+                ap.error(f"--sort direction must be asc|desc, got {part!r}")
+            if attr not in index.cfg.sortable_attributes:
+                ap.error(
+                    f"--sort attribute {attr!r} is not sortable; the index "
+                    f"declares sortable_attributes="
+                    f"{list(index.cfg.sortable_attributes)}"
+                )
+            sort_spec.append((attr, direction != "desc"))
+    if args.distinct and not index.cfg.distinct_attribute:
+        ap.error("--distinct needs a distinct_attribute in the index "
+                 "settings (build with --distinct-attribute)")
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
-        and not has_phrase
+        and not has_phrase and not sort_spec and not args.distinct
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -249,22 +275,57 @@ def main() -> None:
         # --search-on routes to the DataFrame path (WAND's block-max
         # bounds don't model the attribute restriction); quoted phrases
         # route through the positional-constraint composition
+        post = bool(sort_spec or args.distinct)
+        # distinct/sort post-process the top max_total_hits hit set
+        # (Meilisearch applies distinct before pagination), so with them
+        # the search itself runs uncapped-to-max and offset is applied
+        # to the post-processed ordering driver-side (k rows are tiny)
+        cap = index.cfg.max_total_hits if post else args.k
+        off = 0 if post else args.offset
         if has_phrase:
             from meilibridge_spark.operators.positions import (
                 search_with_phrases,
             )
 
-            rows = search_with_phrases(
-                index, query_text, args.k, filter_docs=make_filter(),
-                attributes_to_search_on=search_on, offset=args.offset,
-            ).collect()
+            hits_df = search_with_phrases(
+                index, query_text, cap, filter_docs=make_filter(),
+                attributes_to_search_on=search_on, offset=off,
+            )
         else:
-            rows = search(
-                index, query_text, args.k, filter_docs=make_filter(),
-                attributes_to_search_on=search_on, offset=args.offset,
-            ).collect()
+            hits_df = search(
+                index, query_text, cap, filter_docs=make_filter(),
+                attributes_to_search_on=search_on, offset=off,
+            )
+        if args.distinct:
+            from meilibridge_spark.operators.relational import distinct_hits
+
+            hits_df = distinct_hits(
+                hits_df, index.docs, index.cfg.distinct_attribute,
+                hit_bound=cap,
+            )
+        if sort_spec:
+            from meilibridge_spark.operators.relational import sort_hits
+
+            hits_df = sort_hits(
+                hits_df, index.docs, sort_spec,
+                k=args.offset + args.k, hit_bound=cap,
+            )
+        rows = hits_df.collect()
+        if post:
+            if not sort_spec:
+                rows = sorted(
+                    rows, key=lambda r: (-round(r["score"], 9), r["doc_id"])
+                )
+            rows = rows[args.offset : args.offset + args.k]
+        sort_attrs = [a for a, _ in (sort_spec or [])]
         out = [
-            {"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows
+            {
+                "doc_id": r["doc_id"],
+                "score": round(r["score"], 6),
+                **{a: (str(r[a]) if r[a] is not None else None)
+                   for a in sort_attrs},
+            }
+            for r in rows
         ]
     resp = {"query": args.query, "k": args.k, "hits": out}
     if args.facets:
