@@ -579,6 +579,32 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_federated(query: str, k: int, w_plain: float, w_syn: float):
+    """Federated multi-search: the same query over the plain and the
+    synonym-expanding index, merged on weighted ranking score."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.federation import federated_search
+
+        a = _docs_index(spark, sf_dir)
+        b = _docs_index(spark, sf_dir, "syn")
+        return federated_search(
+            [("plain", a, w_plain), ("syn", b, w_syn)], query, k
+        ).select(
+            "index_uid",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.round("ranking_score", 6).alias("ranking_score"),
+            F.round("weighted_ranking_score", 6).alias(
+                "weighted_ranking_score"
+            ),
+        )
+
+    return run
+
+
 def _q_quoted_phrase(q: str, k: int):
     """Meilisearch quoted-phrase query syntax: free terms score, the
     double-quoted segment constrains docs to a contiguous match."""
@@ -1300,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
+        "ft_federated": _q_federated("fast join", 10, 1.0, 0.7),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1637,6 +1664,42 @@ SELECT facet, value, "count" FROM (
 ) t WHERE rn <= 100
 """
         ),
+        "ft_federated": f"""
+WITH {_sql_tok()},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) AS c
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+),
+pa AS (
+  SELECT doc_id, count(*)::INT AS m, sum(c) AS s
+  FROM sc WHERE term IN ('fast', 'join') GROUP BY doc_id
+  ORDER BY s DESC, doc_id LIMIT 10
+),
+pb AS (
+  SELECT doc_id, count(*)::INT AS m, sum(c) AS s
+  FROM sc WHERE term IN ('fast', 'slow', 'join') GROUP BY doc_id
+  ORDER BY s DESC, doc_id LIMIT 10
+),
+u AS (
+  SELECT 'plain' AS index_uid, doc_id, s,
+         least(m / 2.0, 1.0) AS rs, least(m / 2.0, 1.0) * 1.0 AS w
+  FROM pa
+  UNION ALL
+  SELECT 'syn', doc_id, s,
+         least(m / 3.0, 1.0), least(m / 3.0, 1.0) * 0.7
+  FROM pb
+)
+SELECT index_uid, doc_id, round(s, 4)::DOUBLE AS score,
+       round(rs, 6)::DOUBLE AS ranking_score,
+       round(w, 6)::DOUBLE AS weighted_ranking_score
+FROM u ORDER BY w DESC, s DESC, index_uid, doc_id LIMIT 10
+""",
         "ft_quoted_phrase": f"""
 WITH {_sql_tok()},
 arrs AS (

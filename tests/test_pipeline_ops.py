@@ -537,3 +537,42 @@ def test_ranking_scores_subscores_and_threshold(spark):
         ranking_scores(w.drop("matched_terms"), 2)
     with _pytest.raises(ValueError, match="threshold"):
         ranking_scores(w, 2, threshold=1.5)
+
+
+def test_federated_search_weighted_merge(spark):
+    """Federation merges per-index top-k on weighted ranking score:
+    weights re-order across indexes; raw BM25 never crosses indexes."""
+    import pytest as _pytest
+
+    from meilibridge_spark.config import ASCII_TOKEN_PATTERN, AnalyzerConfig, IndexConfig
+    from meilibridge_spark.operators.federation import federated_search
+    from meilibridge_spark.plans.build import build_index
+
+    def mk(name, rows):
+        cfg = IndexConfig(
+            index_name=name,
+            primary_key=("doc_id",),
+            searchable_attributes=("text",),
+            analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return build_index(df, cfg, doc_id_col="doc_id")
+
+    a = mk("a", [(0, "spark join planning"), (1, "other words here")])
+    b = mk("b", [(0, "spark only content"), (1, "unrelated text")])
+    # a/doc0 matches 2/2 terms (ranking 1.0), b/doc0 matches 1/2 (0.5)
+    res = federated_search([("a", a, 1.0), ("b", b, 1.0)], "spark join", 3).collect()
+    assert [(r["index_uid"], r["doc_id"]) for r in res][:2] == [("a", 0), ("b", 0)]
+    assert res[0]["weighted_ranking_score"] == _pytest.approx(1.0)
+    assert res[1]["weighted_ranking_score"] == _pytest.approx(0.5)
+    # demoting index a below 0.5 flips the order
+    flipped = federated_search(
+        [("a", a, 0.4), ("b", b, 1.0)], "spark join", 3
+    ).collect()
+    assert [(r["index_uid"], r["doc_id"]) for r in flipped][:2] == [
+        ("b", 0), ("a", 0),
+    ]
+    with _pytest.raises(ValueError, match="duplicate"):
+        federated_search([("a", a, 1.0), ("a", b, 1.0)], "spark", 3)
+    with _pytest.raises(ValueError, match="weight"):
+        federated_search([("a", a, -1.0)], "spark", 3)
