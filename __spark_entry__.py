@@ -1265,7 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_match_positions": _q_match_positions("spark join", 10),
-        "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
+        "ft_federated": _q_federated("fast join", 10, 1.0, 0.7),
         "ft_bm25_filter_expr": _q_filter_expr(
             "spark join",
             10,
@@ -1312,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_plan": _q_mm_frame_plan,
         # ---- entries 51+: secondary variants (see ORDERING CONTRACT) --
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
+        "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
         "ft_bm25_rare_multi": _q_topk("customer window vector merge", 20),
         "ft_bm25_filter_fold": _q_filter_fold(
@@ -1326,7 +1327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
-        "ft_federated": _q_federated("fast join", 10, 1.0, 0.7),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
