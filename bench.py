@@ -150,6 +150,31 @@ def main() -> None:
     n_filtered_hits = search_many(idx, queries, k=10, filter_docs=filt).count()
     timings["query_batch_filtered"] = time.time() - t0
 
+    # --- attribute-restricted batch (attributesToSearchOn): attr-mask
+    # blocks built for (role, text), co-resided in the serving layout
+    # (bkind), the whole 50-query batch restricted to matches in text
+    import dataclasses
+
+    from meilibridge_spark.operators.attrs import build_attr_postings
+
+    acfg = dataclasses.replace(cfg, searchable_attributes=("role", "text"))
+    t0 = time.time()
+    idx.attrs = build_attr_postings(idx.docs, acfg).persist()
+    idx.attrs.count()
+    timings["build_attrs"] = time.time() - t0
+    idx.cfg = acfg
+    old_serving = idx.serving
+    t0 = time.time()
+    prepare_serving(idx)
+    timings["serve_prepare_attrs"] = time.time() - t0
+    if old_serving is not None:
+        old_serving.unpersist()
+    t0 = time.time()
+    n_search_on_hits = search_many(
+        idx, queries, k=10, attributes_to_search_on=("text",)
+    ).count()
+    timings["query_batch_search_on"] = time.time() - t0
+
     # --- hybrid keyword+semantic fusion (Q16 embedders): BM25 pools
     # blended with cosine pools, whole batch in ONE job
     from meilibridge_spark.operators.hybrid import search_hybrid_many
@@ -214,6 +239,11 @@ def main() -> None:
             len(queries) / timings["query_batch_filtered"], 2
         ),
         "filtered_batch_hits": n_filtered_hits,
+        "search_on_batch_queries_per_sec": round(
+            len(queries) / timings["query_batch_search_on"], 2
+        ),
+        "search_on_hits": n_search_on_hits,
+        "attrs_turns_per_sec": round(n_turns / timings["build_attrs"], 1),
         "hybrid_queries_per_sec": round(
             len(hy_queries) / timings["query_hybrid"], 2
         ),
