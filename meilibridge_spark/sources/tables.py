@@ -50,9 +50,9 @@ class InvertedIndex:
     #: phrase search — present when the snapshot was built with
     #: with_positions=True (operators/positions.py)
     positions: "DataFrame | None" = None
-    #: optional attribute-rank blocks (POSTINGS_SCHEMA with tf =
-    #: best_attr_rank + 1) for the Q11 'attribute' ranking criterion —
-    #: present when built with with_attributes=True (operators/attrs.py)
+    #: optional attribute-mask blocks (POSTINGS_SCHEMA with tf = attr
+    #: bitmask) for the Q11 'attribute' criterion + attributesToSearchOn
+    #: — present when built with with_attributes=True (operators/attrs.py)
     attrs: "DataFrame | None" = None
 
 
@@ -344,3 +344,72 @@ def _dir_bytes(path: str) -> int:
         for fn in files:
             total += os.path.getsize(os.path.join(root, fn))
     return total
+
+
+# --- index aliases (Meilisearch POST /swap-indexes analog) -----------
+#
+# Meilisearch swaps two indexes atomically so a freshly rebuilt index
+# can replace the live one with zero downtime (docs.meilisearch.com
+# swap-indexes). The analog here is one JSON file mapping logical
+# names -> index_dirs, committed with the same os.replace pattern as
+# the snapshot manifest: readers resolve the alias at load time, and a
+# swap is a single atomic file replace — a reader either sees the old
+# pair or the new pair, never a half-swap.
+
+
+def _read_aliases(aliases_path: str) -> dict:
+    if not os.path.exists(aliases_path):
+        return {}
+    with open(aliases_path) as f:
+        return json.load(f)
+
+
+def _write_aliases(aliases_path: str, aliases: dict) -> None:
+    tmp = aliases_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, aliases_path)  # atomic commit point
+
+
+def set_alias(aliases_path: str, name: str, index_dir: str) -> None:
+    """Point logical index ``name`` at ``index_dir`` (create/update)."""
+    aliases = _read_aliases(aliases_path)
+    aliases[name] = index_dir
+    _write_aliases(aliases_path, aliases)
+
+
+def resolve_alias(aliases_path: str, name: str) -> str:
+    aliases = _read_aliases(aliases_path)
+    if name not in aliases:
+        raise KeyError(
+            f"no alias {name!r} in {aliases_path}; "
+            f"have: {sorted(aliases)}"
+        )
+    return aliases[name]
+
+
+def swap_aliases(aliases_path: str, a: str, b: str) -> None:
+    """Atomically swap what two logical names point at (the
+    swap-indexes zero-downtime reindex pattern: build into a scratch
+    alias, then swap it with the live one). Both names must exist —
+    swapping with an unset name is a loud error, like Meilisearch's
+    index_not_found for swaps."""
+    aliases = _read_aliases(aliases_path)
+    for n in (a, b):
+        if n not in aliases:
+            raise KeyError(f"alias {n!r} not found; have: {sorted(aliases)}")
+    aliases[a], aliases[b] = aliases[b], aliases[a]
+    _write_aliases(aliases_path, aliases)
+
+
+def load_aliased(
+    spark: SparkSession,
+    aliases_path: str,
+    name: str,
+    cfg: IndexConfig,
+    snapshot_id: "int | None" = None,
+) -> InvertedIndex:
+    """load_snapshot through the alias indirection."""
+    return load_snapshot(
+        spark, resolve_alias(aliases_path, name), cfg, snapshot_id
+    )

@@ -267,3 +267,32 @@ def test_delete_by_filter_equals_fresh_rebuild(spark):
         assert got == want, q
     with pytest.raises(Exception, match="filterable"):
         delete_by_filter(base, "nosuch = 'x'", ts)
+
+
+def test_alias_swap_zero_downtime_reindex(spark, tmp_path):
+    """swap-indexes analog: build v1 live + v2 scratch, swap atomically,
+    loads through the alias flip; unset alias errors loudly."""
+    from meilibridge_spark.sources.tables import (
+        load_aliased,
+        resolve_alias,
+        set_alias,
+        swap_aliases,
+    )
+
+    aliases = str(tmp_path / "aliases.json")
+    d1, d2 = str(tmp_path / "idx_v1"), str(tmp_path / "idx_v2")
+    src = generate_transcripts(spark, n_convs=5, seed=3)
+    build_and_save(spark, src, CFG, d1)
+    build_and_save(spark, src.filter(F.col("role") != "tool"), CFG, d2)
+    set_alias(aliases, "live", d1)
+    set_alias(aliases, "scratch", d2)
+    n_live = load_aliased(spark, aliases, "live", CFG).n_docs
+    n_scr = load_aliased(spark, aliases, "scratch", CFG).n_docs
+    assert n_live > n_scr
+    swap_aliases(aliases, "live", "scratch")
+    assert resolve_alias(aliases, "live") == d2
+    assert load_aliased(spark, aliases, "live", CFG).n_docs == n_scr
+    with pytest.raises(KeyError, match="nope"):
+        swap_aliases(aliases, "live", "nope")
+    with pytest.raises(KeyError, match="ghost"):
+        resolve_alias(aliases, "ghost")
