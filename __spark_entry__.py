@@ -1239,13 +1239,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly entries 1-50 of 53). The first 50 below are therefore the
     # curated gate set — every SURVEY §2 operator family keeps at least
     # one entry inside it, including the round-3 additions (pagination,
-    # ranking scores, attributesToSearchOn). Entries AFTER the 50th are
-    # secondary variants of already-gated operators (hot/rare/absent/
-    # repeated-term BM25 shapes, filter case-fold, hybrid batch, typo
-    # disable, phrase stop-gap, facet orderings/multi/value-search,
-    # doc-length/field-distribution introspection, bare count); they
-    # remain fully oracle-checked by tests/test_entry_oracle.py, which
-    # runs ALL entries.
+    # ranking scores, attributesToSearchOn, federation). Entries AFTER
+    # the 50th are secondary variants of already-gated operator
+    # families (hot/rare/absent/repeated-term BM25 shapes, plain
+    # filtered + filter case-fold — filter_expr/filtered_batch stay
+    # gated — hybrid batch, matching 'all', highlight/crop, quoted
+    # phrase — phrase/match-positions stay gated — typo disable,
+    # phrase stop-gap, facet orderings/multi/value-search, doc-length/
+    # field-distribution introspection, bare count); they remain fully
+    # oracle-checked by tests/test_entry_oracle.py, which runs ALL
+    # entries.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
