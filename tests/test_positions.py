@@ -233,3 +233,33 @@ def test_quoted_phrase_query(built):
     assert [(r["doc_id"], r["score"]) for r in plain] == [
         (r["doc_id"], r["score"]) for r in ref
     ]
+
+
+def test_quoted_phrase_edge_inputs(built):
+    """Degenerate quote placements must not crash and must degrade to
+    sensible semantics: empty quotes ignored, all-stop-word phrase
+    constrains nothing, quote-only query returns empty."""
+    from meilibridge_spark.operators.positions import (
+        parse_quoted,
+        search_with_phrases,
+    )
+    from meilibridge_spark.operators.search import search
+
+    idx, pos = built
+    assert parse_quoted('""') == (" ", [])
+    assert parse_quoted('fox ""') == ("fox  ", [])
+    assert parse_quoted('"') == ("", [])
+    assert parse_quoted('a"b"c') == ("a c", ["b"])
+    # empty-quote query == plain query
+    a = search_with_phrases(idx, 'fox ""', 10, positions=pos).collect()
+    b = search(idx, "fox", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    # quote-only query -> no terms -> empty result, no error
+    assert search_with_phrases(idx, '"" "', 10, positions=pos).collect() == []
+    # stop-word-only phrase: no anchor terms -> constrains nothing
+    stop_idx, stop_pos = built  # base fixture has no stop words; use steps
+    from meilibridge_spark.operators.positions import phrase_steps
+
+    assert phrase_steps("the a", _cfg(stop_words=("the", "a")).analyzer) == []
