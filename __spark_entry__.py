@@ -1131,6 +1131,16 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=5)
 
 
+def _q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch GET /indexes/{uid}/similar analog: nearest docs to
+    two target documents by embedding cosine, rankingScoreThreshold
+    pruning sub-0.55 semantic scores before ranking."""
+    from meilibridge_spark.operators.similarity import similar_documents
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similar_documents(emb, [3, 7], k=5, threshold=0.55)
+
+
 def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.similarity import ivf_assign, ivf_centroids
 
@@ -1337,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
         "ft_doc_lengths": _q_doc_lengths,
+        "sim_similar_docs": _q_similar_docs,
         "stats_fields": _q_field_distribution,
         "scan_count": _q_scan_count,
     }
@@ -1866,6 +1877,26 @@ SELECT source, doc_id, round(s, 4)::DOUBLE AS score FROM ranked WHERE rn = 1
             "md5(string_agg(coalesce(text, ''), ' ' ORDER BY doc_id)) AS text_md5, "
             "count(*)::BIGINT AS n_members FROM documents GROUP BY source"
         ),
+        "sim_similar_docs": f"""
+WITH q AS (SELECT vec_id AS target_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (3, 7)),
+scored AS (
+  SELECT q.target_id, e.vec_id, {_SQL_COS} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.target_id
+),
+thr AS (
+  SELECT target_id, vec_id, cos, (1 + cos) / 2 AS rs
+  FROM scored WHERE (1 + cos) / 2 >= 0.55
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY target_id ORDER BY cos DESC, vec_id) AS rank
+  FROM thr
+)
+SELECT target_id, vec_id, round(cos, 6)::DOUBLE AS cos,
+       round(rs, 6)::DOUBLE AS ranking_score, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""",
         "stats_fields": """
 WITH c AS (
   SELECT count(doc_id) AS doc_id, count(text) AS text, count(lang) AS lang,

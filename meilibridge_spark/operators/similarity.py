@@ -365,3 +365,71 @@ def ivf_train_kmeans(
             f"centroid_id long, centroid_vec array<float>",
         )
     return cents
+
+
+def similar_documents(
+    emb: DataFrame,
+    target_ids: "list[int]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_docs: "DataFrame | None" = None,
+    threshold: "float | None" = None,
+) -> DataFrame:
+    """Meilisearch ``GET /indexes/{uid}/similar`` analog: for each
+    target document, the ``k`` most similar other documents by
+    embedding cosine -> (target_id, vec_id, cos, ranking_score, rank).
+
+    ``ranking_score`` is Meilisearch's semantic score for cosine
+    embedders, (1 + cos) / 2 in [0, 1] (the same normalization the
+    hybrid-fusion path uses); ``threshold`` is the endpoint's
+    ``rankingScoreThreshold`` — applied BEFORE ranking, so surviving
+    ranks are contiguous 1..k like the endpoint's hit list.
+    ``filter_docs`` (a DataFrame with an ``id_col`` column) restricts
+    the candidate side, like the endpoint's ``filter`` parameter.
+
+    Unknown target ids raise (the endpoint 404s) — the validation
+    lookup collects at most ``len(target_ids)`` rows off a pushed-down
+    point filter. Plan shape: the (tiny) target vectors broadcast into
+    one scan of the embeddings table; the threshold prunes before the
+    per-target window, and only <= targets*k rows survive it.
+    """
+    ids = list(target_ids)
+    if not ids:
+        raise ValueError("similar_documents needs at least one target id")
+    if threshold is not None and not (0.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    targets = emb.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("_qv")
+    )
+    found = {r["target_id"] for r in targets.select("target_id").collect()}
+    missing = [i for i in ids if i not in found]
+    if missing:
+        raise ValueError(f"unknown target id(s): {missing}")
+    cands = emb
+    if filter_docs is not None:
+        cands = cands.join(filter_docs.select(id_col), id_col, "left_semi")
+    scored = cands.crossJoin(F.broadcast(targets)).select(
+        "target_id",
+        F.col(id_col),
+        _cos(F.col(vec_col), F.col("_qv")).alias("cos"),
+    )
+    scored = scored.filter(
+        (F.col("target_id") != F.col(id_col)) & F.col("cos").isNotNull()
+    ).withColumn("ranking_score", (F.lit(1.0) + F.col("cos")) / F.lit(2.0))
+    if threshold is not None:
+        scored = scored.filter(F.col("ranking_score") >= threshold)
+    w = Window.partitionBy("target_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "target_id",
+            id_col,
+            F.round("cos", 6).alias("cos"),
+            F.round("ranking_score", 6).alias("ranking_score"),
+            "rank",
+        )
+    )

@@ -576,3 +576,82 @@ def test_federated_search_weighted_merge(spark):
         federated_search([("a", a, 1.0), ("a", b, 1.0)], "spark", 3)
     with _pytest.raises(ValueError, match="weight"):
         federated_search([("a", a, -1.0)], "spark", 3)
+
+
+def test_similar_documents(spark):
+    """GET /similar analog: self excluded, threshold prunes before
+    ranking (contiguous ranks), filter restricts candidates, unknown
+    target ids raise."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.similarity import similar_documents
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # cos(0,1) ~ 0.994
+        (2, [0.0, 1.0, 0.0]),   # cos(0,2) = 0
+        (3, [0.7, 0.7, 0.0]),   # cos(0,3) ~ 0.707
+        (4, [-1.0, 0.0, 0.0]),  # cos(0,4) = -1 -> rs 0
+        (5, [0.0, 0.0, 0.0]),   # zero-norm: never a hit
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similar_documents(emb, [0], k=10).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids == [1, 3, 2, 4]  # cos order; no self, no zero-norm
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    assert got[0]["ranking_score"] > 0.99 and got[-1]["ranking_score"] == 0.0
+
+    thr = similar_documents(emb, [0], k=10, threshold=0.6).collect()
+    assert [r["vec_id"] for r in thr] == [1, 3]  # rs(2)=0.5 < 0.6
+    assert [r["rank"] for r in thr] == [1, 2]  # contiguous after prune
+
+    filt = spark.createDataFrame([(2,), (4,)], "vec_id long")
+    restricted = similar_documents(emb, [0], k=10, filter_docs=filt).collect()
+    assert [r["vec_id"] for r in restricted] == [2, 4]
+
+    multi = similar_documents(emb, [0, 2], k=2).collect()
+    assert {r["target_id"] for r in multi} == {0, 2}
+    assert all(r["target_id"] != r["vec_id"] for r in multi)
+
+    with _pytest.raises(ValueError, match="unknown target"):
+        similar_documents(emb, [0, 99], k=2)
+    with _pytest.raises(ValueError, match="at least one"):
+        similar_documents(emb, [], k=2)
+    with _pytest.raises(ValueError, match="threshold"):
+        similar_documents(emb, [0], threshold=1.5)
+
+
+def test_py_files_package(tmp_path):
+    """scripts/package.py builds the --py-files artifact the job
+    docstrings reference: tests+caches excluded, importable straight
+    off sys.path (how spark-submit ships it to executors), and
+    byte-reproducible."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from package import build_zip
+    finally:
+        sys.path.pop(0)
+
+    z1 = str(tmp_path / "a.zip")
+    members = build_zip(z1)
+    assert "meilibridge_spark/operators/search.py" in members
+    assert "meilibridge_spark/jobs/query.py" in members
+    assert not [m for m in members if "test" in m or "__pycache__" in m]
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import meilibridge_spark.functions.codec as c; "
+        "print(c.__name__)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, z1],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "PYTHONPATH": ""}, cwd=str(tmp_path),
+    )
+    assert out.stdout.strip() == "meilibridge_spark.functions.codec"
+    z2 = str(tmp_path / "b.zip")
+    build_zip(z2)
+    assert open(z1, "rb").read() == open(z2, "rb").read()
