@@ -909,6 +909,22 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch GET /indexes/{uid}/documents analog: a filtered,
+    field-projected, internal-id-ordered page (no search ranking)."""
+    from meilibridge_spark.operators.relational import get_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return get_documents(
+        docs,
+        ("lang", "n_chars"),
+        "lang = 'en' AND n_chars >= 200",
+        fields=("doc_id", "lang", "n_chars"),
+        offset=5,
+        limit=10,
+    )
+
+
 def _q_field_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S27 stats introspection: Meilisearch fieldDistribution analog
     (per-field present-document counts from GET /indexes/{uid}/stats)."""
@@ -1348,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
         "ft_doc_lengths": _q_doc_lengths,
         "sim_similar_docs": _q_similar_docs,
+        "docs_fetch": _q_docs_fetch,
         "stats_fields": _q_field_distribution,
         "scan_count": _q_scan_count,
     }
@@ -1897,6 +1914,11 @@ SELECT target_id, vec_id, round(cos, 6)::DOUBLE AS cos,
        round(rs, 6)::DOUBLE AS ranking_score, rank::INT AS rank
 FROM ranked WHERE rank <= 5
 """,
+        "docs_fetch": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang = 'en' AND n_chars >= 200 "
+            "ORDER BY doc_id LIMIT 10 OFFSET 5"
+        ),
         "stats_fields": """
 WITH c AS (
   SELECT count(doc_id) AS doc_id, count(text) AS text, count(lang) AS lang,

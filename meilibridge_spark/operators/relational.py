@@ -421,3 +421,53 @@ def ranking_scores(
     if threshold is not None:
         out = out.filter(F.col("_ranking_score") >= threshold)
     return out
+
+
+def get_documents(
+    docs: DataFrame,
+    filterable_attributes: "tuple[str, ...]" = (),
+    filter_expr: "str | None" = None,
+    fields: "tuple[str, ...] | None" = None,
+    offset: int = 0,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    fold_case: bool = False,
+) -> DataFrame:
+    """Meilisearch ``GET /indexes/{uid}/documents`` (and the POST
+    ``/documents/fetch`` body form) analog: a stable page of documents,
+    no search ranking involved.
+
+    - ``filter_expr``: the same Meilisearch filter grammar searches use
+      (functions/filters.py), enforced against ``filterable_attributes``
+      exactly like the endpoint (filtering on an undeclared attribute is
+      a loud error).
+    - ``fields``: projection list (the endpoint returns ONLY the
+      requested fields — the id is included only if asked for);
+      default all columns.
+    - ``offset``/``limit``: the endpoint's pagination, over ascending
+      ``id_col`` (the engine's internal doc id — the analog of
+      Meilisearch's internal ordering, and deterministic here).
+
+    Plan shape: the filter compiles to one Catalyst predicate pushed to
+    the parquet scan, the projection prunes the read schema, and the
+    ordered page is a TakeOrdered of offset+limit rows — no full sort,
+    no unbounded driver state. 100 TB-safe for sane page depths (like
+    the endpoint, deep offsets cost offset+limit; max_total_hits-style
+    caps are the caller's policy).
+    """
+    if offset < 0 or limit <= 0:
+        raise ValueError(f"need offset >= 0 and limit > 0, got {offset}/{limit}")
+    out = docs
+    if filter_expr:
+        from meilibridge_spark.functions.filters import parse_filter
+
+        out = out.filter(
+            parse_filter(filter_expr, tuple(filterable_attributes), fold_case)
+        )
+    page = out.orderBy(F.col(id_col).asc()).offset(offset).limit(limit)
+    if fields is not None:
+        missing = [f for f in fields if f not in docs.columns]
+        if missing:
+            raise ValueError(f"unknown field(s): {missing}")
+        page = page.select(*fields)
+    return page

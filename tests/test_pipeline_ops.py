@@ -655,3 +655,29 @@ def test_py_files_package(tmp_path):
     z2 = str(tmp_path / "b.zip")
     build_zip(z2)
     assert open(z1, "rb").read() == open(z2, "rb").read()
+
+
+def test_get_documents(spark, docs):
+    """GET /documents analog: id-ordered pagination, fields exactly as
+    requested, filter enforced against the declared filterables."""
+    import pytest as _pytest
+
+    from meilibridge_spark.functions.filters import ConfigError
+    from meilibridge_spark.operators.relational import get_documents
+
+    p1 = get_documents(docs, limit=5).collect()
+    p2 = get_documents(docs, offset=5, limit=5).collect()
+    assert len(p1) == 5 and len(p2) == 5
+    ids = [r["doc_id"] for r in p1 + p2]
+    assert ids == sorted(ids) and len(set(ids)) == 10  # contiguous pages
+    got = get_documents(
+        docs, ("lang",), "lang = 'en'", fields=("lang", "n_chars"), limit=3
+    )
+    assert got.columns == ["lang", "n_chars"]  # id only if requested
+    assert all(r["lang"] == "en" for r in got.collect())
+    with _pytest.raises(ConfigError):  # undeclared filterable: loud
+        get_documents(docs, ("lang",), "source = 'src1'", limit=1)
+    with _pytest.raises(ValueError, match="unknown field"):
+        get_documents(docs, fields=("nope",), limit=1)
+    with _pytest.raises(ValueError, match="offset"):
+        get_documents(docs, offset=-1)
