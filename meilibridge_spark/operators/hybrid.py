@@ -85,13 +85,25 @@ def search_hybrid(
         kw_pool.select("doc_id").unionByName(sem_pool.select("doc_id")).distinct()
     )
 
-    # 4-5. fuse: semantic-only docs still get their exact cosine, via a
-    # broadcast INNER probe of the embeddings scan (broadcasting the
-    # preserved side of an outer join is unsupported — Spark would fall
-    # back to shuffling the full table); the subsequent outer joins are
-    # tiny-vs-tiny (<= 2*pool rows each side) with the right side
-    # broadcast. Docs missing an embedding fall back to sem = 0.
-    sem_cand = sem_scored.join(F.broadcast(cand), "doc_id")
+    # 4-5. fuse: keyword-only docs still get their exact cosine via a
+    # candidate-PRUNED probe — the (<= 2*pool row) candidate set
+    # broadcasts into a second column-pruned embeddings scan, so only
+    # candidate rows are re-scored (the full sem_scored pass exists
+    # only to FIND the top-pool; re-scoring everything to serve 2*pool
+    # lookups doubled the expensive pass). Broadcasting the preserved
+    # side of an outer join is unsupported (Spark would shuffle the
+    # full table), hence broadcast INNER here; the subsequent outer
+    # joins are tiny-vs-tiny (<= 2*pool rows each side) with the right
+    # side broadcast. Docs missing an embedding fall back to sem = 0.
+    sem_cand = (
+        emb.select(F.col(id_col).alias("doc_id"), vec_col)
+        .join(F.broadcast(cand), "doc_id")
+        .select(
+            "doc_id",
+            ((F.lit(1.0) + _cos(F.col(vec_col), qv)) / F.lit(2.0)).alias("sem"),
+        )
+        .filter(F.col("sem").isNotNull())
+    )
     fused = (
         cand.join(F.broadcast(sem_cand), "doc_id", "left")
         .join(F.broadcast(kw_pool), "doc_id", "left")
@@ -228,9 +240,33 @@ def search_hybrid_many(
         .unionByName(sem_pool.select("query_id", "doc_id"))
         .distinct()
     )
-    # exact sem for keyword-only candidates: broadcast probe of the
-    # (second, column-pruned) embeddings pass — same shape as single.
-    sem_cand = sem_scored.join(F.broadcast(cand), ["query_id", "doc_id"])
+    if semantic == "exact":
+        # sem for keyword-only candidates: candidate-PRUNED cosine pass
+        # — the (tiny, <= 2*M*pool row) candidate set broadcasts into
+        # one column-pruned embeddings probe, so only candidate pairs
+        # are scored. Re-running the full sem_scored pass here (the old
+        # shape) re-scored every (query, doc) pair a second time; the
+        # full pass above exists only to FIND the top-pool, not to
+        # serve lookups. Same _cos arithmetic -> identical values.
+        sem_cand = (
+            emb.select(F.col(id_col).alias("doc_id"), vec_col)
+            .join(F.broadcast(cand), "doc_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    (F.lit(1.0) + _cos(F.col(vec_col), F.col("qv")))
+                    / F.lit(2.0)
+                ).alias("sem"),
+            )
+            .filter(F.col("sem").isNotNull())
+        )
+    else:
+        # ivf: unprobed = unseen (sem stays 0 for candidates outside
+        # the probed lists), so candidate sem must come from the probed
+        # universe itself — which is already list-restricted and cheap.
+        sem_cand = sem_scored.join(F.broadcast(cand), ["query_id", "doc_id"])
     fused = (
         cand.join(F.broadcast(sem_cand), ["query_id", "doc_id"], "left")
         .join(F.broadcast(kw), ["query_id", "doc_id"], "left")
