@@ -440,7 +440,10 @@ def get_documents(
     - ``filter_expr``: the same Meilisearch filter grammar searches use
       (functions/filters.py), enforced against ``filterable_attributes``
       exactly like the endpoint (filtering on an undeclared attribute is
-      a loud error).
+      a loud error). This generic form takes the declared set as an
+      argument (for bare corpus tables with no index); when an index
+      exists, use :func:`get_index_documents` so enforcement stays
+      index-defined (manifest settings), matching ``filter_doc_ids``.
     - ``fields``: projection list (the endpoint returns ONLY the
       requested fields — the id is included only if asked for);
       default all columns.
@@ -471,3 +474,30 @@ def get_documents(
             raise ValueError(f"unknown field(s): {missing}")
         page = page.select(*fields)
     return page
+
+
+def get_index_documents(
+    index,
+    filter_expr: "str | None" = None,
+    fields: "tuple[str, ...] | None" = None,
+    offset: int = 0,
+    limit: int = 20,
+    fold_case: "bool | None" = None,
+) -> DataFrame:
+    """Index-defined form of :func:`get_documents`: filterable
+    enforcement (and case folding) come from the snapshot settings the
+    index was BUILT with — the same single enforcement surface
+    ``filter_doc_ids`` uses — not from a caller-supplied tuple, so the
+    endpoint's undeclared-filterable error cannot drift per call site."""
+    if fold_case is None:
+        fold_case = getattr(index.cfg, "filter_fold_case", False)
+    return get_documents(
+        index.docs,
+        tuple(index.cfg.filterable_attributes),
+        filter_expr,
+        fields=fields,
+        offset=offset,
+        limit=limit,
+        id_col="doc_id",
+        fold_case=fold_case,
+    )

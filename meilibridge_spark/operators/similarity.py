@@ -402,10 +402,15 @@ def similar_documents(
     targets = emb.filter(F.col(id_col).isin(ids)).select(
         F.col(id_col).alias("target_id"), F.col(vec_col).alias("_qv")
     )
-    found = {r["target_id"] for r in targets.select("target_id").collect()}
+    # one pushed-down point scan serves BOTH the 404-style validation
+    # and the broadcast side (rebuilt driver-side from the <= len(ids)
+    # collected rows — no second scan for the crossJoin)
+    rows = targets.collect()
+    found = {r["target_id"] for r in rows}
     missing = [i for i in ids if i not in found]
     if missing:
         raise ValueError(f"unknown target id(s): {missing}")
+    targets = emb.sparkSession.createDataFrame(rows, targets.schema)
     cands = emb
     if filter_docs is not None:
         cands = cands.join(filter_docs.select(id_col), id_col, "left_semi")

@@ -32,6 +32,7 @@ def build_zip(out_path: str, repo: str = REPO) -> "list[str]":
             if fn.endswith(".py"):
                 full = os.path.join(root, fn)
                 members.append(os.path.relpath(full, repo).replace(os.sep, "/"))
+    members.sort()
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for rel in members:
             # fixed date_time -> byte-identical zip for identical sources

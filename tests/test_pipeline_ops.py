@@ -681,3 +681,33 @@ def test_get_documents(spark, docs):
         get_documents(docs, fields=("nope",), limit=1)
     with _pytest.raises(ValueError, match="offset"):
         get_documents(docs, offset=-1)
+
+
+def test_get_index_documents_enforcement_is_index_defined(spark, docs):
+    """The index-defined documents listing takes its filterable set
+    from the BUILT settings, like filter_doc_ids — not per call site."""
+    import pytest as _pytest
+
+    from meilibridge_spark.config import (
+        ASCII_TOKEN_PATTERN,
+        AnalyzerConfig,
+        ConfigError,
+        IndexConfig,
+    )
+    from meilibridge_spark.operators.relational import get_index_documents
+    from meilibridge_spark.plans.build import build_index
+
+    cfg = IndexConfig(
+        index_name="gd",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        filterable_attributes=("lang",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    idx = build_index(docs, cfg, doc_id_col="doc_id")
+    page = get_index_documents(
+        idx, "lang = 'en'", fields=("doc_id", "lang"), limit=4
+    ).collect()
+    assert len(page) == 4 and all(r["lang"] == "en" for r in page)
+    with _pytest.raises(ConfigError):  # undeclared in the INDEX settings
+        get_index_documents(idx, "source = 'src1'", limit=1)
