@@ -1,0 +1,54 @@
+"""End-to-end spark-submit drive of the shipped jobs (north_rule: the
+engine ships as ``spark-submit --py-files`` jobs). This is the real
+deployment path — a fresh JVM, the package imported ONLY from the
+scripts/package.py zip artifact (executor pandas-UDF workers re-import
+from it too), no repo PYTHONPATH."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _submit(zip_path: str, job: str, *args: str) -> str:
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(REPO, "meilibridge_spark", "jobs", job), *args],
+        capture_output=True, text=True, timeout=280, env=env, cwd="/tmp",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_build_then_query_via_spark_submit(tmp_path):
+    zip_path = str(tmp_path / "mbs.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, capture_output=True,
+    )
+    idx_dir = str(tmp_path / "idx")
+    built = json.loads(_submit(
+        zip_path, "build_index.py",
+        "--index-dir", idx_dir, "--synthetic-convs", "12",
+    ))
+    assert built["snapshot_id"] == 1 and built["n_docs"] > 0
+    res = json.loads(_submit(
+        zip_path, "query.py",
+        "--index-dir", idx_dir, "--query", "baba cedi", "-k", "3",
+    ))
+    assert 0 < len(res["hits"]) <= 3
+    assert all(h["score"] > 0 for h in res["hits"])
+    scores = [h["score"] for h in res["hits"]]
+    assert scores == sorted(scores, reverse=True)
