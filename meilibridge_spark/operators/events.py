@@ -104,3 +104,89 @@ def sessionize(
         ts_col,
         F.sum("_new").over(cum).cast("long").alias("session_idx"),
     )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+):
+    """Streaming gap sessionization — the custom STATEFUL operator form
+    (``applyInPandasWithState`` keyed by user): per-user state carries
+    (last event time, sessions so far), each micro-batch extends it
+    with the same gap rule as :func:`sessionize`, so replaying a stream
+    whose per-user event times are non-decreasing ACROSS micro-batches
+    yields exactly the batch output (tested). Within a micro-batch,
+    arrival order is irrelevant (events are sorted by (ts, id) before
+    the cumulative rule — Spark gives no intra-batch order guarantee).
+
+    Scale shape: state is two longs per user (bounded by |users|, not
+    |events|), batches process vectorized (shift/cumsum over the
+    group's pandas frame, no per-event Python loop beyond numpy), and
+    the only exchange is the groupBy(user) hash partitioning — the
+    standard stateful-streaming layout. Out-of-order delivery ACROSS
+    batches is the documented limit (state has already advanced; a
+    straggler older than last_ts starts/extends sessions by the gap
+    rule against the newest timestamp, exactly how a low-watermark
+    violation behaves in any single-pass sessionizer).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(user_col, LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField("session_idx", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("n_sessions", LongType())]
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, id_col], kind="mergesort")
+        us = rows[ts_col].astype("int64").to_numpy() // 1_000  # ns -> us
+        last_us, n_sessions = state.get if state.exists else (None, 0)
+        prev = np.empty_like(us)
+        prev[1:] = us[:-1]
+        new = np.empty(len(us), dtype=np.int64)
+        if last_us is None:
+            new[0] = 1
+        else:
+            prev[0] = last_us
+            new[0] = 1 if us[0] - last_us > gap_us else 0
+        new[1:] = (us[1:] - prev[1:] > gap_us).astype(np.int64)
+        sidx = int(n_sessions) + np.cumsum(new)
+        state.update((int(us[-1]), int(sidx[-1])))
+        yield pd.DataFrame(
+            {
+                id_col: rows[id_col].to_numpy(),
+                user_col: key[0],
+                ts_col: rows[ts_col].to_numpy(),
+                "session_idx": sidx,
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -194,3 +194,56 @@ def test_windowed_agg_with_watermark(spark):
 def test_start_cdc_sync_requires_sink_args(spark, tmp_path):
     with pytest.raises(ValueError, match="required"):
         start_cdc_sync(spark, cdc_path=str(tmp_path))
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: replaying the events
+    table as TWO micro-batches (split by time, per-user order preserved
+    across batches) must reproduce the batch sessionize() output
+    exactly — state (last_ts, n_sessions) carries the rule over the
+    batch boundary."""
+    import shutil
+
+    from meilibridge_spark.operators.events import sessionize, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ts_sorted = [r["ts"] for r in events.select("ts").orderBy("ts").collect()]
+    cut = ts_sorted[len(ts_sorted) // 2]
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        (events.filter(F.col("ts") < F.lit(cut)),
+         events.filter(F.col("ts") >= F.lit(cut)))
+    ):
+        d = tmp_path / f"w{i}"
+        part.coalesce(1).write.parquet(str(d))
+        src = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        dst = stream_dir / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.table("sess_stream").collect()
+    }
+    want = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert len(got) == events.count()
+    assert got == want
