@@ -375,6 +375,11 @@ def similar_documents(
     vec_col: str = "embedding",
     filter_docs: "DataFrame | None" = None,
     threshold: "float | None" = None,
+    method: str = "exact",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    centroids: "DataFrame | None" = None,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """Meilisearch ``GET /indexes/{uid}/similar`` analog: for each
     target document, the ``k`` most similar other documents by
@@ -383,17 +388,29 @@ def similar_documents(
     ``ranking_score`` is Meilisearch's semantic score for cosine
     embedders, (1 + cos) / 2 in [0, 1] (the same normalization the
     hybrid-fusion path uses); ``threshold`` is the endpoint's
-    ``rankingScoreThreshold`` — applied BEFORE ranking, so surviving
-    ranks are contiguous 1..k like the endpoint's hit list.
-    ``filter_docs`` (a DataFrame with an ``id_col`` column) restricts
-    the candidate side, like the endpoint's ``filter`` parameter.
+    ``rankingScoreThreshold`` — applied BEFORE ranking; because the
+    score is monotone in cos, it removes exactly a suffix of each
+    target's ranking, so surviving ranks are contiguous 1..k like the
+    endpoint's hit list. ``filter_docs`` (a DataFrame with an
+    ``id_col`` column) restricts the candidate side, like the
+    endpoint's ``filter`` parameter.
+
+    ``method="exact"`` scores every embedding (one scan — the
+    correctness baseline); ``method="ivf"`` is the 100 TB path:
+    scoring restricted to each target's ``n_probe`` nearest IVF lists
+    via :func:`ivf_topk`, with ``centroids``/``assigned`` accepting the
+    stored quantizer layout so serving never recomputes assignment
+    (ANN ⊆ exact semantics, same as every other IVF path here).
 
     Unknown target ids raise (the endpoint 404s) — the validation
     lookup collects at most ``len(target_ids)`` rows off a pushed-down
     point filter. Plan shape: the (tiny) target vectors broadcast into
-    one scan of the embeddings table; the threshold prunes before the
-    per-target window, and only <= targets*k rows survive it.
+    one scan of the embeddings table (or of the probed lists);
+    the threshold prunes before the per-target window, and only
+    <= targets*k rows survive it.
     """
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
     ids = list(target_ids)
     if not ids:
         raise ValueError("similar_documents needs at least one target id")
@@ -414,6 +431,24 @@ def similar_documents(
     cands = emb
     if filter_docs is not None:
         cands = cands.join(filter_docs.select(id_col), id_col, "left_semi")
+    if method == "ivf":
+        # probed-list scoring; thresholding the (cos-desc) top-k after
+        # the fact removes only a suffix, so ranks stay contiguous
+        hits = ivf_topk(
+            cands, targets, k,
+            n_centroids=n_centroids, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col="target_id", query_vec_col="_qv",
+            centroids=centroids, assigned=assigned,
+        ).withColumn(
+            "ranking_score",
+            F.round((F.lit(1.0) + F.col("cos")) / F.lit(2.0), 6),
+        )
+        if threshold is not None:
+            hits = hits.filter(F.col("ranking_score") >= threshold)
+        return hits.select(
+            "target_id", id_col, "cos", "ranking_score", "rank"
+        )
     scored = cands.crossJoin(F.broadcast(targets)).select(
         "target_id",
         F.col(id_col),

@@ -711,3 +711,29 @@ def test_get_index_documents_enforcement_is_index_defined(spark, docs):
     assert len(page) == 4 and all(r["lang"] == "en" for r in page)
     with _pytest.raises(ConfigError):  # undeclared in the INDEX settings
         get_index_documents(idx, "source = 'src1'", limit=1)
+
+
+def test_similar_documents_ivf(spark, emb):
+    """method='ivf' at full probe == exact (ANN ⊆ exact, here =);
+    at partial probe every hit is also an exact hit with the same cos."""
+    from meilibridge_spark.operators.similarity import similar_documents
+
+    exact = similar_documents(emb, [3, 7], k=5, threshold=0.55)
+    full = similar_documents(
+        emb, [3, 7], k=5, threshold=0.55, method="ivf",
+        n_centroids=4, n_probe=4,
+    )
+    key = lambda r: (r["target_id"], r["rank"])  # noqa: E731
+    e = [(r["target_id"], r["vec_id"], r["cos"], r["rank"])
+         for r in sorted(exact.collect(), key=key)]
+    f = [(r["target_id"], r["vec_id"], r["cos"], r["rank"])
+         for r in sorted(full.collect(), key=key)]
+    assert e == f and len(e) > 0
+    part = similar_documents(
+        emb, [3, 7], k=5, method="ivf", n_centroids=4, n_probe=1,
+    ).collect()
+    ecos = {(r["target_id"], r["vec_id"]): r["cos"] for r in
+            similar_documents(emb, [3, 7], k=2000).collect()}
+    assert all(
+        ecos[(r["target_id"], r["vec_id"])] == r["cos"] for r in part
+    )
