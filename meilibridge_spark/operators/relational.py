@@ -432,10 +432,16 @@ def get_documents(
     limit: int = 20,
     id_col: str = "doc_id",
     fold_case: bool = False,
+    ids: "list | None" = None,
 ) -> DataFrame:
     """Meilisearch ``GET /indexes/{uid}/documents`` (and the POST
     ``/documents/fetch`` body form) analog: a stable page of documents,
     no search ranking involved.
+
+    ``ids``: the fetch body's retrieve-by-ids list — an equality-set
+    predicate on ``id_col``, pushed to the scan like the filter and
+    composing with it (both = intersection, matching the endpoint);
+    pagination then applies over the id-ordered survivors.
 
     - ``filter_expr``: the same Meilisearch filter grammar searches use
       (functions/filters.py), enforced against ``filterable_attributes``
@@ -461,6 +467,20 @@ def get_documents(
     if offset < 0 or limit <= 0:
         raise ValueError(f"need offset >= 0 and limit > 0, got {offset}/{limit}")
     out = docs
+    if ids is not None:
+        if not ids:
+            raise ValueError("ids must be a non-empty list (or None)")
+        if all(isinstance(i, int) for i in ids):
+            # one-py4j-call IN rendering (Column.isin pays a round trip
+            # per literal — see operators/search.terms_in, measured)
+            pred = F.expr(
+                f"`{id_col}` IN ({','.join(str(int(i)) for i in ids)})"
+            )
+        else:
+            from meilibridge_spark.operators.search import terms_in
+
+            pred = terms_in(id_col, [str(i) for i in ids])
+        out = out.filter(pred)
     if filter_expr:
         from meilibridge_spark.functions.filters import parse_filter
 

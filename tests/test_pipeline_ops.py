@@ -737,3 +737,28 @@ def test_similar_documents_ivf(spark, emb):
     assert all(
         ecos[(r["target_id"], r["vec_id"])] == r["cos"] for r in part
     )
+
+
+def test_get_documents_by_ids(spark, docs):
+    """POST /documents/fetch ids form: equality-set predicate pushed to
+    the scan, composing with the grammar filter as an intersection."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import get_documents
+
+    got = get_documents(docs, ids=[7, 3, 11], fields=("doc_id",), limit=20)
+    assert [r["doc_id"] for r in got.collect()] == [3, 7, 11]
+    assert "In" in got._jdf.queryExecution().executedPlan().toString() or \
+        "in(" in got._jdf.queryExecution().toString().lower()
+    langs = {
+        r["lang"]
+        for r in docs.filter(F.col("doc_id").isin([3, 7, 11])).collect()
+    }
+    pick = sorted(langs)[0]
+    both = get_documents(
+        docs, ("lang",), f"lang = '{pick}'", ids=[7, 3, 11],
+        fields=("doc_id", "lang"), limit=20,
+    ).collect()
+    assert all(r["lang"] == pick and r["doc_id"] in (3, 7, 11) for r in both)
+    with _pytest.raises(ValueError, match="non-empty"):
+        get_documents(docs, ids=[])
