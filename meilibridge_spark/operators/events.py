@@ -133,19 +133,18 @@ def sessionize_stream(
     violation behaves in any single-pass sessionizer).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        LongType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     gap_us = gap_minutes * 60 * 1_000_000
+    # output dtypes follow the INPUT schema (string users, int ids and
+    # TIMESTAMP_NTZ all work, like the batch sessionize) — only the
+    # session index has a fixed type
+    in_types = {f.name: f.dataType for f in stream.schema.fields}
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
-            StructField(user_col, LongType()),
-            StructField(ts_col, TimestampType()),
+            StructField(id_col, in_types[id_col]),
+            StructField(user_col, in_types[user_col]),
+            StructField(ts_col, in_types[ts_col]),
             StructField("session_idx", LongType()),
         ]
     )

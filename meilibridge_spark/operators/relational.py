@@ -470,17 +470,9 @@ def get_documents(
     if ids is not None:
         if not ids:
             raise ValueError("ids must be a non-empty list (or None)")
-        if all(isinstance(i, int) for i in ids):
-            # one-py4j-call IN rendering (Column.isin pays a round trip
-            # per literal — see operators/search.terms_in, measured)
-            pred = F.expr(
-                f"`{id_col}` IN ({','.join(str(int(i)) for i in ids)})"
-            )
-        else:
-            from meilibridge_spark.operators.search import terms_in
+        from meilibridge_spark.operators.search import terms_in
 
-            pred = terms_in(id_col, [str(i) for i in ids])
-        out = out.filter(pred)
+        out = out.filter(terms_in(id_col, list(ids)))
     if filter_expr:
         from meilibridge_spark.functions.filters import parse_filter
 

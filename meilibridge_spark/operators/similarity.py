@@ -222,13 +222,16 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     centroids: "DataFrame | None" = None,
     assigned: "DataFrame | None" = None,
+    round_cos: bool = True,
 ) -> DataFrame:
     """IVF approximate cosine top-k: exact scoring restricted to the
     vectors whose IVF list is among the query's ``n_probe`` closest
     centroids. Same output shape as cosine_topk; recall traded via
     n_probe/n_centroids (ANN ⊆ exact, tested). At scale the
     centroid-id equi-join replaces the full scan — the inverted lists
-    are the partition key.
+    are the partition key. ``round_cos=False`` returns the unrounded
+    cosine (for callers that derive thresholds from it and must round
+    at their own boundary, e.g. similar_documents).
 
     ``centroids`` / ``assigned``: pass the precomputed quantizer and
     list assignment (emb columns + centroid_id) — the STORED layout of
@@ -270,7 +273,12 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+        .select(
+            query_id_col,
+            id_col,
+            (F.round("cos", 6) if round_cos else F.col("cos")).alias("cos"),
+            "rank",
+        )
     )
 
 
@@ -432,22 +440,36 @@ def similar_documents(
     if filter_docs is not None:
         cands = cands.join(filter_docs.select(id_col), id_col, "left_semi")
     if method == "ivf":
+        # a stored layout bypasses ivf_topk's emb argument entirely, so
+        # the endpoint filter must be applied to the layout itself —
+        # otherwise the production (precomputed-assignment) path would
+        # silently return hits the filter excludes
+        if filter_docs is not None and assigned is not None:
+            assigned = assigned.join(
+                filter_docs.select(id_col), id_col, "left_semi"
+            )
         # probed-list scoring; thresholding the (cos-desc) top-k after
-        # the fact removes only a suffix, so ranks stay contiguous
+        # the fact removes only a suffix, so ranks stay contiguous.
+        # round_cos=False: the threshold must compare the UNROUNDED
+        # score exactly like the exact path, or boundary cosines break
+        # the ==exact-at-full-probe contract
         hits = ivf_topk(
             cands, targets, k,
             n_centroids=n_centroids, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
             query_id_col="target_id", query_vec_col="_qv",
-            centroids=centroids, assigned=assigned,
+            centroids=centroids, assigned=assigned, round_cos=False,
         ).withColumn(
-            "ranking_score",
-            F.round((F.lit(1.0) + F.col("cos")) / F.lit(2.0), 6),
+            "ranking_score", (F.lit(1.0) + F.col("cos")) / F.lit(2.0)
         )
         if threshold is not None:
             hits = hits.filter(F.col("ranking_score") >= threshold)
         return hits.select(
-            "target_id", id_col, "cos", "ranking_score", "rank"
+            "target_id",
+            id_col,
+            F.round("cos", 6).alias("cos"),
+            F.round("ranking_score", 6).alias("ranking_score"),
+            "rank",
         )
     scored = cands.crossJoin(F.broadcast(targets)).select(
         "target_id",

@@ -17,7 +17,11 @@ SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
 def _submit(zip_path: str, job: str, *args: str) -> str:
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "PYSPARK_DRIVER_PYTHON")
+    }
     env["PYSPARK_PYTHON"] = sys.executable
     out = subprocess.run(
         [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
@@ -25,7 +29,9 @@ def _submit(zip_path: str, job: str, *args: str) -> str:
         capture_output=True, text=True, timeout=280, env=env, cwd="/tmp",
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    return out.stdout.strip().splitlines()[-1]
+    lines = out.stdout.strip().splitlines()
+    assert lines, f"job printed nothing; stderr tail: {out.stderr[-2000:]}"
+    return lines[-1]
 
 
 @pytest.mark.skipif(

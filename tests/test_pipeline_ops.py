@@ -748,8 +748,16 @@ def test_get_documents_by_ids(spark, docs):
 
     got = get_documents(docs, ids=[7, 3, 11], fields=("doc_id",), limit=20)
     assert [r["doc_id"] for r in got.collect()] == [3, 7, 11]
-    assert "In" in got._jdf.queryExecution().executedPlan().toString() or \
-        "in(" in got._jdf.queryExecution().toString().lower()
+    # pushdown asserted on an UNCACHED table (documents is persisted by
+    # the module fixture, and the cache manager substitutes any
+    # same-path read with the InMemoryRelation, which carries no
+    # PushedFilters line)
+    fresh = get_documents(
+        spark.read.parquet(f"{SF}/events.parquet"),
+        ids=[7, 3, 11], fields=("event_id",), id_col="event_id", limit=20,
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "In(event_id" in plan, plan  # the IN reaches PushedFilters
     langs = {
         r["lang"]
         for r in docs.filter(F.col("doc_id").isin([3, 7, 11])).collect()
@@ -762,3 +770,28 @@ def test_get_documents_by_ids(spark, docs):
     assert all(r["lang"] == pick and r["doc_id"] in (3, 7, 11) for r in both)
     with _pytest.raises(ValueError, match="non-empty"):
         get_documents(docs, ids=[])
+
+
+def test_similar_documents_ivf_stored_layout_honors_filter(spark, emb):
+    """Regression: with a precomputed `assigned` layout (the production
+    path that bypasses ivf_topk's emb argument), filter_docs must still
+    restrict the candidates."""
+    from meilibridge_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        similar_documents,
+    )
+
+    cents = ivf_centroids(emb, 4)
+    assigned = emb.join(ivf_assign(emb, cents), "vec_id")
+    allowed = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    hits = similar_documents(
+        emb, [3], k=10, method="ivf", n_probe=4,
+        centroids=cents, assigned=assigned, filter_docs=allowed,
+    ).collect()
+    assert hits and all(r["vec_id"] % 2 == 0 for r in hits)
+    # and matches the exact path under the same filter at full probe
+    exact = similar_documents(emb, [3], k=10, filter_docs=allowed).collect()
+    assert [(r["vec_id"], r["cos"]) for r in hits] == [
+        (r["vec_id"], r["cos"]) for r in exact
+    ]

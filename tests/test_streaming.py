@@ -236,7 +236,10 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(300), "stream did not drain in time"
+    finally:
+        q.stop()
     got = {
         r["event_id"]: r["session_idx"]
         for r in spark.table("sess_stream").collect()
@@ -247,3 +250,46 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) == events.count()
     assert got == want
+
+
+def test_sessionize_stream_string_users(spark, tmp_path):
+    """Output dtypes follow the input schema: string user ids and int
+    event ids stream through unchanged (the batch form is type-agnostic;
+    the stateful form must be too)."""
+    from meilibridge_spark.operators.events import sessionize, sessionize_stream
+
+    rows = [
+        (1, "u-a", "2026-01-01 10:00:00"),
+        (2, "u-a", "2026-01-01 10:05:00"),
+        (3, "u-a", "2026-01-01 12:00:00"),
+        (4, "u-b", "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tmp_path / "ev"
+    df.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(df.schema).parquet(str(d))
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_str")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in spark.table("sess_str").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == want == {
+        ("u-a", 1): 1, ("u-a", 2): 1, ("u-a", 3): 2, ("u-b", 4): 1
+    }
