@@ -323,13 +323,20 @@ class _Parser:
         if not vals:
             raise ConfigError(f"empty IN list for {field!r}")
         if self.fold_case and any(isinstance(v, str) for v in vals):
-            fc = F.lower(c)
-            vals = [v.lower() if isinstance(v, str) else v for v in vals]
+            # fold ONLY the string members: F.lower(c) casts the column
+            # to string, so comparing unmodified numeric members against
+            # it would silently never match — split into two ORed
+            # predicates (folded strings vs untouched non-strings)
+            svals = [v.lower() for v in vals if isinstance(v, str)]
+            ovals = [v for v in vals if not isinstance(v, str)]
+            pred = F.lower(c).isin(svals)
+            if ovals:
+                pred = pred | c.isin(ovals)
         else:
-            fc = c
+            pred = c.isin(vals)
         if neg:
-            return _or_null(field, ~fc.isin(vals))
-        return fc.isin(vals)
+            return _or_null(field, ~pred)
+        return pred
 
 
 def parse_filter(

@@ -31,6 +31,33 @@ import argparse
 import json
 
 
+def parse_hybrid_queries_file(lines) -> "list[tuple[str, int, str]]":
+    """Parse hybrid batch lines ('vec_id<TAB>query text') into
+    (query_id, vec_id, text) tuples, skipping blank lines. Raises
+    ValueError naming the 1-based line number on a line without a tab
+    or a non-integer vec_id (a silently-empty query text and an
+    unhandled int() crash otherwise)."""
+    out = []
+    for i, raw in enumerate(lines):
+        line = raw.strip()
+        if not line:
+            continue
+        if "\t" not in line:
+            raise ValueError(
+                f"line {i + 1}: expected 'vec_id<TAB>query text', "
+                f"got {line!r}"
+            )
+        vid, _, text = line.partition("\t")
+        try:
+            vec_id = int(vid)
+        except ValueError:
+            raise ValueError(
+                f"line {i + 1}: vec_id must be an integer, got {vid!r}"
+            ) from None
+        out.append((f"q{i:05d}", vec_id, text))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
@@ -154,13 +181,13 @@ def main() -> None:
         if args.queries_file:
             batch, vecs = [], {}
             with open(args.queries_file) as f:
-                for i, line in enumerate(line.strip() for line in f):
-                    if not line:
-                        continue
-                    vid, _, text = line.partition("\t")
-                    qid = f"q{i:05d}"
-                    batch.append((qid, text))
-                    vecs[qid] = vec_by_id(int(vid))
+                try:
+                    parsed_lines = parse_hybrid_queries_file(f)
+                except ValueError as e:
+                    ap.error(f"{args.queries_file}: {e}")
+            for qid, vec_id, text in parsed_lines:
+                batch.append((qid, text))
+                vecs[qid] = vec_by_id(vec_id)
             prepare_serving(index)
             rows = search_hybrid_many(
                 index, emb, batch, vecs, semantic=args.semantic, **hk

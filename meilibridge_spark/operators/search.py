@@ -926,7 +926,7 @@ def search_many(
             # two queries with identical term sets but different exact
             # forms must not dedup onto one key
             key += "\x01" + ",".join(sorted(exact_of[qid]))
-            exact_sets[key] = exact_of[qid]
+        gq = None
         if matching_strategy == "all":
             # same term set but different word-group structure must not
             # dedup either (the groups drive the 'all' constraint)
@@ -934,6 +934,13 @@ def search_many(
                 qtext, index.cfg.analyzer, expansions=exp_map or None
             )
             key += "\x02" + "|".join(",".join(sorted(g)) for g in gq)
+        # key-indexed side tables register only once the dedup key is
+        # FULLY built — registering exact_sets before the '\x02' group
+        # suffix made exactness silently inert under
+        # matching_strategy='all' (the scorer looks up the final key)
+        if exactness_rank:
+            exact_sets[key] = exact_of[qid]
+        if gq is not None:
             group_sets[key] = gq
         key_of[qid] = key
         key_terms[key] = terms
@@ -960,6 +967,12 @@ def search_many(
         plan = [
             (key, terms) for key, terms in plan if key not in unsatisfiable
         ]
+    # fetch blocks only for terms that appear in SURVIVING plan entries:
+    # idf_map may hold terms belonging solely to queries dropped as
+    # unsatisfiable under matching_strategy='all' — fetching those
+    # blocks both wastes I/O and KeyErrors the decode-time idf fold
+    # (idf_of is built from the pruned plan)
+    fetch_terms = sorted({t for _, terms in plan for t, _ in terms})
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
     # rule order words > (typo: single-path only) > attribute > exactness
     rank_cols: "list[tuple[str, str, bool]]" = []
@@ -991,7 +1004,7 @@ def search_many(
     if filter_docs is not None:
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
         blocks, _ = _batch_blocks(
-            index, sorted(idf_map), need_attr_blocks, keep_shard=True
+            index, fetch_terms, need_attr_blocks, keep_shard=True
         )
         if "_shard" not in blocks.columns:
             blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
@@ -1025,7 +1038,7 @@ def search_many(
         return res.filter(F.col("rank") > offset) if offset else res
 
     sharded, needs_shuffle = _batch_blocks(
-        index, sorted(idf_map), need_attr_blocks
+        index, fetch_terms, need_attr_blocks
     )
     if needs_shuffle:
         # partition count: no more than the corpus' shard count (extra

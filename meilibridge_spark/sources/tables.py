@@ -154,30 +154,7 @@ def save_snapshot(
         "save_seconds": round(time.time() - t0, 3),
         **(extra_metrics or {}),
     }
-    entry = {
-        "snapshot_id": snap_id,
-        "parent_snapshot_id": parent_id,
-        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "n_docs": index.n_docs,
-        "avgdl": index.avgdl,
-        "max_ts": max_ts,
-        "tables": {
-            "docs": f"{snap}/docs",
-            "postings": f"{snap}/postings",
-            "terms": f"{snap}/terms",
-            **(
-                {"positions": f"{snap}/positions"}
-                if index.positions is not None
-                else {}
-            ),
-            **({"attrs": f"{snap}/attrs"} if index.attrs is not None else {}),
-        },
-        "lineage": {"postings": partition_lineage(postings_persisted)},
-        "metrics": metrics,
-    }
-    manifest["snapshots"].append(entry)
-    manifest["current"] = snap_id
-    manifest["index"] = {
+    index_meta = {
         "name": index.cfg.normalized_name(),
         "primary_key": list(index.cfg.primary_key),
         # layout constants baked into the stored postings bytes: block
@@ -200,6 +177,36 @@ def save_snapshot(
         # rank as a mask mis-ranks silently.
         **({"attrs_tf_encoding": "mask"} if index.attrs is not None else {}),
     }
+    entry = {
+        "snapshot_id": snap_id,
+        "parent_snapshot_id": parent_id,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "max_ts": max_ts,
+        # the built-settings surface + encoding markers are stored PER
+        # SNAPSHOT: a later save from a differently-configured index
+        # must not retroactively change what an earlier snapshot means
+        # (load_snapshot validates/adopts from the entry being loaded;
+        # the top-level copy below remains for legacy snapshots only)
+        "index": index_meta,
+        "tables": {
+            "docs": f"{snap}/docs",
+            "postings": f"{snap}/postings",
+            "terms": f"{snap}/terms",
+            **(
+                {"positions": f"{snap}/positions"}
+                if index.positions is not None
+                else {}
+            ),
+            **({"attrs": f"{snap}/attrs"} if index.attrs is not None else {}),
+        },
+        "lineage": {"postings": partition_lineage(postings_persisted)},
+        "metrics": metrics,
+    }
+    manifest["snapshots"].append(entry)
+    manifest["current"] = snap_id
+    manifest["index"] = index_meta
     _write_manifest(index_dir, manifest)
     index.snapshot_id = snap_id
     index.index_dir = index_dir
@@ -216,7 +223,21 @@ def load_snapshot(
     manifest = _read_manifest(index_dir)
     if manifest["current"] is None:
         raise FileNotFoundError(f"no snapshot in {index_dir}")
-    meta = manifest.get("index") or {}
+    sid = snapshot_id or manifest["current"]
+    entry = next(
+        (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
+    )
+    if entry is None:
+        raise FileNotFoundError(
+            f"snapshot {sid} not in {index_dir} (expired or never existed); "
+            f"available: {[s['snapshot_id'] for s in manifest['snapshots']]}"
+        )
+    # validate/adopt from the entry BEING LOADED: a later save from a
+    # differently-configured index rewrites the top-level meta, which
+    # must not change what an earlier snapshot means (its settings and
+    # encoding markers travel with the entry; top-level is the legacy
+    # fallback for pre-round-4 manifests that lack entry["index"])
+    meta = entry.get("index") or manifest.get("index") or {}
     for knob in ("shard_range", "block_size"):
         stored = meta.get(knob)
         if stored is not None and stored != getattr(cfg, knob):
@@ -226,9 +247,9 @@ def load_snapshot(
                 "postings layout is a function of these — load with a "
                 "matching IndexConfig"
             )
-    snaps = {s["snapshot_id"]: s for s in manifest["snapshots"]}
-    _t = snaps.get(snapshot_id or manifest["current"], {}).get("tables", {})
-    if "attrs" in _t and meta.get("attrs_tf_encoding") != "mask":
+    if "attrs" in entry.get("tables", {}) and (
+        meta.get("attrs_tf_encoding") != "mask"
+    ):
         raise ConfigError(
             f"snapshot at {index_dir} stores attr blocks in the legacy "
             "min-rank tf encoding; this engine version reads attribute "
@@ -255,15 +276,6 @@ def load_snapshot(
             )
     if adopted:
         cfg = dataclasses.replace(cfg, **adopted)
-    sid = snapshot_id or manifest["current"]
-    entry = next(
-        (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
-    )
-    if entry is None:
-        raise FileNotFoundError(
-            f"snapshot {sid} not in {index_dir} (expired or never existed); "
-            f"available: {[s['snapshot_id'] for s in manifest['snapshots']]}"
-        )
     t = entry["tables"]
     return InvertedIndex(
         cfg=cfg,

@@ -339,3 +339,16 @@ def test_filter_parser_matches_reference_eval(spark, node):
     rows = [dict(zip(("doc_id", "text", "lang", "stars", "tag"), r)) for r in ROWS]
     want = sorted(r["doc_id"] for r in rows if _eval2(node, r))
     assert got == want, expr
+
+
+def test_fold_case_mixed_type_in(dfe):
+    """ADVICE r03: a folded IN with both string and numeric members —
+    string members compare case-insensitively, numeric members keep
+    comparing against the RAW column (F.lower casts the column to
+    string, which silently un-matches the numbers)."""
+    assert _ids2(dfe, "stars IN [5, 'zzz']", fold=True) == [0]
+    assert _ids2(dfe, "stars IN [3, 5]", fold=True) == [0, 1]
+    # NOT IN stays the set complement of the fixed predicate
+    assert _ids2(dfe, "stars NOT IN [5, 'zzz']", fold=True) == [1, 2, 3]
+    # pure-string folded IN unchanged
+    assert _ids2(dfe, "tag IN ['NEWS', 'newsROOM']", fold=True) == [0, 3]

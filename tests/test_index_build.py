@@ -432,3 +432,33 @@ def test_offset_pagination(built):
     assert search(idx, "baba cedi", 5, offset=10**6).collect() == []
     with pytest.raises(ValueError, match="offset"):
         search(idx, "baba", 5, offset=-1)
+
+
+def test_snapshot_settings_are_per_entry(spark, tmp_index_dir):
+    """ADVICE r03: save_snapshot used to rewrite the manifest's
+    top-level index meta wholesale, so a later save from a
+    differently-configured index (no attrs, different filterable list)
+    changed what an EARLIER attrs-carrying snapshot meant — loading it
+    hit a false legacy-encoding 'rebuild the index' error and adopted
+    the wrong settings. The built-settings surface travels with each
+    snapshot entry."""
+    import dataclasses
+
+    from meilibridge_spark.sources.tables import load_snapshot, save_snapshot
+
+    sdf = generate_transcripts(spark, n_convs=6, seed=3)
+    cfg1 = dataclasses.replace(CFG, filterable_attributes=("role",))
+    idx1 = build_index(sdf, cfg1, with_attributes=True)
+    save_snapshot(idx1, tmp_index_dir)
+    cfg2 = dataclasses.replace(CFG, filterable_attributes=("tool",))
+    idx2 = build_index(sdf, cfg2)  # later save: no attrs
+    save_snapshot(idx2, tmp_index_dir, parent_id=1)
+    # snapshot 1 still loads — its attrs encoding marker travels with it
+    loaded = load_snapshot(spark, tmp_index_dir, CFG, snapshot_id=1)
+    assert loaded.attrs is not None
+    # ...and adopts ITS built settings, not the latest save's
+    assert loaded.cfg.filterable_attributes == ("role",)
+    # the latest snapshot adopts its own
+    latest = load_snapshot(spark, tmp_index_dir, CFG)
+    assert latest.attrs is None
+    assert latest.cfg.filterable_attributes == ("tool",)

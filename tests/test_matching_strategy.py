@@ -158,3 +158,48 @@ def test_batch_all_with_typo(built):
     ).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == _brute_all([["spark"], ["join"]])
+
+
+def test_all_dropped_query_indexed_orphan_term(built):
+    """ADVICE r03 (high): a query dropped as unsatisfiable whose terms
+    include an INDEXED word used by no surviving query ('statistics' is
+    in doc 2 only) left that term's fetched blocks without an idf entry
+    — KeyError aborted the whole batch job. The block fetch must cover
+    only surviving-plan terms."""
+    rows = search_many(
+        built,
+        [("q1", "statistics zzznothing"), ("q2", "spark")],
+        k=10,
+        matching_strategy="all",
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert "q1" not in by_q  # unsatisfiable: zero hits
+    assert by_q["q2"] == set(_brute_all([["spark"]]))
+
+
+def test_all_exactness_rank_batch(built):
+    """ADVICE r03 (medium): exactness_rank composed with
+    matching_strategy='all' was silently inert in the batch path
+    (exact_sets keyed before the word-group suffix). exact_form must
+    reflect the exact user-typed form and match the 'last' path."""
+    rows = search_many(
+        built,
+        [("q", "fast join")],
+        k=10,
+        matching_strategy="all",
+        exactness_rank=True,
+    ).collect()
+    assert rows, "expected hits for 'fast join' under 'all'"
+    by_doc = {r["doc_id"]: r["exact_form"] for r in rows}
+    # doc 5 matches 'join' exactly but 'fast' only via synonym 'rapid'
+    assert by_doc[5] == 1
+    last = {
+        r["doc_id"]: r["exact_form"]
+        for r in search_many(
+            built, [("q", "fast join")], k=10, exactness_rank=True
+        ).collect()
+    }
+    for d, ef in by_doc.items():
+        assert last[d] == ef, d
