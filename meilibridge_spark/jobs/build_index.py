@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--with-attributes", action="store_true",
                     help="also build attr-mask blocks (attribute "
                          "criterion + attributesToSearchOn)")
+    ap.add_argument("--with-typos", action="store_true",
+                    help="also store the SymSpell deletion-neighborhood "
+                         "table (typo serving without session rebuilds)")
     ap.add_argument("--filterable", default="",
                     help="comma-separated filterable_attributes "
                          "(persisted in the manifest, S17)")
@@ -89,6 +92,7 @@ def main() -> None:
             spark, source, cfg, args.index_dir, recreate=not is_continue,
             with_positions=args.with_positions,
             with_attributes=args.with_attributes,
+            with_typos=args.with_typos,
         )
         print(
             json.dumps(

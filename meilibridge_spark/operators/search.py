@@ -1471,48 +1471,80 @@ def _deletion_keys(term: str, depth: int) -> "set[str]":
     return out
 
 
-def prepare_typo_index(index: InvertedIndex, typo_cfg=None) -> DataFrame:
-    """Build (and cache on the index) the DELETION-NEIGHBORHOOD typo
-    candidate table: (delkey, term) for every <=TYPO_INDEX_DEPTH-char
-    deletion of every candidate-dictionary term (SymSpell/FastSS —
-    SURVEY §2B Q12's indexed design). Two terms within edit distance d
-    <= depth always share a key, so query-time candidate lookup is a
-    key-pruned ``isin`` filter instead of a full-dictionary levenshtein
-    scan — the path that stays viable at a 10^8-10^9-term vocabulary
-    (the table is ~(1+L+L²/2)x terms rows; at serving scale store it
-    partitioned by delkey hash like any keyed lookup table).
+#: schema of the deletion-neighborhood typo table (SymSpell/FastSS)
+TYPO_TABLE_SCHEMA = "delkey string, term string"
 
-    Cached per disable_on_attributes candidate source (same keying as
-    the candidate dictionary itself); the cache keeps only the latest
-    config, like _typo_candidate_terms."""
-    typo = typo_cfg or index.cfg.typo
-    disabled = set(typo.disable_on_attributes)
-    attrs_key = tuple(
-        a for a in index.cfg.searchable_attributes if a not in disabled
+
+def build_typo_table(terms_df: DataFrame) -> DataFrame:
+    """(delkey, term) for every <=TYPO_INDEX_DEPTH-char deletion of
+    every term in ``terms_df`` (the SymSpell/FastSS deletion
+    neighborhood, SURVEY §2B Q12's indexed design). Two terms within
+    edit distance d <= depth always share a key, so query-time
+    candidate lookup is a key-pruned filter instead of a
+    full-dictionary levenshtein scan — the path that stays viable at a
+    10^8-10^9-term vocabulary (the table is ~(1+L+L²/2)x terms rows).
+    Embarrassingly parallel: one mapInPandas over the vocabulary, no
+    shuffle."""
+    depth = TYPO_INDEX_DEPTH
+
+    def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys, terms = [], []
+            for t in pdf["term"]:
+                ks = _deletion_keys(t, depth)
+                keys.extend(ks)
+                terms.extend([t] * len(ks))
+            yield pd.DataFrame({"delkey": keys, "term": terms})
+
+    return terms_df.select("term").mapInPandas(
+        expand, schema=TYPO_TABLE_SCHEMA
     )
+
+
+def _typo_attrs_key(index: InvertedIndex, typo) -> "tuple[str, ...]":
+    return tuple(
+        a
+        for a in index.cfg.searchable_attributes
+        if a not in set(typo.disable_on_attributes)
+    )
+
+
+def _stored_typo_table(index: InvertedIndex, typo) -> "DataFrame | None":
+    """The snapshot's stored neighborhood table, iff it answers this
+    typo config: the stored table covers the FULL vocabulary, so any
+    ``disable_on_attributes`` restriction must fall back to the
+    session-built restricted table."""
+    if index.typos is None:
+        return None
+    full = tuple(index.cfg.searchable_attributes)
+    return index.typos if _typo_attrs_key(index, typo) == full else None
+
+
+def prepare_typo_index(index: InvertedIndex, typo_cfg=None) -> DataFrame:
+    """The DELETION-NEIGHBORHOOD typo candidate table for this config.
+
+    When the snapshot stores one (built with ``with_typos=True``,
+    partitioned by delkey hash and maintained through apply_cdc), it is
+    returned directly — ZERO build jobs, the lookup prunes stored
+    parquet row groups. Otherwise the table is built once per
+    disable_on_attributes candidate source and session-cached
+    (``.persist()``, keeping only the latest config like
+    _typo_candidate_terms) — fine for exploration, but a full-vocab
+    rebuild per session; store it for serving."""
+    typo = typo_cfg or index.cfg.typo
+    stored = _stored_typo_table(index, typo)
+    if stored is not None:
+        return stored
+    attrs_key = _typo_attrs_key(index, typo)
     cache: dict = getattr(index, "_typo_nbr", None) or {}
     index._typo_nbr = cache
     if attrs_key not in cache:
         for old_key in list(cache):
             cache.pop(old_key).unpersist()
-        depth = TYPO_INDEX_DEPTH
-
-        def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                keys, terms = [], []
-                for t in pdf["term"]:
-                    ks = _deletion_keys(t, depth)
-                    keys.extend(ks)
-                    terms.extend([t] * len(ks))
-                yield pd.DataFrame({"delkey": keys, "term": terms})
-
         src = _typo_candidate_terms(index, typo).select("term")
-        cache[attrs_key] = (
-            src.mapInPandas(expand, schema="delkey string, term string")
-            .persist()
-        )
+        cache[attrs_key] = build_typo_table(src).persist()
         cache[attrs_key].count()
     return cache[attrs_key]
 
@@ -1545,13 +1577,14 @@ def typo_expansion_map(
     }
     if not fuzzy:
         return {}
-    nbr_cache = getattr(index, "_typo_nbr", None)
-    attrs_key = tuple(
-        a
-        for a in index.cfg.searchable_attributes
-        if a not in set(typo.disable_on_attributes)
-    )
-    nbr = nbr_cache.get(attrs_key) if nbr_cache else None
+    # candidate lookup source, in preference order: the snapshot's
+    # STORED neighborhood table (zero build jobs), the session-built
+    # cached one (prepare_typo_index), else the levenshtein scan
+    nbr = _stored_typo_table(index, typo)
+    if nbr is None:
+        nbr_cache = getattr(index, "_typo_nbr", None)
+        attrs_key = _typo_attrs_key(index, typo)
+        nbr = nbr_cache.get(attrs_key) if nbr_cache else None
     if nbr is not None:
         qkeys = set()
         for t, d in fuzzy.items():

@@ -37,6 +37,7 @@ def build_index(
     cfg: IndexConfig,
     doc_id_col: "str | None" = None,
     with_attributes: bool = False,
+    with_typos: bool = False,
 ) -> InvertedIndex:
     """In-memory build (no persistence): source rows -> InvertedIndex.
 
@@ -59,9 +60,14 @@ def build_index(
         from meilibridge_spark.operators.attrs import build_attr_postings
 
         attrs = build_attr_postings(docs, cfg)
+    typos = None
+    if with_typos:
+        from meilibridge_spark.operators.search import build_typo_table
+
+        typos = build_typo_table(terms)
     return InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
-        n_docs=n_docs, avgdl=avgdl, attrs=attrs,
+        n_docs=n_docs, avgdl=avgdl, attrs=attrs, typos=typos,
     )
 
 
@@ -79,6 +85,7 @@ def build_and_save(
     max_ts: "str | None" = None,
     with_positions: bool = False,
     with_attributes: bool = False,
+    with_typos: bool = False,
 ) -> InvertedIndex:
     """Full build with staged, resumable persistence.
 
@@ -128,9 +135,17 @@ def build_and_save(
         from meilibridge_spark.operators.attrs import build_attr_postings
 
         attrs = build_attr_postings(docs, cfg)
+    typos = None
+    if with_typos:
+        from meilibridge_spark.operators.search import build_typo_table
+
+        # stored SymSpell deletion neighborhood of the full vocabulary:
+        # typo serving then needs zero session-side neighborhood builds
+        typos = build_typo_table(terms)
     index = InvertedIndex(
         cfg=cfg, docs=docs, postings=postings, terms=terms,
         n_docs=n_docs, avgdl=avgdl, positions=positions, attrs=attrs,
+        typos=typos,
     )
     save_snapshot(
         index,

@@ -275,6 +275,23 @@ def apply_cdc(
     terms_new = index.terms.join(affected, "term", "left_anti").unionByName(
         term_stats(merged)
     )
+
+    # --- typo deletion-neighborhood MERGE (only when the snapshot
+    # stores one): the table is a pure function of the VOCABULARY, so
+    # drop every affected term's neighborhood rows and re-expand the
+    # affected terms that survive in the new dictionary — vanished
+    # vocabulary stops producing typo candidates, new vocabulary starts.
+    # Cost ∝ |affected terms|, not vocabulary size.
+    typos_new = None
+    if index.typos is not None:
+        from meilibridge_spark.operators.search import build_typo_table
+
+        kept_nbr = index.typos.join(affected, "term", "left_anti").select(
+            "delkey", "term"  # the join puts the key column first
+        )
+        surviving = terms_new.join(affected, "term", "left_semi")
+        typos_new = kept_nbr.unionByName(build_typo_table(surviving))
+
     return InvertedIndex(
         cfg=cfg,
         docs=docs_new,
@@ -284,6 +301,7 @@ def apply_cdc(
         avgdl=avgdl,
         positions=positions_new,
         attrs=attrs_new,
+        typos=typos_new,
     )
 
 

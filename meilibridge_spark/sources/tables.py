@@ -54,6 +54,11 @@ class InvertedIndex:
     #: bitmask) for the Q11 'attribute' criterion + attributesToSearchOn
     #: — present when built with with_attributes=True (operators/attrs.py)
     attrs: "DataFrame | None" = None
+    #: optional stored SymSpell deletion-neighborhood table
+    #: (delkey, term) over the full vocabulary for Q12 typo candidate
+    #: lookup — present when built with with_typos=True; maintained
+    #: through apply_cdc; serving needs zero neighborhood-build jobs
+    typos: "DataFrame | None" = None
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -141,6 +146,15 @@ def save_snapshot(
         ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").parquet(
             os.path.join(base, "positions")
         )
+    if index.typos is not None:
+        # delkey-range layout: the query-time candidate lookup is a
+        # delkey IN (...) filter, so range partitioning + sorting by
+        # delkey prunes both files and parquet row groups
+        index.typos.repartitionByRange(
+            _n_write_parts(index.n_docs), "delkey"
+        ).sortWithinPartitions("delkey", "term").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "typos"))
 
     spark = index.postings.sparkSession
     postings_persisted = spark.read.parquet(os.path.join(base, "postings"))
@@ -200,6 +214,7 @@ def save_snapshot(
                 else {}
             ),
             **({"attrs": f"{snap}/attrs"} if index.attrs is not None else {}),
+            **({"typos": f"{snap}/typos"} if index.typos is not None else {}),
         },
         "lineage": {"postings": partition_lineage(postings_persisted)},
         "metrics": metrics,
@@ -295,6 +310,11 @@ def load_snapshot(
         attrs=(
             spark.read.parquet(os.path.join(index_dir, t["attrs"]))
             if "attrs" in t
+            else None
+        ),
+        typos=(
+            spark.read.parquet(os.path.join(index_dir, t["typos"]))
+            if "typos" in t
             else None
         ),
     )

@@ -214,3 +214,90 @@ def test_deletion_index_respects_disable_on_attributes(idx):
         for df in idx._typo_nbr.values():
             df.unpersist()
         idx._typo_nbr = {}
+
+
+def test_stored_typo_table_serves_without_build(spark, idx, tmp_index_dir, monkeypatch):
+    """Round-4: the deletion-neighborhood table is STORED in the
+    snapshot (with_typos=True) and maintained like attrs/positions. A
+    reloaded snapshot must serve typo queries with ZERO
+    neighborhood-build jobs — both the builder and the candidate
+    dictionary are poisoned here, so any session-side rebuild fails
+    loudly — and no session `.persist()` cache appears."""
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import load_snapshot
+    import meilibridge_spark.operators.search as S
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    built = build_and_save(
+        spark, df, CFG, tmp_index_dir, doc_id_col="doc_id", with_typos=True
+    )
+    assert built.typos is not None
+    queries = ["receve", "windoe", "zebro", "xxxxx"]
+    scan_map = S.typo_expansion_map(idx, queries)  # plain index: scan path
+
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    assert loaded.typos is not None
+    monkeypatch.setattr(
+        S, "build_typo_table",
+        lambda *_a, **_k: pytest.fail("neighborhood build ran at serve time"),
+    )
+    monkeypatch.setattr(
+        S, "_typo_candidate_terms",
+        lambda *_a, **_k: pytest.fail("candidate-dictionary scan ran"),
+    )
+    assert S.prepare_typo_index(loaded) is loaded.typos
+    got = S.typo_expansion_map(loaded, queries)
+    assert got == scan_map and got
+    assert getattr(loaded, "_typo_nbr", None) in (None, {})
+    # the stored lookup is delkey-pruned against the parquet layout
+    from meilibridge_spark.operators.search import terms_in
+
+    plan = (
+        loaded.typos.filter(terms_in("delkey", ["receve", "recev"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "delkey" in plan and "levenshtein" not in plan.lower()
+
+
+def test_stored_typo_table_restricted_config_falls_back(spark, tmp_index_dir):
+    """disable_on_attributes restricts the candidate dictionary; the
+    stored full-vocabulary table must NOT answer that config."""
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import load_snapshot
+    from meilibridge_spark.operators.search import typo_expansion_map
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    build_and_save(
+        spark, df, CFG, tmp_index_dir, doc_id_col="doc_id", with_typos=True
+    )
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    tc = TypoToleranceConfig.make(disable_on_attributes=("tag",))
+    got = typo_expansion_map(loaded, ["zebro", "receve"], tc)
+    assert "zebro" not in got  # tag-only vocab excluded
+    assert got.get("receve") == ["receive"]
+    try:
+        for df_ in loaded._typo_nbr.values():
+            df_.unpersist()
+    except AttributeError:
+        pass
+
+
+def test_cdc_maintains_stored_typo_table(spark, tmp_index_dir):
+    """apply_cdc keeps the stored neighborhood equal to a fresh
+    expansion of the post-merge vocabulary: new vocab gains keys,
+    vanished vocab loses them. Cost of the merge is ∝ affected terms."""
+    from meilibridge_spark.operators.search import build_typo_table
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.plans.incremental import apply_cdc
+    from meilibridge_spark.sources.cdc import generate_cdc_batch
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    sdf = generate_transcripts(spark, n_convs=8, seed=3).persist()
+    cfg = IndexConfig(index_name="cdc-typo")
+    built = build_and_save(spark, sdf, cfg, tmp_index_dir, with_typos=True)
+    cdc = generate_cdc_batch(spark, sdf, seed=11)
+    merged = apply_cdc(built, cdc)
+    assert merged.typos is not None
+    fresh = build_typo_table(merged.terms)
+    assert merged.typos.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(merged.typos).count() == 0
