@@ -99,8 +99,12 @@ def main() -> None:
                     help="query embedding looked up in --embeddings by vec_id")
     ap.add_argument("--semantic-ratio", type=float, default=0.5)
     ap.add_argument("--pool", type=int, default=30)
-    ap.add_argument("--semantic", choices=["exact", "ivf"], default="exact",
-                    help="semantic pool source: brute-force or probed IVF lists")
+    ap.add_argument("--semantic", choices=["auto", "exact", "ivf"],
+                    default="auto",
+                    help="semantic pool source: 'auto' (default) probes "
+                         "the index's stored IVF layout when present "
+                         "(jobs/build_vectors.py) else brute-force; "
+                         "'exact'/'ivf' force a path")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if not args.query and not args.queries_file:

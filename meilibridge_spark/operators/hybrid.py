@@ -132,7 +132,7 @@ def search_hybrid_many(
     pool: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    semantic: str = "exact",
+    semantic: str = "auto",
     n_centroids: int = 8,
     n_probe: int = 2,
     centroids: "DataFrame | None" = None,
@@ -167,14 +167,29 @@ def search_hybrid_many(
     keyword-only candidate outside the probed lists keeps sem = 0
     (unprobed = unseen, standard ANN semantics); with
     n_probe == n_centroids the output is rank-identical to exact
-    (tested).
+    (tested). ``"auto"`` (the serving default): the probed path
+    driven by the index's STORED layout (``index.vectors``, attached
+    by load_snapshot when ``save_vector_index`` ran) — quantizer,
+    assignment and n_probe all come from the store, zero
+    training/assignment jobs — else exact. Exact remains the
+    correctness baseline and the oracle.
     """
     if not 0.0 <= semantic_ratio <= 1.0:
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
     if pool < k:
         raise ValueError(f"pool ({pool}) must be >= k ({k})")
-    if semantic not in ("exact", "ivf"):
-        raise ValueError(f"semantic must be 'exact' or 'ivf', got {semantic!r}")
+    if semantic not in ("exact", "ivf", "auto"):
+        raise ValueError(
+            f"semantic must be 'exact', 'ivf' or 'auto', got {semantic!r}"
+        )
+    vectors = getattr(index, "vectors", None)
+    if semantic == "auto":
+        semantic = "ivf" if vectors is not None else "exact"
+        if semantic == "ivf" and centroids is None and assigned is None:
+            centroids = vectors.centroids
+            assigned = vectors.assigned
+            n_centroids = vectors.n_centroids
+            n_probe = vectors.n_probe
     missing = [qid for qid, _ in queries if qid not in query_vecs]
     if missing:
         raise ValueError(f"query_vecs missing ids: {missing}")

@@ -375,6 +375,48 @@ def ivf_train_kmeans(
     return cents
 
 
+def build_vector_index(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: "float | None" = None,
+    seed: int = 13,
+):
+    """Train + materialize the stored IVF layout
+    (:class:`~meilibridge_spark.sources.tables.VectorIndex`): spherical
+    k-means centroids (optionally on a sample — at 100 TB the quantizer
+    only needs the density shape) and the full assignment
+    emb ⋈ nearest-centroid. Persist with ``save_vector_index``; serving
+    (``search_hybrid_many`` / ``similar_documents``) then uses it
+    automatically with zero training/assignment jobs."""
+    from meilibridge_spark.sources.tables import VectorIndex
+
+    if not 1 <= n_probe <= n_centroids:
+        raise ValueError(
+            f"n_probe must be in [1, n_centroids], got {n_probe}"
+        )
+    train_src = (
+        emb.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else emb
+    )
+    cents = ivf_train_kmeans(
+        train_src, n_centroids, train_iters, id_col, vec_col
+    )
+    assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
+    return VectorIndex(
+        centroids=cents,
+        assigned=assigned,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def similar_documents(
     emb: DataFrame,
     target_ids: "list[int]",
@@ -383,11 +425,12 @@ def similar_documents(
     vec_col: str = "embedding",
     filter_docs: "DataFrame | None" = None,
     threshold: "float | None" = None,
-    method: str = "exact",
+    method: str = "auto",
     n_centroids: int = 8,
     n_probe: int = 2,
     centroids: "DataFrame | None" = None,
     assigned: "DataFrame | None" = None,
+    vectors=None,
 ) -> DataFrame:
     """Meilisearch ``GET /indexes/{uid}/similar`` analog: for each
     target document, the ``k`` most similar other documents by
@@ -409,6 +452,11 @@ def similar_documents(
     via :func:`ivf_topk`, with ``centroids``/``assigned`` accepting the
     stored quantizer layout so serving never recomputes assignment
     (ANN ⊆ exact semantics, same as every other IVF path here).
+    ``method="auto"`` (the serving default): the probed path when a
+    stored layout is available — ``vectors`` (a
+    :class:`~meilibridge_spark.sources.tables.VectorIndex`, e.g.
+    ``index.vectors`` after load_snapshot) supplies the quantizer,
+    assignment and stored n_probe — else exact.
 
     Unknown target ids raise (the endpoint 404s) — the validation
     lookup collects at most ``len(target_ids)`` rows off a pushed-down
@@ -417,8 +465,21 @@ def similar_documents(
     the threshold prunes before the per-target window, and only
     <= targets*k rows survive it.
     """
-    if method not in ("exact", "ivf"):
-        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
+    if method not in ("exact", "ivf", "auto"):
+        raise ValueError(
+            f"method must be 'exact', 'ivf' or 'auto', got {method!r}"
+        )
+    if method == "auto":
+        method = "ivf" if vectors is not None else "exact"
+    if vectors is not None and method == "ivf":
+        # the stored layout supplies quantizer + assignment + defaults;
+        # explicit keyword args (a caller experimenting) still win
+        if centroids is None:
+            centroids = vectors.centroids
+        if assigned is None:
+            assigned = vectors.assigned
+            n_centroids = vectors.n_centroids
+            n_probe = vectors.n_probe
     ids = list(target_ids)
     if not ids:
         raise ValueError("similar_documents needs at least one target id")

@@ -59,6 +59,26 @@ class InvertedIndex:
     #: lookup — present when built with with_typos=True; maintained
     #: through apply_cdc; serving needs zero neighborhood-build jobs
     typos: "DataFrame | None" = None
+    #: optional stored IVF vector layout (save_vector_index) attached
+    #: at load time — hybrid/similar-docs serving then defaults to the
+    #: probed IVF path with zero training/assignment jobs
+    vectors: "VectorIndex | None" = None
+
+
+@dataclass
+class VectorIndex:
+    """A stored IVF vector layout: the trained coarse quantizer plus
+    the embeddings co-partitioned by their inverted list. Serving
+    (hybrid fusion, similar-docs) probes ``n_probe`` lists via a
+    centroid_id equi-join instead of scanning every embedding — and
+    never recomputes training or assignment (the 100 TB shape)."""
+
+    centroids: DataFrame  # centroid_id, centroid_vec
+    assigned: DataFrame  # embeddings cols + centroid_id (list-partitioned)
+    n_centroids: int
+    n_probe: int  # stored serving default (n_probe == n_centroids ≡ exact)
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -317,6 +337,9 @@ def load_snapshot(
             if "typos" in t
             else None
         ),
+        # the stored IVF layout (if any) rides along: hybrid /
+        # similar-docs serving then auto-selects the probed path
+        vectors=load_vector_index(spark, index_dir),
     )
 
 
@@ -376,6 +399,64 @@ def _dir_bytes(path: str) -> int:
         for fn in files:
             total += os.path.getsize(os.path.join(root, fn))
     return total
+
+
+# --- stored IVF vector layout (Q16 embedders serving layout) ---------
+#
+# Lives beside the snapshots in ``{index_dir}/vectors/`` with its own
+# tiny JSON meta committed last (same os.replace pattern as the
+# manifest): a reader either sees a complete layout or none. The layout
+# is a function of the EMBEDDINGS table, which is versioned separately
+# from the text corpus (the reference delegates embedding to the
+# configured embedder) — rebuild it when embeddings change.
+
+VECTORS_DIR = "vectors"
+
+
+def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
+    """Persist a trained IVF layout: centroids (tiny), assignment
+    repartitioned by centroid_id so each inverted list is contiguous —
+    the probe equi-join then scans only the probed lists' files."""
+    base = os.path.join(index_dir, VECTORS_DIR)
+    vec.centroids.repartition(1).sortWithinPartitions(
+        "centroid_id"
+    ).write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    vec.assigned.repartition(
+        max(4, vec.n_centroids), "centroid_id"
+    ).sortWithinPartitions("centroid_id", vec.id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "assigned"))
+    meta = {
+        "n_centroids": vec.n_centroids,
+        "n_probe": vec.n_probe,
+        "id_col": vec.id_col,
+        "vec_col": vec.vec_col,
+    }
+    tmp = os.path.join(base, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(base, "meta.json"))  # commit point
+
+
+def load_vector_index(
+    spark: SparkSession, index_dir: str
+) -> "VectorIndex | None":
+    """Load the stored IVF layout, or None when the index has none
+    (the meta.json commit marker is the existence check)."""
+    base = os.path.join(index_dir, VECTORS_DIR)
+    meta_path = os.path.join(base, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return VectorIndex(
+        centroids=spark.read.parquet(os.path.join(base, "centroids")),
+        assigned=spark.read.parquet(os.path.join(base, "assigned")),
+        n_centroids=int(meta["n_centroids"]),
+        n_probe=int(meta["n_probe"]),
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
 
 
 # --- index aliases (Meilisearch POST /swap-indexes analog) -----------

@@ -192,3 +192,69 @@ def test_validation(built):
         search_hybrid(idx, emb, "spark", QV, semantic_ratio=1.5)
     with pytest.raises(ValueError, match="pool"):
         search_hybrid(idx, emb, "spark", QV, k=20, pool=5)
+
+
+def test_auto_without_layout_is_exact(built):
+    """semantic='auto' (the new default) with no stored layout =="""
+    idx, emb = built
+    queries = [("q0", "spark join"), ("q1", "storage")]
+    vecs = {"q0": QV, "q1": [0.0, 1.0]}
+    auto = search_hybrid_many(idx, emb, queries, vecs, k=4, pool=4).collect()
+    exact = search_hybrid_many(
+        idx, emb, queries, vecs, k=4, pool=4, semantic="exact"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["doc_id"]) for r in auto]
+    ) == sorted([(r["query_id"], r["rank"], r["doc_id"]) for r in exact])
+
+
+def test_stored_vector_layout_serves_auto(spark, built, tmp_index_dir):
+    """Round-4: the trained IVF quantizer + assignment persist beside
+    the index (save_vector_index) and a reloaded snapshot serves
+    hybrid AND similar-docs through them automatically — with
+    n_probe == n_centroids the stored path is rank-identical to exact
+    (the oracle contract)."""
+    from meilibridge_spark.operators.similarity import (
+        build_vector_index,
+        similar_documents,
+    )
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import (
+        load_snapshot,
+        save_vector_index,
+    )
+
+    idx, emb = built
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    build_and_save(spark, df, CFG, tmp_index_dir, doc_id_col="doc_id")
+    vec = build_vector_index(emb, n_centroids=2, n_probe=2, train_iters=2)
+    save_vector_index(vec, tmp_index_dir)
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    assert loaded.vectors is not None
+    assert loaded.vectors.n_centroids == 2 and loaded.vectors.n_probe == 2
+    queries = [("q0", "spark join"), ("q1", "storage")]
+    vecs = {"q0": QV, "q1": [0.0, 1.0]}
+    stored = search_hybrid_many(loaded, emb, queries, vecs, k=4, pool=4)
+    exact = search_hybrid_many(
+        loaded, emb, queries, vecs, k=4, pool=4, semantic="exact"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"]) for r in stored.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"]) for r in exact.collect()
+    )
+    assert got == want and got
+    # similar-docs auto path off the same stored layout
+    sim_auto = similar_documents(
+        emb, [0], k=3, vectors=loaded.vectors
+    ).collect()
+    sim_exact = similar_documents(emb, [0], k=3, method="exact").collect()
+    assert [(r["vec_id"], r["rank"]) for r in sim_auto] == [
+        (r["vec_id"], r["rank"]) for r in sim_exact
+    ]
+    # monkeypatch-free zero-retraining evidence: the stored layout's
+    # assignment is read from parquet, not derived from emb
+    plan = loaded.vectors.assigned._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
