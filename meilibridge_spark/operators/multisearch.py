@@ -1,0 +1,146 @@
+"""Non-federated multi-search (Meilisearch ``POST /multi-search``,
+results mode): M heterogeneous (index, query, options) requests
+answered together, one result list per request.
+
+The reference's multi-index fan-out is exactly this shape — its
+``index_map`` config routes one sync source to several named indexes
+(/root/reference/config/type.go:30); the endpoint's results mode asks
+M independent questions in one round trip.
+
+Plan shape: requests are grouped by (index, batch-incompatible
+options) and each group rides ONE ``search_many`` scatter-gather job —
+M requests over T indexes cost at most |distinct option groups| jobs,
+not M. Per-request ``k``/``offset`` never split a group: the group
+scores to the max needed depth and each request trims its own rank
+window from the (<= k rows/request) merged output — a broadcast join
+of a request-count-sized bounds table, nothing doc-granular.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilibridge_spark.operators.search import InvertedIndex, search_many
+
+#: request keys the results-mode endpoint analog accepts
+_ALLOWED_KEYS = {
+    "index_uid",
+    "q",
+    "k",
+    "offset",
+    "filter",
+    "typo",
+    "matching_strategy",
+    "attributes_to_search_on",
+}
+
+MULTI_SEARCH_SCHEMA = (
+    "request_no int, index_uid string, doc_id long, score double, rank int"
+)
+
+
+def multi_search(
+    indexes: "dict[str, InvertedIndex]",
+    requests: "list[dict]",
+    default_k: int = 10,
+) -> DataFrame:
+    """Answer ``requests`` (each a dict with ``index_uid`` + ``q`` and
+    optional ``k``/``offset``/``filter`` (Meilisearch filter string)/
+    ``typo``/``matching_strategy``/``attributes_to_search_on``) ->
+    (request_no, index_uid, doc_id, score, rank) with rank the ABSOLUTE
+    1-based position in that request's ranking (offset semantics
+    identical to ``search_many``). request_no is the 0-based position
+    in ``requests`` — the per-request hit lists of the endpoint's
+    ``results`` array, flattened with their request index.
+
+    Each (index, filter, typo, matching_strategy, search_on) group is
+    ONE search_many job; identical-option requests batch regardless of
+    their k/offset. Unknown request keys and unknown index uids raise
+    (the endpoint 400s)."""
+    if not requests:
+        raise ValueError("multi_search needs at least one request")
+    if not indexes:
+        raise ValueError("multi_search needs at least one index")
+    groups: "dict[tuple, list[int]]" = {}
+    for i, req in enumerate(requests):
+        unknown = set(req) - _ALLOWED_KEYS
+        if unknown:
+            raise ValueError(
+                f"request {i}: unknown key(s) {sorted(unknown)}; "
+                f"supported: {sorted(_ALLOWED_KEYS)}"
+            )
+        for required in ("index_uid", "q"):
+            if required not in req:
+                raise ValueError(f"request {i}: missing {required!r}")
+        uid = req["index_uid"]
+        if uid not in indexes:
+            raise KeyError(
+                f"request {i}: unknown index_uid {uid!r}; "
+                f"have: {sorted(indexes)}"
+            )
+        if req.get("offset", 0) < 0 or req.get("k", default_k) < 1:
+            raise ValueError(f"request {i}: k must be >= 1, offset >= 0")
+        son = req.get("attributes_to_search_on")
+        key = (
+            uid,
+            req.get("filter"),
+            bool(req.get("typo")),
+            req.get("matching_strategy", "last"),
+            tuple(son) if son is not None else None,
+        )
+        groups.setdefault(key, []).append(i)
+
+    spark = next(iter(indexes.values())).postings.sparkSession
+    out: "DataFrame | None" = None
+    for (uid, fexpr, typo, mstrat, son), req_nos in groups.items():
+        index = indexes[uid]
+        filter_docs = None
+        if fexpr:
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            filter_docs = filter_doc_ids(index, fexpr)
+        k_call = max(
+            requests[i].get("k", default_k) + requests[i].get("offset", 0)
+            for i in req_nos
+        )
+        batch = [(f"r{i}", requests[i]["q"]) for i in req_nos]
+        hits = search_many(
+            index,
+            batch,
+            k=k_call,
+            filter_docs=filter_docs,
+            typo=typo,
+            matching_strategy=mstrat,
+            attributes_to_search_on=son,
+        )
+        bounds = spark.createDataFrame(
+            [
+                (
+                    f"r{i}",
+                    int(requests[i].get("offset", 0)),
+                    int(requests[i].get("k", default_k)),
+                )
+                for i in req_nos
+            ],
+            "query_id string, _off int, _k int",
+        )
+        part = (
+            hits.join(F.broadcast(bounds), "query_id")
+            .filter(
+                (F.col("rank") > F.col("_off"))
+                & (F.col("rank") <= F.col("_off") + F.col("_k"))
+            )
+            .select(
+                F.expr("cast(substring(query_id, 2) as int)").alias(
+                    "request_no"
+                ),
+                F.lit(uid).alias("index_uid"),
+                "doc_id",
+                "score",
+                "rank",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    # <= sum(k_i) rows total: the final order is a bounded sort
+    return out.orderBy("request_no", "rank")

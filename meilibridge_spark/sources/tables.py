@@ -127,6 +127,7 @@ def save_snapshot(
     parent_id: "int | None" = None,
     extra_metrics: "dict | None" = None,
     max_ts: "str | None" = None,
+    n_parts: "int | None" = None,
 ) -> int:
     """Write all index tables + commit a new manifest snapshot.
 
@@ -137,32 +138,33 @@ def save_snapshot(
     as a positions table in the same term-sorted pruning layout.
     """
     manifest = _read_manifest(index_dir)
+    parts = n_parts or _n_write_parts(index.n_docs)
     snap_id = (manifest["current"] or 0) + 1
     snap = f"snap-{snap_id:06d}"
     base = os.path.join(index_dir, snap)
     t0 = time.time()
 
     postings_sorted = index.postings.repartitionByRange(
-        _n_write_parts(index.n_docs), "term"
+        parts, "term"
     ).sortWithinPartitions("term", "block_id")
     postings_sorted.write.mode("overwrite").parquet(os.path.join(base, "postings"))
 
     docs_out = index.docs.drop("terms")
     docs_out.repartitionByRange(
-        _n_write_parts(index.n_docs), "doc_id"
+        parts, "doc_id"
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         os.path.join(base, "docs")
     )
     index.terms.write.mode("overwrite").parquet(os.path.join(base, "terms"))
     if index.attrs is not None:
         index.attrs.repartitionByRange(
-            _n_write_parts(index.n_docs), "term"
+            parts, "term"
         ).sortWithinPartitions("term", "block_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(base, "attrs"))
     if index.positions is not None:
         index.positions.repartitionByRange(
-            _n_write_parts(index.n_docs), "term"
+            parts, "term"
         ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").parquet(
             os.path.join(base, "positions")
         )
@@ -171,7 +173,7 @@ def save_snapshot(
         # delkey IN (...) filter, so range partitioning + sorting by
         # delkey prunes both files and parquet row groups
         index.typos.repartitionByRange(
-            _n_write_parts(index.n_docs), "delkey"
+            parts, "delkey"
         ).sortWithinPartitions("delkey", "term").write.mode(
             "overwrite"
         ).parquet(os.path.join(base, "typos"))
@@ -386,6 +388,81 @@ def expire_snapshots(index_dir: str, keep_last: int = 1) -> "list[int]":
         snap_dir = os.path.join(index_dir, f"snap-{s['snapshot_id']:06d}")
         shutil.rmtree(snap_dir, ignore_errors=True)
     return [s["snapshot_id"] for s in expired]
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """OPTIMIZE-style compaction for long CDC chains: rewrite the
+    CURRENT snapshot's tables as a NEW snapshot whose file count is
+    sized from the actual stored bytes (``ceil(bytes /
+    target_file_bytes)`` per table, 128 MiB default) instead of the
+    row-count heuristic — many micro-batches of small files become a
+    few full files. Block contents are untouched: the CDC merger
+    decodes and re-encodes every affected term canonically
+    (plans/incremental._make_merger), so post-CDC blocks are already
+    byte-identical to a fresh build and compaction is purely a
+    FILE-level rewrite (tested). Returns the new snapshot id; the
+    entry's metrics carry a ``compaction`` record with per-table
+    file/byte counts before and after. Chain with
+    ``expire_snapshots(keep_last=1)`` to reclaim the old dirs.
+    """
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
+    index = load_snapshot(spark, index_dir, cfg)
+    entry = next(
+        s
+        for s in _read_manifest(index_dir)["snapshots"]
+        if s["snapshot_id"] == index.snapshot_id
+    )
+    before = {
+        name: {
+            "files": _dir_data_files(os.path.join(index_dir, rel)),
+            "bytes": _dir_bytes(os.path.join(index_dir, rel)),
+        }
+        for name, rel in entry["tables"].items()
+    }
+    biggest = max(t["bytes"] for t in before.values())
+    n_parts = max(1, -(-biggest // target_file_bytes))
+    new_id = save_snapshot(
+        index,
+        index_dir,
+        parent_id=index.snapshot_id,
+        n_parts=n_parts,
+        extra_metrics={"compaction": {"before": before}},
+    )
+    # the after-counts only exist once the write finished: patch them
+    # into the committed entry (manifest rewrite is atomic)
+    manifest = _read_manifest(index_dir)
+    for s in manifest["snapshots"]:
+        if s["snapshot_id"] == new_id:
+            s["metrics"]["compaction"]["after"] = {
+                name: {
+                    "files": _dir_data_files(os.path.join(index_dir, rel)),
+                    "bytes": _dir_bytes(os.path.join(index_dir, rel)),
+                }
+                for name, rel in s["tables"].items()
+            }
+            s["metrics"]["compaction"]["target_file_bytes"] = (
+                target_file_bytes
+            )
+    _write_manifest(index_dir, manifest)
+    return new_id
+
+
+def _dir_data_files(path: str) -> int:
+    """Data files under ``path`` (markers and checksums excluded)."""
+    total = 0
+    for _, _, files in os.walk(path):
+        total += sum(
+            1
+            for fn in files
+            if not fn.startswith((".", "_"))
+        )
+    return total
 
 
 def _n_write_parts(n_docs: int) -> int:

@@ -296,3 +296,45 @@ def test_alias_swap_zero_downtime_reindex(spark, tmp_path):
         swap_aliases(aliases, "live", "nope")
     with pytest.raises(KeyError, match="ghost"):
         resolve_alias(aliases, "ghost")
+
+
+def test_compaction_after_cdc_chain(spark, tmp_index_dir):
+    """Round-4 OPTIMIZE analog: N CDC merges each commit a snapshot of
+    >= 4 small files; compact_snapshot rewrites the current snapshot
+    sized from actual bytes — fewer files, byte-identical postings to a
+    fresh rebuild of the final state, metrics recorded."""
+    from meilibridge_spark.sources.tables import (
+        compact_snapshot,
+        load_snapshot,
+        save_snapshot,
+        snapshot_log,
+    )
+
+    src = generate_transcripts(spark, n_convs=10, seed=5).persist()
+    cur = build_and_save(spark, src, CFG, tmp_index_dir)
+    for seed in (7, 11):
+        cdc = generate_cdc_batch(spark, src, seed=seed)
+        cur = apply_cdc(cur, cdc)
+        save_snapshot(cur, tmp_index_dir, parent_id=cur.snapshot_id)
+    new_id = compact_snapshot(spark, tmp_index_dir, CFG)
+    compacted = load_snapshot(spark, tmp_index_dir, CFG)
+    assert compacted.snapshot_id == new_id
+    # byte-identical postings vs a fresh rebuild of the final docs
+    final_src = compacted.docs.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_id"
+    )
+    fresh = build_index(final_src, CFG, doc_id_col="doc_id")
+    a = _postings_pdf(compacted.postings)
+    b = _postings_pdf(fresh.postings)
+    assert len(a) == len(b) and len(a) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), col
+    # file count reduced and recorded in the manifest metrics
+    comp = next(
+        s for s in snapshot_log(tmp_index_dir) if s["snapshot_id"] == new_id
+    )["metrics"]["compaction"]
+    assert comp["after"]["postings"]["files"] < comp["before"]["postings"]["files"]
+    assert comp["after"]["postings"]["files"] == 1  # tiny corpus -> 1 file
+    assert comp["before"]["postings"]["bytes"] > 0
+    # queries still serve off the compacted snapshot
+    assert search(compacted, "baba", 5).count() > 0

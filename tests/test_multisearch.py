@@ -1,0 +1,168 @@
+"""Non-federated multi-search (POST /multi-search results mode,
+operators/multisearch.py): batched == sequential identity, job
+grouping by (index, options), per-request k/offset windows, filters,
+and the loud 400-analog validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    IndexConfig,
+)
+from meilibridge_spark.operators.multisearch import multi_search
+from meilibridge_spark.operators.search import search_many
+from meilibridge_spark.plans.build import build_index
+
+ROWS = [
+    (0, "spark shuffle join planning", "en"),
+    (1, "spark only spark here", "en"),
+    (2, "join order statistics", "de"),
+    (3, "spark join spark join", "de"),
+    (4, "fast spark joins are rapid", "en"),
+    (5, "rapid join of tables", "en"),
+    (6, "window functions over joins", "de"),
+]
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def _cfg(name, **kw):
+    return IndexConfig(
+        index_name=name,
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        filterable_attributes=("lang",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def idxs(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = build_index(df, _cfg("a"), doc_id_col="doc_id")
+    b = build_index(
+        df.filter(F.col("doc_id") < 5), _cfg("b"), doc_id_col="doc_id"
+    )
+    for i in (a, b):
+        i.postings = i.postings.persist()
+        i.postings.count()
+    return {"a": a, "b": b}
+
+
+REQS = [
+    {"index_uid": "a", "q": "spark join", "k": 3},
+    {"index_uid": "b", "q": "join", "k": 2},
+    {"index_uid": "a", "q": "join", "k": 4, "offset": 1},
+    {"index_uid": "a", "q": "spark", "filter": "lang = 'de'", "k": 5},
+]
+
+
+def _by_req(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["request_no"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9), r["index_uid"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_batched_matches_sequential(idxs):
+    got = _by_req(multi_search(idxs, REQS).collect())
+    for i, req in enumerate(REQS):
+        from meilibridge_spark.functions.filters import filter_doc_ids
+
+        idx = idxs[req["index_uid"]]
+        fd = filter_doc_ids(idx, req["filter"]) if "filter" in req else None
+        single = search_many(
+            idx,
+            [(f"r{i}", req["q"])],
+            k=req.get("k", 10),
+            offset=req.get("offset", 0),
+            filter_docs=fd,
+        ).collect()
+        want = sorted(
+            (
+                r["rank"],
+                r["doc_id"],
+                round(r["score"], 9),
+                req["index_uid"],
+            )
+            for r in single
+        )
+        assert got.get(i, []) == want, f"request {i}"
+
+
+def test_same_option_requests_share_one_job(idxs, monkeypatch):
+    """Two same-option requests on one index must ride ONE search_many
+    call even with different k/offset; distinct options split."""
+    import meilibridge_spark.operators.multisearch as M
+
+    calls = []
+    real = M.search_many
+
+    def spy(index, batch, **kw):
+        calls.append([qid for qid, _ in batch])
+        return real(index, batch, **kw)
+
+    monkeypatch.setattr(M, "search_many", spy)
+    multi_search(idxs, REQS).collect()
+    # groups: (a, plain) = requests 0+2; (b, plain) = 1; (a, filter) = 3
+    assert sorted(map(sorted, calls)) == sorted(
+        [["r0", "r2"], ["r1"], ["r3"]]
+    )
+
+
+def test_offset_window(idxs):
+    """Per-request offset trims the group's shared ranking: rank stays
+    absolute and contiguous after the offset."""
+    rows = multi_search(idxs, [
+        {"index_uid": "a", "q": "join", "k": 2, "offset": 1},
+        {"index_uid": "a", "q": "join", "k": 10},
+    ]).collect()
+    by = _by_req(rows)
+    full = [d for _, d, _, _ in sorted(by[1])]
+    offs = [d for _, d, _, _ in sorted(by[0])]
+    assert offs == full[1:3]
+    assert [r for r, _, _, _ in sorted(by[0])] == [2, 3]  # absolute ranks
+
+
+def test_validation(idxs):
+    with pytest.raises(ValueError, match="unknown key"):
+        multi_search(idxs, [{"index_uid": "a", "q": "x", "facets": ["y"]}])
+    with pytest.raises(KeyError, match="index_uid"):
+        multi_search(idxs, [{"index_uid": "zzz", "q": "x"}])
+    with pytest.raises(ValueError, match="missing 'q'"):
+        multi_search(idxs, [{"index_uid": "a"}])
+    with pytest.raises(ValueError, match="at least one request"):
+        multi_search(idxs, [])
+    with pytest.raises(ValueError, match="k must be"):
+        multi_search(idxs, [{"index_uid": "a", "q": "x", "offset": -1}])
+
+
+def test_matching_strategy_and_typo_group_separately(idxs, monkeypatch):
+    import meilibridge_spark.operators.multisearch as M
+
+    calls = []
+    real = M.search_many
+
+    def spy(index, batch, **kw):
+        calls.append(
+            (tuple(sorted(qid for qid, _ in batch)),
+             kw["matching_strategy"], kw["typo"])
+        )
+        return real(index, batch, **kw)
+
+    monkeypatch.setattr(M, "search_many", spy)
+    rows = multi_search(idxs, [
+        {"index_uid": "a", "q": "spark join", "matching_strategy": "all"},
+        {"index_uid": "a", "q": "spark join"},
+        {"index_uid": "a", "q": "sparc join", "typo": True},
+    ]).collect()
+    assert len(calls) == 3
+    by = _by_req(rows)
+    # 'all' returns only docs with both words; default returns more
+    assert {d for _, d, _, _ in by[0]} == {0, 3}
+    assert len(by[1]) > len(by[0])
+    assert by[2]  # typo request matched via 'sparc'->'spark'
