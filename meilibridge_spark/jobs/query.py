@@ -99,6 +99,10 @@ def main() -> None:
                     help="query embedding looked up in --embeddings by vec_id")
     ap.add_argument("--semantic-ratio", type=float, default=0.5)
     ap.add_argument("--pool", type=int, default=30)
+    ap.add_argument("--score-mode", choices=["normalized", "ranking_score"],
+                    default="normalized",
+                    help="hybrid keyword blend: pool-normalized BM25 or "
+                         "the absolute _rankingScore analog")
     ap.add_argument("--semantic", choices=["auto", "exact", "ivf"],
                     default="auto",
                     help="semantic pool source: 'auto' (default) probes "
@@ -180,7 +184,8 @@ def main() -> None:
             return list(row[0])
 
         hk = dict(
-            k=args.k, semantic_ratio=args.semantic_ratio, pool=args.pool
+            k=args.k, semantic_ratio=args.semantic_ratio, pool=args.pool,
+            score_mode=args.score_mode,
         )
         if args.queries_file:
             batch, vecs = [], {}

@@ -208,20 +208,37 @@ def jaccard_pairs(
 def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over verified near-dup pairs -> one row per
     doc appearing in any pair: (doc_id, cluster_id), where cluster_id
     is the component's minimum doc_id (the canonical survivor a dedup
-    pipeline keeps).
+    pipeline keeps). Both algorithms produce identical output (tested).
 
-    Min-label propagation: each round every node takes the minimum of
-    its own label and its neighbours' labels; converges in O(component
-    diameter) rounds (near-dup components are shallow in practice —
-    ``max_iter`` is a safety bound, convergence is checked). Each round
-    is one join + one aggregation; labels are localCheckpoint-ed so
-    lineage stays flat. No driver-side graph state — scales with the
-    pair count, and the classic large-star/small-star variant drops in
-    if diameters ever get deep."""
+    ``algorithm="label_prop"`` (default): min-label propagation — each
+    round every node takes the minimum of its own label and its
+    neighbours' labels; converges in O(component DIAMETER) rounds
+    (near-dup components are shallow in practice). Each round is one
+    join + one aggregation; labels are localCheckpoint-ed so lineage
+    stays flat. No driver-side graph state — scales with the pair
+    count.
+
+    ``algorithm="star"``: the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round rewires edges toward local minima, HALVING
+    long paths, so convergence is O(log diameter) rounds instead of
+    O(diameter): the right choice for deep components (chains of
+    pairwise-near duplicates) where label propagation would need
+    hundreds of rounds. Per round: two groupBy-min + join passes over
+    the (shrinking) edge set.
+
+    ``max_iter`` is a safety bound in both; non-convergence raises."""
+    if algorithm not in ("label_prop", "star"):
+        raise ValueError(
+            f"algorithm must be 'label_prop' or 'star', got {algorithm!r}"
+        )
+    if algorithm == "star":
+        return _star_components(pairs, max_iter)
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),
@@ -277,6 +294,91 @@ def dedup_clusters(
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a canonical (u > v) edge set: every
+    node's strictly-LARGER neighbours rewire to the minimum of its
+    closed neighbourhood. Output stays canonical (v > u >= m)."""
+    sym = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).union(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    mins = sym.groupBy("node").agg(F.min("nbr").alias("_mn"))
+    mins = mins.select("node", F.least("node", "_mn").alias("_m"))
+    return (
+        sym.join(mins, "node")
+        .filter(F.col("nbr") > F.col("node"))
+        .select(F.col("nbr").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node's SMALLER-or-equal
+    neighbourhood (which is exactly its canonical out-edges) rewires to
+    its minimum; the node itself links there too."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("_m"))
+    rewired = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("_m").alias("v"))
+    return rewired.union(self_links).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+
+
+def _star_components(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star to the fixed point: the edge
+    set becomes a star per component, centred at its minimum node."""
+    nodes = (
+        pairs.select(F.col("id_a").cast("long").alias("node"))
+        .union(pairs.select(F.col("id_b").cast("long").alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            ).alias("u"),
+            F.least(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # set equality via counts + one-way difference (both
+        # materialized): equal sets <=> same size and empty difference
+        same = (
+            nxt.count() == edges.count()
+            and nxt.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = nxt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star components did not converge within max_iter={max_iter} "
+            "rounds — expected O(log diameter); raise max_iter"
+        )
+    # fixed point = stars: every non-minimum node has exactly one edge,
+    # to its component minimum; minima label themselves
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("_lbl")),
+        "node",
+        "left",
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("_lbl"), F.col("node")).alias("cluster_id"),
     )
 
 

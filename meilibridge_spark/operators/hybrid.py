@@ -137,6 +137,7 @@ def search_hybrid_many(
     n_probe: int = 2,
     centroids: "DataFrame | None" = None,
     assigned: "DataFrame | None" = None,
+    score_mode: str = "normalized",
 ) -> DataFrame:
     """Batch hybrid search, ONE Spark job for M queries ->
     (query_id, doc_id, kw, sem, hybrid, rank <= k).
@@ -173,6 +174,21 @@ def search_hybrid_many(
     assignment and n_probe all come from the store, zero
     training/assignment jobs — else exact. Exact remains the
     correctness baseline and the oracle.
+
+    ``score_mode``: how the keyword side enters the blend.
+    ``"normalized"`` (default, the original list-fusion analog):
+    kw = BM25 / the query's pool-max — relative to the pool.
+    ``"ranking_score"``: kw = the hit's ABSOLUTE [0, 1]
+    ``_ranking_score`` (operators/relational.ranking_scores —
+    matched_terms / n_query_terms for plain hits), matching
+    Meilisearch's semantics of fusing both sides on ``_rankingScore``
+    (the semantic side's (1 + cos) / 2 IS its ranking score for cosine
+    embedders). Equivalence note: both modes blend two [0, 1] scores
+    under the same semanticRatio; they differ exactly where
+    Meilisearch's score differs from pool-relative BM25 — the
+    ranking_score mode is scale-free across queries (a 1-term query's
+    sole matching doc scores kw = 1 regardless of raw BM25), while the
+    normalized mode preserves intra-pool BM25 contrast.
     """
     if not 0.0 <= semantic_ratio <= 1.0:
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
@@ -190,6 +206,11 @@ def search_hybrid_many(
             assigned = vectors.assigned
             n_centroids = vectors.n_centroids
             n_probe = vectors.n_probe
+    if score_mode not in ("normalized", "ranking_score"):
+        raise ValueError(
+            f"score_mode must be 'normalized' or 'ranking_score', "
+            f"got {score_mode!r}"
+        )
     missing = [qid for qid, _ in queries if qid not in query_vecs]
     if missing:
         raise ValueError(f"query_vecs missing ids: {missing}")
@@ -199,10 +220,41 @@ def search_hybrid_many(
         schema="query_id string, qv array<double>",
     )
 
-    kw = search_many(index, queries, k=pool).select(
-        "query_id", "doc_id", F.col("score").alias("kw_raw")
-    )
-    kw_max = kw.groupBy("query_id").agg(F.max("kw_raw").alias("kw_max"))
+    if score_mode == "ranking_score":
+        from meilibridge_spark.functions.tokenizer import parse_query
+
+        kw_hits = search_many(index, queries, k=pool, words_rank=True)
+        nq = spark.createDataFrame(
+            [
+                (qid, len(parse_query(q, index.cfg.analyzer)))
+                for qid, q in queries
+            ],
+            "query_id string, _nq int",
+        )
+        # kw = the hit's absolute words-rule ranking score (the same
+        # arithmetic ranking_scores emits for plain matched_terms hits)
+        kw_scored = kw_hits.join(F.broadcast(nq), "query_id").select(
+            "query_id",
+            "doc_id",
+            F.least(
+                F.col("matched_terms").cast("double") / F.col("_nq"),
+                F.lit(1.0),
+            ).alias("_kw_val"),
+        )
+        kw = kw_scored.select("query_id", "doc_id")
+    else:
+        kw_raw = search_many(index, queries, k=pool).select(
+            "query_id", "doc_id", F.col("score").alias("kw_raw")
+        )
+        kw_max = kw_raw.groupBy("query_id").agg(
+            F.max("kw_raw").alias("kw_max")
+        )
+        kw_scored = kw_raw.join(F.broadcast(kw_max), "query_id").select(
+            "query_id",
+            "doc_id",
+            (F.col("kw_raw") / F.col("kw_max")).alias("_kw_val"),
+        )
+        kw = kw_scored.select("query_id", "doc_id")
 
     if semantic == "ivf":
         from meilibridge_spark.operators.similarity import (
@@ -284,12 +336,11 @@ def search_hybrid_many(
         sem_cand = sem_scored.join(F.broadcast(cand), ["query_id", "doc_id"])
     fused = (
         cand.join(F.broadcast(sem_cand), ["query_id", "doc_id"], "left")
-        .join(F.broadcast(kw), ["query_id", "doc_id"], "left")
-        .join(F.broadcast(kw_max), "query_id", "left")
+        .join(F.broadcast(kw_scored), ["query_id", "doc_id"], "left")
         .select(
             "query_id",
             "doc_id",
-            F.coalesce(F.col("kw_raw") / F.col("kw_max"), F.lit(0.0)).alias("kw"),
+            F.coalesce(F.col("_kw_val"), F.lit(0.0)).alias("kw"),
             F.coalesce(F.col("sem"), F.lit(0.0)).alias("sem"),
         )
         .withColumn(

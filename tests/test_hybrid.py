@@ -258,3 +258,42 @@ def test_stored_vector_layout_serves_auto(spark, built, tmp_index_dir):
     # assignment is read from parquet, not derived from emb
     plan = loaded.vectors.assigned._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+
+
+def test_ranking_score_fusion_mode(built):
+    """score_mode='ranking_score': the keyword side of the blend is the
+    hit's ABSOLUTE words-rule ranking score (matched/n_query_terms),
+    matching Meilisearch's _rankingScore fusion; the semantic side is
+    already (1+cos)/2. Values hand-checked; default mode unchanged."""
+    idx, emb = built
+    queries = [("q0", "spark join")]
+    vecs = {"q0": QV}
+    rows = {
+        r["doc_id"]: r
+        for r in search_hybrid_many(
+            idx, emb, queries, vecs, k=5, pool=5,
+            score_mode="ranking_score",
+        ).collect()
+    }
+    kw_pool = {
+        r["doc_id"]: r["matched_terms"]
+        for r in search(idx, "spark join", k=5).collect()
+    }
+    for d, r in rows.items():
+        want_kw = min(kw_pool.get(d, 0) / 2.0, 1.0)  # 2 query terms
+        assert r["kw"] == pytest.approx(want_kw, abs=1e-9), d
+        want_sem = 0.0
+        for vid, v in EMB:
+            if vid == d and any(v):
+                want_sem = (1.0 + _cos(QV, v)) / 2.0
+        assert r["sem"] == pytest.approx(want_sem, abs=1e-9), d
+        assert r["hybrid"] == pytest.approx(
+            0.5 * want_kw + 0.5 * want_sem, abs=1e-9
+        ), d
+    # both-words doc 0/1/3 get kw == 1.0 (absolute, not pool-relative)
+    assert rows[0]["kw"] == pytest.approx(1.0)
+    # mode validation
+    with pytest.raises(ValueError, match="score_mode"):
+        search_hybrid_many(
+            idx, emb, queries, vecs, k=5, pool=5, score_mode="rrf"
+        )

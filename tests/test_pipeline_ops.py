@@ -795,3 +795,46 @@ def test_similar_documents_ivf_stored_layout_honors_filter(spark, emb):
     assert [(r["vec_id"], r["cos"]) for r in hits] == [
         (r["vec_id"], r["cos"]) for r in exact
     ]
+
+
+def test_star_components_match_label_prop(spark):
+    """Round-4: large-star/small-star == label propagation on mixed
+    component shapes (chain, pair, star, singleton-free)."""
+    from meilibridge_spark.operators.dedup import dedup_clusters
+
+    edges = [
+        (11, 10), (11, 12), (12, 13), (13, 14),
+        (20, 21), (30, 31), (30, 32), (32, 33),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, algorithm="label_prop").collect()
+    }
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert st == lp
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(pairs, algorithm="bfs")
+
+
+def test_star_components_deep_chain_logarithmic(spark):
+    """A 40-edge chain (diameter 40): label propagation cannot finish
+    in 10 rounds (rounds needed = diameter) while the star alternation
+    converges within 10 (O(log diameter)) — the deep-component case the
+    star variant exists for."""
+    from meilibridge_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, max_iter=10, algorithm="label_prop")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            pairs, max_iter=10, algorithm="star"
+        ).collect()
+    }
+    assert len(got) == 41 and set(got.values()) == {0}
