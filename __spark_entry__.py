@@ -306,6 +306,119 @@ def _q_hybrid_batch(specs: "list[tuple[str, str, int]]", k: int, ratio: float, p
     return run
 
 
+def _q_hybrid_stored(terms_text: str, k: int, ratio: float, pool: int, vid: int):
+    """Hybrid fusion served from the STORED IVF layout (round-4): the
+    quantizer + list-partitioned assignment persist via
+    save_vector_index, load_vector_index attaches them, and
+    search_hybrid_many's semantic='auto' default probes them with zero
+    training/assignment jobs. Full probe (n_probe == n_centroids) is
+    rank-identical to exact, so the exact-fusion SQL is the oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import dataclasses
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+        from meilibridge_spark.operators.similarity import build_vector_index
+        from meilibridge_spark.sources.tables import (
+            load_vector_index,
+            save_vector_index,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        key = (sf_dir, "_stored_vectors")
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="mbvec_")
+            save_vector_index(
+                build_vector_index(
+                    emb, n_centroids=4, n_probe=4, train_iters=2
+                ),
+                d,
+            )
+            _CACHE[key] = load_vector_index(spark, d)
+        # don't mutate the shared cached index — other entries fuse
+        # exact; attach the layout on a shallow copy
+        idx = dataclasses.replace(idx, vectors=_CACHE[key])
+        qv = emb.filter(F.col("vec_id") == vid).select("embedding").head()[0]
+        hits = search_hybrid_many(
+            idx, emb, [("q", terms_text)], {"q": list(qv)},
+            k=k, semantic_ratio=ratio, pool=pool,
+        )
+        return hits.select(
+            "query_id",
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    return run
+
+
+def _q_hybrid_rs(terms_text: str, k: int, ratio: float, pool: int, vid: int):
+    """Hybrid fusion with score_mode='ranking_score' (round-4): the
+    keyword side is the hit's ABSOLUTE words-rule ranking score
+    (matched/n_query_terms) instead of pool-normalized BM25 — the
+    endpoint's _rankingScore fusion semantics."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+        idx = _docs_index(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == vid).select("embedding").head()[0]
+        hits = search_hybrid_many(
+            idx, emb, [("q", terms_text)], {"q": list(qv)},
+            k=k, semantic_ratio=ratio, pool=pool, semantic="exact",
+            score_mode="ranking_score",
+        )
+        return hits.select(
+            "query_id",
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    return run
+
+
+_MULTI_REQS = [
+    {"index_uid": "plain", "q": "spark join", "k": 5},
+    {"index_uid": "plain", "q": "join", "k": 5, "offset": 2},
+    {"index_uid": "syn", "q": "fast join", "k": 5},
+    {"index_uid": "plain", "q": "spark", "k": 5, "filter": "lang = 'en'"},
+]
+
+
+def _q_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /multi-search results mode (round-4): four heterogeneous
+    requests over two indexes — same-option requests share one
+    scatter-gather job; per-request offset and filter windows."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.multisearch import multi_search
+
+    idxs = {
+        "plain": _docs_index(spark, sf_dir),
+        "syn": _docs_index(spark, sf_dir, "syn"),
+    }
+    return multi_search(idxs, _MULTI_REQS).select(
+        "request_no",
+        "index_uid",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_highlight(terms: "list[str]", k: int):
     """attributesToHighlight analog: _formatted text of the top-k hits
     (standalone term occurrences wrapped, case-insensitive, original
@@ -1129,6 +1242,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(edges)
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via the large-star/small-star alternation
+    (round-4, O(log diameter) rounds) — output identical to the
+    label-propagation path, so they share one oracle."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.dedup import dedup_clusters, jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = df.filter(F.col("doc_id") < 40).select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    edges = jaccard_pairs(df, pairs, threshold=0.5).select("id_a", "id_b")
+    return dedup_clusters(edges, algorithm="star")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.dedup import simhash32
 
@@ -1263,16 +1395,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs the FIRST 50
     # entries in registration order (observed: CORRECTNESS_r02.json ran
     # exactly entries 1-50 of 53). The first 50 below are therefore the
-    # curated gate set — every SURVEY §2 operator family keeps at least
-    # one entry inside it, including the round-3 additions (pagination,
-    # ranking scores, attributesToSearchOn, federation). Entries AFTER
-    # the 50th are secondary variants of already-gated operator
-    # families (hot/rare/absent/repeated-term BM25 shapes, plain
-    # filtered + filter case-fold — filter_expr/filtered_batch stay
-    # gated — hybrid batch, matching 'all', highlight/crop, quoted
-    # phrase — phrase/match-positions stay gated — typo disable,
-    # phrase stop-gap, facet orderings/multi/value-search, doc-length/
-    # field-distribution introspection, bare count); they remain fully
+    # curated gate set. ROUND-4 ROTATION (VERDICT r03 item 6): 12 gate
+    # slots now hold entries the r03 gate never ran — the four NEW
+    # round-4 operators (stored-IVF hybrid, ranking-score fusion,
+    # multi-search, star components) plus eight rotated in from the
+    # r03 overflow (matching 'all', highlight, crop, facet count-order
+    # + value-search, quoted phrase, typo disable_on_words, filter
+    # case-fold) — while every operator family keeps at least one gate
+    # entry: the 12 rotated OUT (ft_hybrid, ft_bm25_typo, ft_phrase,
+    # ft_displayed, ft_facet_lang, ft_bm25_filter_expr,
+    # ft_corpus_stats, ev_windowed_counts, sim_lsh_buckets,
+    # sim_ivf_assign, mm_resize_plan, mm_frame_plan — all
+    # driver-verified green in r03) each leave a sibling of the same
+    # family in the gate. Entries after the 50th remain fully
     # oracle-checked by tests/test_entry_oracle.py, which runs ALL
     # entries.
     return {
@@ -1282,24 +1417,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fast join", ["fast", "join"], 10, 0.5
         ),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
-        "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
+        "ft_hybrid_stored": _q_hybrid_stored("spark join table", 10, 0.5, 30, 7),
+        "ft_hybrid_rs": _q_hybrid_rs("spark join table", 10, 0.5, 30, 7),
+        "ft_multi_search": _q_multi_search,
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
-        "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_bm25_typo_rank": _q_typo_rank("spakr jion window", 10),
+        "ft_bm25_typo_disable": _q_typo(
+            "spakr jion window", 10, disable_on_words=("spakr",)
+        ),
         "ft_attribute_rank": _q_attribute_rank("src3 spark join", 15),
         "ft_exactness_rank": _q_exactness_rank(
             "fast join", ["fast", "join"], 10
         ),
-        "ft_phrase": _q_phrase("spark join", 10),
+        "ft_matching_all": _q_matching_all("spark join table", 20),
         "ft_match_positions": _q_match_positions("spark join", 10),
+        "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
         "ft_federated": _q_federated("fast join", 10, 1.0, 0.7),
-        "ft_bm25_filter_expr": _q_filter_expr(
+        "ft_bm25_filter_fold": _q_filter_fold(
             "spark join",
             10,
-            "(lang = 'en' OR lang = de) AND n_chars 100 TO 400 "
-            "AND source != 'src7'",
+            "lang IN ['EN', 'De'] AND source STARTS WITH 'SRC1'",
         ),
         "ft_search_on": _q_search_on("src3 spark join", 15, ("text",)),
         "ft_bm25_filtered_batch": _q_filtered_batch(
@@ -1307,20 +1446,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
             "en",
         ),
-        "ft_facet_lang": _q_facet("spark join", "lang"),
         "ft_facet_stats": _q_facet_stats("spark join", "n_chars"),
+        "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
+        "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
         "ft_bm25_prefix": _q_prefix("spark jo", 10),
         "ft_distinct_source": _q_distinct("spark join", "source"),
         "ft_sorted_hits": _q_sorted("vector stream", "n_chars", 50),
-        "ft_displayed": _q_displayed("group hash", ("lang", "source"), 10),
+        "ft_highlight": _q_highlight(["spark", "join"], 5),
+        "ft_crop": _q_crop(["spark", "join"], 5, 8),
         "view_join_search": _q_view_join_search("urgent building", 15),
         "ft_term_dictionary": _q_term_dictionary,
-        "ft_corpus_stats": _q_corpus_stats,
         "point_lookup": _q_point_lookup,
         "projection_rename": _q_projection_rename,
         "rollup_sources": _q_rollup_sources,
         "cdc_projection": _q_cdc_projection,
-        "ev_windowed_counts": _q_ev_windowed,
         "ev_sessions": _q_ev_sessions,
         "dedup_exact": _q_dedup_exact,
         "ts_token_counts": _q_token_counts,
@@ -1331,35 +1470,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_candidates": _q_lsh_candidates,
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_clusters": _q_dedup_clusters,
+        "dd_clusters_star": _q_dedup_clusters_star,
         "dd_simhash32": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
-        "sim_lsh_buckets": _q_lsh_buckets,
-        "sim_ivf_assign": _q_ivf_assign,
         "sim_ivf_topk": _q_ivf_topk,
         "mm_features": _q_mm_features,
+        # ---- entries 51+: secondary variants + the r03-verified
+        # rotation outflow (see ORDERING CONTRACT above) ---------------
+        "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
+        "ft_bm25_typo": _q_typo("spakr jion window", 10),
+        "ft_phrase": _q_phrase("spark join", 10),
+        "ft_displayed": _q_displayed("group hash", ("lang", "source"), 10),
+        "ft_facet_lang": _q_facet("spark join", "lang"),
+        "ft_bm25_filter_expr": _q_filter_expr(
+            "spark join",
+            10,
+            "(lang = 'en' OR lang = de) AND n_chars 100 TO 400 "
+            "AND source != 'src7'",
+        ),
+        "ft_corpus_stats": _q_corpus_stats,
+        "ev_windowed_counts": _q_ev_windowed,
+        "sim_lsh_buckets": _q_lsh_buckets,
+        "sim_ivf_assign": _q_ivf_assign,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_plan": _q_mm_frame_plan,
-        # ---- entries 51+: secondary variants (see ORDERING CONTRACT) --
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
         "ft_bm25_rare_multi": _q_topk("customer window vector merge", 20),
-        "ft_bm25_filter_fold": _q_filter_fold(
-            "spark join",
-            10,
-            "lang IN ['EN', 'De'] AND source STARTS WITH 'SRC1'",
-        ),
         "ft_hybrid_batch": _q_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
-        "ft_matching_all": _q_matching_all("spark join table", 20),
-        "ft_highlight": _q_highlight(["spark", "join"], 5),
-        "ft_crop": _q_crop(["spark", "join"], 5, 8),
-        "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
-        "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
-        "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
-        "ft_bm25_typo_disable": _q_typo(
-            "spakr jion window", 10, disable_on_words=("spakr",)
-        ),
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
         "ft_doc_lengths": _q_doc_lengths,
@@ -1477,9 +1617,98 @@ def _sql_hybrid_batch(
     )
 
 
+def _sql_hybrid_rs(
+    terms: "list[str]", k: int, ratio: float, pool: int, vid: int, n_q: int
+) -> str:
+    """Oracle for score_mode='ranking_score' fusion: kw = the absolute
+    words-rule ranking score least(matched/n_q, 1); the keyword pool is
+    words-ranked (matched DESC first) because the engine requests
+    words_rank=True to obtain matched_terms."""
+    wk, ws = repr(1.0 - ratio), repr(ratio)
+    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""
+WITH {_sql_tok()},
+kwsc AS (
+  SELECT tf.doc_id, count(*)::INT AS m,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {inlist}
+  GROUP BY tf.doc_id
+),
+kwp AS (SELECT doc_id, m FROM kwsc ORDER BY m DESC, s DESC, doc_id LIMIT {pool}),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vid}),
+semok AS (
+  SELECT doc_id, sem FROM (
+    SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
+    FROM embeddings e CROSS JOIN qv q
+  ) t WHERE sem IS NOT NULL
+),
+semp AS (SELECT doc_id FROM semok ORDER BY sem DESC, doc_id LIMIT {pool}),
+cand AS (SELECT doc_id FROM kwp UNION SELECT doc_id FROM semp),
+fused AS (
+  SELECT c.doc_id,
+         -- coalesce INSIDE least: DuckDB least() ignores NULLs, so
+         -- least(NULL, 1.0) = 1.0 would give out-of-pool docs kw = 1
+         least(coalesce(kp.m, 0) / {n_q}.0, 1.0) AS kw,
+         coalesce(sm.sem, 0.0) AS sem
+  FROM cand c
+  LEFT JOIN kwp kp USING (doc_id)
+  LEFT JOIN semok sm USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 'q' AS query_id, doc_id,
+         round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
+         round({wk} * kw + {ws} * sem, 4)::DOUBLE AS hybrid,
+         row_number() OVER (
+           ORDER BY {wk} * kw + {ws} * sem DESC, doc_id)::INT AS rank
+  FROM fused) t WHERE rank <= {k}
+"""
+
+
+def _sql_multi_search() -> str:
+    """Oracle for _MULTI_REQS: four independent top-k rankings, the
+    offset request keeps its ABSOLUTE ranks, the filter request ranks
+    AFTER the lang filter (filter semantics identical to
+    search_many(filter_docs=...)); the 'syn' index expands fast->slow
+    query-side only, so one shared tokenization serves both indexes."""
+    return f"""
+WITH {_sql_tok()},
+{_sql_score_cte("s_r0", ["spark", "join"])},
+{_sql_score_cte("s_r1", ["join"])},
+{_sql_score_cte("s_r2", ["fast", "slow", "join"])},
+{_sql_score_cte("s_r3", ["spark"])}
+SELECT * FROM (
+  SELECT 0::INT AS request_no, 'plain' AS index_uid, doc_id,
+         round(s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank
+  FROM s_r0) t0 WHERE rank <= 5
+UNION ALL
+SELECT * FROM (
+  SELECT 1::INT, 'plain', doc_id, round(s, 4)::DOUBLE,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank
+  FROM s_r1) t1 WHERE rank > 2 AND rank <= 7
+UNION ALL
+SELECT * FROM (
+  SELECT 2::INT, 'syn', doc_id, round(s, 4)::DOUBLE,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank
+  FROM s_r2) t2 WHERE rank <= 5
+UNION ALL
+SELECT * FROM (
+  SELECT 3::INT, 'plain', s.doc_id, round(s.s, 4)::DOUBLE,
+         row_number() OVER (ORDER BY s.s DESC, s.doc_id)::INT AS rank
+  FROM s_r3 s JOIN documents d USING (doc_id) WHERE d.lang = 'en') t3
+WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fs = _sql_scores(["spark", "join"])
-    return {
+    out = {
         "ft_bm25_topk": _sql_topk(["spark", "join", "table"], 10),
         "ft_bm25_hot_terms": _sql_topk(["the", "data"], 100),
         "ft_bm25_rare_multi": _sql_topk(
@@ -1514,6 +1743,15 @@ SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
 FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
 """,
         "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
+        # stored-IVF serving at full probe is rank-identical to exact,
+        # so the exact batch-fusion SQL is its oracle
+        "ft_hybrid_stored": _sql_hybrid_batch(
+            [("q", "spark join table", 7)], 10, 0.5, 30
+        ),
+        "ft_hybrid_rs": _sql_hybrid_rs(
+            ["spark", "join", "table"], 10, 0.5, 30, 7, 3
+        ),
+        "ft_multi_search": _sql_multi_search(),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
         "ft_highlight": _sql_highlight(["spark", "join"], 5),
         "ft_crop": _sql_crop(["spark", "join"], 5, 8),
@@ -2172,3 +2410,7 @@ SELECT asset_id, j::INT AS frame_idx, (j * 1.0)::DOUBLE AS frame_ts_s
 FROM frames
 """,
     }
+    # the star alternation is output-identical to label propagation —
+    # one oracle serves both connected-components entries
+    out["dd_clusters_star"] = out["dd_clusters"]
+    return out

@@ -202,6 +202,33 @@ def main() -> None:
     hybrid_hits = search_hybrid_many(didx, emb, hq, hv, k=10, pool=30).count()
     timings["query_hybrid"] = time.time() - t0
 
+    # --- hybrid served from the STORED IVF layout (round-4 serving
+    # default): quantizer trained + persisted once (vectors_build),
+    # then the same batch probes n_probe lists via the list-partitioned
+    # stored assignment instead of scanning every embedding
+    import tempfile
+
+    from meilibridge_spark.operators.similarity import build_vector_index
+    from meilibridge_spark.sources.tables import (
+        load_vector_index,
+        save_vector_index,
+    )
+
+    t0 = time.time()
+    vdir = tempfile.mkdtemp(prefix="bench_vec_")
+    save_vector_index(
+        build_vector_index(emb, n_centroids=16, n_probe=2, train_iters=3),
+        vdir,
+    )
+    timings["vectors_build"] = time.time() - t0
+    didx.vectors = load_vector_index(spark, vdir)
+    t0 = time.time()
+    hybrid_stored_hits = search_hybrid_many(
+        didx, emb, hq, hv, k=10, pool=30
+    ).count()  # semantic='auto' -> stored IVF
+    timings["query_hybrid_stored"] = time.time() - t0
+    didx.vectors = None
+
     # --- driver-side WAND serving path (DriverSearcher: dictionary
     # collected once; cold pass fills the postings cache, warm pass is
     # zero-Spark-job latency)
@@ -248,6 +275,10 @@ def main() -> None:
             len(hy_queries) / timings["query_hybrid"], 2
         ),
         "hybrid_hits": hybrid_hits,
+        "hybrid_stored_queries_per_sec": round(
+            len(hy_queries) / timings["query_hybrid_stored"], 2
+        ),
+        "hybrid_stored_hits": hybrid_stored_hits,
         "wand_cold_queries_per_sec": round(
             len(queries) / timings["query_wand_cold"], 2
         ),
