@@ -199,6 +199,7 @@ def search_hybrid_many(
             f"semantic must be 'exact', 'ivf' or 'auto', got {semantic!r}"
         )
     vectors = getattr(index, "vectors", None)
+    stored_probe = False
     if semantic == "auto":
         semantic = "ivf" if vectors is not None else "exact"
         if semantic == "ivf" and centroids is None and assigned is None:
@@ -206,6 +207,11 @@ def search_hybrid_many(
             assigned = vectors.assigned
             n_centroids = vectors.n_centroids
             n_probe = vectors.n_probe
+            # serving off the stored directory-partitioned layout:
+            # probes are selected DRIVER-SIDE from the (tiny) centroid
+            # table so the probed lists become a literal centroid_id
+            # filter the parquet scan prunes whole directories with
+            stored_probe = True
     if score_mode not in ("normalized", "ranking_score"):
         raise ValueError(
             f"score_mode must be 'normalized' or 'ranking_score', "
@@ -269,21 +275,64 @@ def search_hybrid_many(
         )
         if assigned is None:
             assigned = emb.join(ivf_assign(emb, cents, id_col, vec_col), id_col)
-        q_probe = qdf.crossJoin(F.broadcast(cents)).select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            _cos(F.col("qv"), F.col("centroid_vec")).alias("_pcos"),
-        )
-        w_probe = Window.partitionBy("query_id").orderBy(
-            F.col("_pcos").desc(), F.col("centroid_id")
-        )
-        probes = (
-            q_probe.withColumn("_rn", F.row_number().over(w_probe))
-            .filter(F.col("_rn") <= n_probe)
-            .select("query_id", "qv", "centroid_id")
-        )
-        base = assigned.join(F.broadcast(probes), "centroid_id")
+        if stored_probe:
+            # same (cos desc, centroid_id asc) selection as the JVM
+            # window below, computed in numpy over the collected
+            # centroid table (n_centroids x dim floats). The payoff:
+            # the probed list ids are LITERALS, so the stored layout's
+            # scan carries PartitionFilters [centroid_id IN (...)] and
+            # reads only the probed directories — the JVM-window form
+            # joins at runtime and must scan every list.
+            import numpy as np
+
+            valid = [
+                (int(r["centroid_id"]), np.asarray(r["centroid_vec"], float))
+                for r in cents.collect()
+            ]
+            probe_pairs: list = []
+            for qid, _ in queries:
+                qv = np.asarray(query_vecs[qid], dtype=np.float64)
+                qn = float(np.linalg.norm(qv))
+                if qn == 0.0:
+                    continue  # zero-norm query: cosine undefined, no sem
+                scored = []
+                for cid, cv in valid:
+                    cn = float(np.linalg.norm(cv))
+                    if cn == 0.0:
+                        continue  # sentinel/zero lists are never probed
+                    scored.append((-float(cv @ qv) / (cn * qn), cid))
+                scored.sort()
+                qvl = [float(x) for x in query_vecs[qid]]
+                probe_pairs.extend(
+                    (qid, qvl, cid) for _, cid in scored[:n_probe]
+                )
+            probes = spark.createDataFrame(
+                probe_pairs,
+                "query_id string, qv array<double>, centroid_id long",
+            )
+            probe_ids = sorted({cid for _, _, cid in probe_pairs})
+            pruned = (
+                assigned.filter(F.col("centroid_id").isin(probe_ids))
+                if probe_ids
+                else assigned.filter(F.lit(False))
+            )
+            base = pruned.join(F.broadcast(probes), "centroid_id")
+        else:
+            q_probe = qdf.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                "qv",
+                "centroid_id",
+                _cos(F.col("qv"), F.col("centroid_vec")).alias("_pcos"),
+            )
+            w_probe = Window.partitionBy("query_id").orderBy(
+                F.col("_pcos").desc(), F.col("centroid_id")
+            )
+            probes = (
+                q_probe.withColumn("_rn", F.row_number().over(w_probe))
+                .filter(F.col("_rn") <= n_probe)
+                .select("query_id", "qv", "centroid_id")
+            )
+            base = assigned.join(F.broadcast(probes), "centroid_id")
     else:
         base = emb.crossJoin(F.broadcast(qdf))
     sem_scored = base.select(

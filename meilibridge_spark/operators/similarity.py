@@ -471,6 +471,7 @@ def similar_documents(
         )
     if method == "auto":
         method = "ivf" if vectors is not None else "exact"
+    stored_layout = False
     if vectors is not None and method == "ivf":
         # the stored layout supplies quantizer + assignment + defaults;
         # explicit keyword args (a caller experimenting) still win
@@ -480,6 +481,7 @@ def similar_documents(
             assigned = vectors.assigned
             n_centroids = vectors.n_centroids
             n_probe = vectors.n_probe
+            stored_layout = True
     ids = list(target_ids)
     if not ids:
         raise ValueError("similar_documents needs at least one target id")
@@ -508,6 +510,45 @@ def similar_documents(
         if filter_docs is not None and assigned is not None:
             assigned = assigned.join(
                 filter_docs.select(id_col), id_col, "left_semi"
+            )
+        if stored_layout:
+            # the stored layout is directory-partitioned by
+            # centroid_id: pre-prune it with a LITERAL probe-id filter
+            # (PartitionFilters on the scan) computed driver-side from
+            # the collected target vectors + the tiny centroid table.
+            # The filter is a SUPERSET of ivf_topk's own JVM probe
+            # selection: ties within 1e-9 of the n_probe-th cosine are
+            # kept too, so float summation-order differences can never
+            # drop a list the JVM would probe.
+            import numpy as np
+
+            valid = [
+                (int(r["centroid_id"]), np.asarray(r["centroid_vec"], float))
+                for r in centroids.collect()
+            ]
+            probe_ids: set = set()
+            for r in rows:
+                qv = np.asarray(r["_qv"], dtype=np.float64)
+                qn = float(np.linalg.norm(qv))
+                if qn == 0.0:
+                    continue
+                scored = []
+                for cid, cv in valid:
+                    cn = float(np.linalg.norm(cv))
+                    if cn == 0.0:
+                        continue
+                    scored.append((float(cv @ qv) / (cn * qn), cid))
+                scored.sort(key=lambda t: (-t[0], t[1]))
+                if not scored:
+                    continue
+                kth = scored[min(n_probe, len(scored)) - 1][0]
+                probe_ids |= {
+                    cid for cos, cid in scored if cos >= kth - 1e-9
+                }
+            assigned = (
+                assigned.filter(F.col("centroid_id").isin(sorted(probe_ids)))
+                if probe_ids
+                else assigned.filter(F.lit(False))
             )
         # probed-list scoring; thresholding the (cos-desc) top-k after
         # the fact removes only a suffix, so ranks stay contiguous.

@@ -492,16 +492,19 @@ VECTORS_DIR = "vectors"
 
 def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
     """Persist a trained IVF layout: centroids (tiny), assignment
-    repartitioned by centroid_id so each inverted list is contiguous —
-    the probe equi-join then scans only the probed lists' files."""
+    DIRECTORY-PARTITIONED by centroid_id (one dir per inverted list) —
+    the probe-time literal ``centroid_id IN (...)`` filter then prunes
+    whole list directories from the scan (plan-tested
+    PartitionFilters), so a query reads n_probe/n_centroids of the
+    stored bytes instead of all of them."""
     base = os.path.join(index_dir, VECTORS_DIR)
     vec.centroids.repartition(1).sortWithinPartitions(
         "centroid_id"
     ).write.mode("overwrite").parquet(os.path.join(base, "centroids"))
     vec.assigned.repartition(
         max(4, vec.n_centroids), "centroid_id"
-    ).sortWithinPartitions("centroid_id", vec.id_col).write.mode(
-        "overwrite"
+    ).sortWithinPartitions(vec.id_col).write.mode("overwrite").partitionBy(
+        "centroid_id"
     ).parquet(os.path.join(base, "assigned"))
     meta = {
         "n_centroids": vec.n_centroids,
@@ -526,9 +529,16 @@ def load_vector_index(
         return None
     with open(meta_path) as f:
         meta = json.load(f)
+    # partition-column inference types centroid_id as int; restore the
+    # long the engine uses everywhere (pruning survives the upcast —
+    # Catalyst unwraps the cast around the literal IN, plan-tested)
+    assigned = spark.read.parquet(os.path.join(base, "assigned"))
+    assigned = assigned.withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
     return VectorIndex(
         centroids=spark.read.parquet(os.path.join(base, "centroids")),
-        assigned=spark.read.parquet(os.path.join(base, "assigned")),
+        assigned=assigned,
         n_centroids=int(meta["n_centroids"]),
         n_probe=int(meta["n_probe"]),
         id_col=meta["id_col"],

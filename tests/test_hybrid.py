@@ -258,6 +258,23 @@ def test_stored_vector_layout_serves_auto(spark, built, tmp_index_dir):
     # assignment is read from parquet, not derived from emb
     plan = loaded.vectors.assigned._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+    # the probed-list literal filter prunes the directory-partitioned
+    # stored layout: the scan carries PartitionFilters [centroid_id IN]
+    import re
+
+    splan = stored._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*centroid_id#\d+ IN \(", splan), (
+        splan[splan.find("PartitionFilters"):][:300]
+    )
+    # similar-docs over the stored layout prunes the same way (the
+    # epsilon-superset literal filter ahead of ivf_topk's probe join)
+    simplan = (
+        similar_documents(emb, [0], k=3, vectors=loaded.vectors)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(
+        r"PartitionFilters: \[.*centroid_id#\d+ IN \(", simplan
+    )
 
 
 def test_ranking_score_fusion_mode(built):
