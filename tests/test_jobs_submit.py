@@ -58,3 +58,59 @@ def test_build_then_query_via_spark_submit(tmp_path):
     assert all(h["score"] > 0 for h in res["hits"])
     scores = [h["score"] for h in res["hits"]]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_vectors_compact_hybrid_via_spark_submit(tmp_path, spark):
+    """Round-4 jobs end-to-end off the zip artifact: build an index,
+    train+store the IVF vector layout (build_vectors.py), compact the
+    snapshot (compact.py), then serve a hybrid query with
+    --semantic auto — the stored layout must answer it."""
+    import json as _json
+
+    zip_path = str(tmp_path / "mbs.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, capture_output=True,
+    )
+    idx_dir = str(tmp_path / "idx")
+    built = _json.loads(_submit(
+        zip_path, "build_index.py",
+        "--index-dir", idx_dir, "--synthetic-convs", "12",
+    ))
+    assert built["snapshot_id"] == 1
+
+    # embeddings keyed by the built doc_ids (tiny deterministic panel)
+    emb_path = str(tmp_path / "emb.parquet")
+    n = built["n_docs"]
+    rows = [(i, [float((i % 7) + 1), float((i % 3) + 1)]) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(emb_path)
+
+    vec = _json.loads(_submit(
+        zip_path, "build_vectors.py",
+        "--index-dir", idx_dir, "--embeddings", emb_path,
+        "--n-centroids", "3", "--n-probe", "3", "--train-iters", "1",
+    ))
+    assert vec["n_vectors"] == n and vec["n_probe"] == 3
+
+    comp = _json.loads(_submit(
+        zip_path, "compact.py", "--index-dir", idx_dir,
+    ))
+    assert comp["snapshot_id"] == 2
+    assert (
+        comp["compaction"]["after"]["postings"]["files"]
+        <= comp["compaction"]["before"]["postings"]["files"]
+    )
+
+    res = _json.loads(_submit(
+        zip_path, "query.py",
+        "--index-dir", idx_dir, "--embeddings", emb_path,
+        "--query", "baba cedi", "--query-vec-id", "1", "-k", "3",
+    ))
+    assert 0 < len(res["hits"]) <= 3
+    assert all("hybrid" in h for h in res["hits"])
