@@ -205,7 +205,8 @@ def apply_cdc(
             .distinct()
         )
         kept = index.positions.join(touched_ids, "doc_id", "left_anti")
-        positions_new = kept.unionByName(build_positions(upserts, cfg))
+        new_pos = build_positions(upserts, cfg)
+        positions_new = kept.unionByName(new_pos)
 
     # --- attribute-rank blocks MERGE (only when the snapshot carries
     # them): same cogrouped merger as the postings — the attrs table IS
@@ -272,8 +273,9 @@ def apply_cdc(
     # --- exact stats refresh
     row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    terms_delta = term_stats(merged)
     terms_new = index.terms.join(affected, "term", "left_anti").unionByName(
-        term_stats(merged)
+        terms_delta
     )
 
     # --- typo deletion-neighborhood MERGE (only when the snapshot
@@ -290,8 +292,30 @@ def apply_cdc(
             "delkey", "term"  # the join puts the key column first
         )
         surviving = terms_new.join(affected, "term", "left_semi")
-        typos_new = kept_nbr.unionByName(build_typo_table(surviving))
+        new_nbr = build_typo_table(surviving)
+        typos_new = kept_nbr.unionByName(new_nbr)
 
+    # --- delta components (what changed, keyed for merge-on-read):
+    # save_snapshot_delta persists THESE instead of rewriting every
+    # table — a micro-batch commit then costs O(touched docs +
+    # affected-term postings), never corpus size. load_snapshot folds
+    # delta entries back over their parent (anti-join on the keys,
+    # union the delta rows) — byte-identical to the full save (tested).
+    delta = {
+        "affected_terms": affected,
+        "postings": merged,
+        "terms": terms_delta,
+        "touched_keys": keys,
+        "docs": upserts.select(src_cols),
+    }
+    if positions_new is not None:
+        delta["touched_doc_ids"] = touched_ids
+        delta["positions"] = new_pos
+    if attrs_new is not None:
+        delta["affected_attr_terms"] = affected_a
+        delta["attrs"] = merged_a
+    if typos_new is not None:
+        delta["typos"] = new_nbr
     return InvertedIndex(
         cfg=cfg,
         docs=docs_new,
@@ -302,6 +326,7 @@ def apply_cdc(
         positions=positions_new,
         attrs=attrs_new,
         typos=typos_new,
+        delta=delta,
     )
 
 

@@ -63,6 +63,11 @@ class InvertedIndex:
     #: at load time — hybrid/similar-docs serving then defaults to the
     #: probed IVF path with zero training/assignment jobs
     vectors: "VectorIndex | None" = None
+    #: CDC delta components attached by apply_cdc (affected terms,
+    #: merged postings rows, touched keys, upserted docs, ...) — what
+    #: save_snapshot_delta persists so a micro-batch commit writes
+    #: O(touched), not a full-corpus rewrite (merge-on-read)
+    delta: "dict | None" = None
 
 
 @dataclass
@@ -119,6 +124,32 @@ def partition_lineage(df: DataFrame) -> "list[dict]":
         .collect()
     )
     return [{"partition": int(r["pid"]), "rows": int(r["count"])} for r in rows]
+
+
+def _index_meta(index: InvertedIndex) -> dict:
+    return {
+        "name": index.cfg.normalized_name(),
+        "primary_key": list(index.cfg.primary_key),
+        # layout constants baked into the stored postings bytes: block
+        # segmentation and shard-aligned block ids depend on them, and
+        # the query-side scatter-add derives dense-array offsets from
+        # shard_range — loading with a different value mis-indexes
+        # silently, so load_snapshot validates these loudly.
+        "shard_range": index.cfg.shard_range,
+        "block_size": index.cfg.block_size,
+        # the settings surface the index was BUILT with (S17 analog):
+        # loaders adopt these so e.g. --filter enforcement is defined by
+        # the index, not by whatever cfg a CLI happens to construct
+        "searchable_attributes": list(index.cfg.searchable_attributes),
+        "filterable_attributes": list(index.cfg.filterable_attributes),
+        "sortable_attributes": list(index.cfg.sortable_attributes),
+        "distinct_attribute": index.cfg.distinct_attribute,
+        # attrs tf-slot encoding version: "mask" = attribute bitmask
+        # (operators/attrs.py). Older snapshots wrote min_attr_rank+1
+        # and carry no marker; load_snapshot refuses those — reading a
+        # rank as a mask mis-ranks silently.
+        **({"attrs_tf_encoding": "mask"} if index.attrs is not None else {}),
+    }
 
 
 def save_snapshot(
@@ -190,29 +221,7 @@ def save_snapshot(
         "save_seconds": round(time.time() - t0, 3),
         **(extra_metrics or {}),
     }
-    index_meta = {
-        "name": index.cfg.normalized_name(),
-        "primary_key": list(index.cfg.primary_key),
-        # layout constants baked into the stored postings bytes: block
-        # segmentation and shard-aligned block ids depend on them, and
-        # the query-side scatter-add derives dense-array offsets from
-        # shard_range — loading with a different value mis-indexes
-        # silently, so load_snapshot validates these loudly.
-        "shard_range": index.cfg.shard_range,
-        "block_size": index.cfg.block_size,
-        # the settings surface the index was BUILT with (S17 analog):
-        # loaders adopt these so e.g. --filter enforcement is defined by
-        # the index, not by whatever cfg a CLI happens to construct
-        "searchable_attributes": list(index.cfg.searchable_attributes),
-        "filterable_attributes": list(index.cfg.filterable_attributes),
-        "sortable_attributes": list(index.cfg.sortable_attributes),
-        "distinct_attribute": index.cfg.distinct_attribute,
-        # attrs tf-slot encoding version: "mask" = attribute bitmask
-        # (operators/attrs.py). Older snapshots wrote min_attr_rank+1
-        # and carry no marker; load_snapshot refuses those — reading a
-        # rank as a mask mis-ranks silently.
-        **({"attrs_tf_encoding": "mask"} if index.attrs is not None else {}),
-    }
+    index_meta = _index_meta(index)
     entry = {
         "snapshot_id": snap_id,
         "parent_snapshot_id": parent_id,
@@ -244,6 +253,109 @@ def save_snapshot(
     manifest["snapshots"].append(entry)
     manifest["current"] = snap_id
     manifest["index"] = index_meta
+    _write_manifest(index_dir, manifest)
+    index.snapshot_id = snap_id
+    index.index_dir = index_dir
+    index.metrics = metrics
+    return snap_id
+
+
+#: delta tables written per delta snapshot: (delta-dict key, stored
+#: table name, sort columns for the write)
+_DELTA_TABLES = (
+    ("affected_terms", "affected_terms", ("term",)),
+    ("postings", "postings_delta", ("term", "block_id")),
+    ("terms", "terms_delta", ("term",)),
+    ("touched_keys", "touched_keys", ()),
+    ("docs", "docs_delta", ("doc_id",)),
+    ("touched_doc_ids", "touched_doc_ids", ("doc_id",)),
+    ("positions", "positions_delta", ("term", "doc_id")),
+    ("affected_attr_terms", "affected_attr_terms", ("term",)),
+    ("attrs", "attrs_delta", ("term", "block_id")),
+    ("typos", "typos_delta", ("delkey", "term")),
+)
+
+
+def save_snapshot_delta(
+    index: InvertedIndex,
+    index_dir: str,
+    extra_metrics: "dict | None" = None,
+    max_ts: "str | None" = None,
+) -> int:
+    """Commit a CDC merge as a DELTA snapshot (merge-on-read): persist
+    only ``index.delta`` — the affected terms' re-encoded postings,
+    the touched doc keys + upserted rows, the affected term stats, and
+    the matching deltas for positions/attrs/typos when present — so the
+    write costs O(touched docs + affected-term postings), never a
+    full-corpus rewrite. At 10^12 turns a micro-batch full save is a
+    non-starter; this is the streaming commit path
+    (``start_cdc_sync(delta_commits=True)``).
+
+    load_snapshot folds delta entries over their parent chain
+    (anti-join each table on the delta's keys, union the delta rows) —
+    byte-identical to a full save of the same merge (tested). Read
+    amplification grows with chain depth (one extra union + broadcast
+    anti-join per level), so run ``compact_snapshot`` periodically: it
+    collapses the chain into a full snapshot. ``expire_snapshots``
+    keeps the ancestor closure of every kept delta alive.
+    """
+    if index.delta is None:
+        raise ValueError(
+            "save_snapshot_delta needs an index produced by apply_cdc "
+            "(index.delta is None — use save_snapshot for full builds)"
+        )
+    manifest = _read_manifest(index_dir)
+    if manifest["current"] is None:
+        raise FileNotFoundError(
+            f"no parent snapshot in {index_dir} — a delta commit needs "
+            "a base (build_and_save / save_snapshot first)"
+        )
+    parent_id = manifest["current"]
+    snap_id = parent_id + 1
+    snap = f"snap-{snap_id:06d}"
+    base = os.path.join(index_dir, snap)
+    t0 = time.time()
+    tables = {}
+    for key, name, sort_cols in _DELTA_TABLES:
+        df = index.delta.get(key)
+        if df is None:
+            continue
+        out = df
+        if sort_cols:
+            out = out.repartitionByRange(
+                4, sort_cols[0]
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            out = out.coalesce(4)
+        out.write.mode("overwrite").parquet(os.path.join(base, name))
+        tables[name] = f"{snap}/{name}"
+    parent_entry = next(
+        s for s in manifest["snapshots"] if s["snapshot_id"] == parent_id
+    )
+    levels = int(parent_entry.get("metrics", {}).get("delta_levels", 0)) + 1
+    metrics = {
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "delta_levels": levels,
+        "delta_bytes": _dir_bytes(base),
+        "save_seconds": round(time.time() - t0, 3),
+        **(extra_metrics or {}),
+    }
+    entry = {
+        "snapshot_id": snap_id,
+        "parent_snapshot_id": parent_id,
+        "delta": True,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "max_ts": max_ts,
+        "index": _index_meta(index),
+        "tables": tables,
+        "metrics": metrics,
+    }
+    manifest["snapshots"].append(entry)
+    manifest["current"] = snap_id
+    manifest["index"] = entry["index"]
     _write_manifest(index_dir, manifest)
     index.snapshot_id = snap_id
     index.index_dir = index_dir
@@ -313,32 +425,80 @@ def load_snapshot(
             )
     if adopted:
         cfg = dataclasses.replace(cfg, **adopted)
-    t = entry["tables"]
+
+    # resolve the delta chain back to its base FULL snapshot, then fold
+    # each delta forward (merge-on-read): anti-join the table on the
+    # delta's keys, union the delta rows. Byte-identical to the full
+    # save of the same merge (tested); read amplification = one union +
+    # broadcast anti-join per level — compact_snapshot collapses chains.
+    by_id = {s["snapshot_id"]: s for s in manifest["snapshots"]}
+    chain = [entry]
+    while chain[0].get("delta"):
+        pid = chain[0].get("parent_snapshot_id")
+        parent = by_id.get(pid)
+        if parent is None:
+            raise FileNotFoundError(
+                f"delta snapshot {chain[0]['snapshot_id']} in {index_dir} "
+                f"references missing parent {pid} — delta chains need "
+                "their ancestor closure (expire_snapshots preserves it)"
+            )
+        chain.insert(0, parent)
+
+    def rd(rel: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(index_dir, rel))
+
+    def fold(base_df: DataFrame, key_df: DataFrame, delta_df: DataFrame,
+             on: "list[str]") -> DataFrame:
+        cols = base_df.columns
+        return (
+            base_df.join(F.broadcast(key_df.select(*on)), on, "left_anti")
+            .unionByName(delta_df)
+            .select(*cols)  # USING-joins move key columns first
+        )
+
+    bt = chain[0]["tables"]
+    docs = rd(bt["docs"])
+    postings = rd(bt["postings"])
+    terms = rd(bt["terms"])
+    positions = rd(bt["positions"]) if "positions" in bt else None
+    attrs = rd(bt["attrs"]) if "attrs" in bt else None
+    typos = rd(bt["typos"]) if "typos" in bt else None
+    for d in chain[1:]:
+        t = d["tables"]
+        aff = rd(t["affected_terms"])
+        postings = fold(postings, aff, rd(t["postings_delta"]), ["term"])
+        terms = fold(terms, aff, rd(t["terms_delta"]), ["term"])
+        keys = rd(t["touched_keys"])
+        docs = fold(docs, keys, rd(t["docs_delta"]), list(keys.columns))
+        if positions is not None and "positions_delta" in t:
+            positions = fold(
+                positions,
+                rd(t["touched_doc_ids"]),
+                rd(t["positions_delta"]),
+                ["doc_id"],
+            )
+        if attrs is not None and "attrs_delta" in t:
+            attrs = fold(
+                attrs,
+                rd(t["affected_attr_terms"]),
+                rd(t["attrs_delta"]),
+                ["term"],
+            )
+        if typos is not None and "typos_delta" in t:
+            typos = fold(typos, aff, rd(t["typos_delta"]), ["term"])
     return InvertedIndex(
         cfg=cfg,
-        docs=spark.read.parquet(os.path.join(index_dir, t["docs"])),
-        postings=spark.read.parquet(os.path.join(index_dir, t["postings"])),
-        terms=spark.read.parquet(os.path.join(index_dir, t["terms"])),
+        docs=docs,
+        postings=postings,
+        terms=terms,
         n_docs=int(entry["n_docs"]),
         avgdl=float(entry["avgdl"]),
         snapshot_id=sid,
         index_dir=index_dir,
         metrics=entry.get("metrics", {}),
-        positions=(
-            spark.read.parquet(os.path.join(index_dir, t["positions"]))
-            if "positions" in t
-            else None
-        ),
-        attrs=(
-            spark.read.parquet(os.path.join(index_dir, t["attrs"]))
-            if "attrs" in t
-            else None
-        ),
-        typos=(
-            spark.read.parquet(os.path.join(index_dir, t["typos"]))
-            if "typos" in t
-            else None
-        ),
+        positions=positions,
+        attrs=attrs,
+        typos=typos,
         # the stored IVF layout (if any) rides along: hybrid /
         # similar-docs serving then auto-selects the probed path
         vectors=load_vector_index(spark, index_dir),
@@ -378,6 +538,19 @@ def expire_snapshots(index_dir: str, keep_last: int = 1) -> "list[int]":
     keep_ids = {s["snapshot_id"] for s in snaps_sorted[-keep_last:]}
     if manifest["current"] is not None:
         keep_ids.add(manifest["current"])
+    # ancestor closure: a kept DELTA snapshot reads through its parent
+    # chain (merge-on-read), so every ancestor of a kept delta must
+    # survive too — compact_snapshot collapses chains when this keeps
+    # more than intended
+    by_id = {s["snapshot_id"]: s for s in snaps_sorted}
+    frontier = list(keep_ids)
+    while frontier:
+        e = by_id.get(frontier.pop())
+        if e is not None and e.get("delta"):
+            pid = e.get("parent_snapshot_id")
+            if pid is not None and pid not in keep_ids:
+                keep_ids.add(pid)
+                frontier.append(pid)
     expired = [s for s in snaps_sorted if s["snapshot_id"] not in keep_ids]
     manifest["snapshots"] = [
         s for s in snaps_sorted if s["snapshot_id"] in keep_ids
@@ -413,18 +586,19 @@ def compact_snapshot(
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
     index = load_snapshot(spark, index_dir, cfg)
-    entry = next(
-        s
-        for s in _read_manifest(index_dir)["snapshots"]
-        if s["snapshot_id"] == index.snapshot_id
-    )
-    before = {
-        name: {
-            "files": _dir_data_files(os.path.join(index_dir, rel)),
-            "bytes": _dir_bytes(os.path.join(index_dir, rel)),
-        }
-        for name, rel in entry["tables"].items()
-    }
+    manifest = _read_manifest(index_dir)
+    by_id = {s["snapshot_id"]: s for s in manifest["snapshots"]}
+    # a delta tip reads through its ancestor chain — the compaction
+    # rewrites the FOLDED state, so 'before' accounts the whole chain
+    chain = [by_id[index.snapshot_id]]
+    while chain[0].get("delta"):
+        chain.insert(0, by_id[chain[0]["parent_snapshot_id"]])
+    before: dict = {}
+    for e in chain:
+        for name, rel in e["tables"].items():
+            agg = before.setdefault(name, {"files": 0, "bytes": 0})
+            agg["files"] += _dir_data_files(os.path.join(index_dir, rel))
+            agg["bytes"] += _dir_bytes(os.path.join(index_dir, rel))
     biggest = max(t["bytes"] for t in before.values())
     n_parts = max(1, -(-biggest // target_file_bytes))
     new_id = save_snapshot(
@@ -432,7 +606,12 @@ def compact_snapshot(
         index_dir,
         parent_id=index.snapshot_id,
         n_parts=n_parts,
-        extra_metrics={"compaction": {"before": before}},
+        extra_metrics={
+            "compaction": {
+                "before": before,
+                "delta_levels_collapsed": len(chain) - 1,
+            }
+        },
     )
     # the after-counts only exist once the write finished: patch them
     # into the committed entry (manifest rewrite is atomic)

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from meilibridge_spark.config import IndexConfig
 from meilibridge_spark.plans.incremental import apply_cdc
 from meilibridge_spark.sources.cdc import CDC_SCHEMA
-from meilibridge_spark.sources.tables import load_snapshot, save_snapshot
+from meilibridge_spark.sources.tables import (
+    load_snapshot,
+    save_snapshot,
+    save_snapshot_delta,
+)
 
 
 def start_cdc_sync(
@@ -30,6 +34,7 @@ def start_cdc_sync(
     trigger_available_now: bool = True,
     source=None,
     view_of=None,
+    delta_commits: bool = False,
 ):
     """Stream CDC events into the index at ``index_dir``. Each
     micro-batch: load current snapshot -> MERGE -> commit child
@@ -57,6 +62,13 @@ def start_cdc_sync(
     ``trigger_available_now=True`` processes the backlog then stops —
     the streaming analog of the reference's --auto scheduled re-sync
     (S20); pass False for a continuous query.
+
+    ``delta_commits=True`` commits each micro-batch as a DELTA snapshot
+    (save_snapshot_delta): the write costs O(touched docs +
+    affected-term postings) instead of a full-corpus rewrite — the only
+    viable shape for a continuous stream over a 10^12-turn corpus.
+    Run compact_snapshot (jobs/compact.py) periodically to collapse the
+    chain; expire_snapshots keeps the ancestor closure alive.
     """
     if (source is None) == (cdc_path is None):
         raise ValueError("pass exactly one of cdc_path / source")
@@ -75,6 +87,13 @@ def start_cdc_sync(
 
             batch_df = view_cdc_events(view_of(), batch_df)
         merged = apply_cdc(index, batch_df, cfg)
+        if delta_commits:
+            save_snapshot_delta(
+                merged,
+                index_dir,
+                extra_metrics={"cdc_epoch": int(epoch_id)},
+            )
+            return
         merged.docs = merged.docs.persist()
         merged.postings = merged.postings.persist()
         save_snapshot(

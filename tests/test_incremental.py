@@ -338,3 +338,149 @@ def test_compaction_after_cdc_chain(spark, tmp_index_dir):
     assert comp["before"]["postings"]["bytes"] > 0
     # queries still serve off the compacted snapshot
     assert search(compacted, "baba", 5).count() > 0
+
+
+def test_delta_snapshot_chain_equals_full(spark, tmp_index_dir):
+    """Round-4 merge-on-read: two CDC batches committed as DELTA
+    snapshots (O(touched) writes) load back byte-identical to the full
+    in-memory merge — postings, docs, terms — and each delta entry's
+    stored bytes are a fraction of the base snapshot's."""
+    from meilibridge_spark.sources.tables import (
+        load_snapshot,
+        save_snapshot_delta,
+        snapshot_log,
+    )
+
+    src = generate_transcripts(spark, n_convs=60, seed=5).persist()
+    cur = build_and_save(spark, src, CFG, tmp_index_dir)
+    for seed in (7, 11):
+        cdc = generate_cdc_batch(spark, src, seed=seed)
+        cur = apply_cdc(cur, cdc)
+        assert cur.delta is not None
+        save_snapshot_delta(cur, tmp_index_dir)
+    log = snapshot_log(tmp_index_dir)
+    assert [s.get("delta", False) for s in log] == [False, True, True]
+    assert log[-1]["metrics"]["delta_levels"] == 2
+    # O(touched) writes: the delta stores only the upserted doc rows
+    # and exactly the affected terms' re-encoded blocks — a fraction of
+    # the vocabulary (hot terms make the BYTES a bigger fraction at toy
+    # scale, so rows are the honest measure)
+    import os as _os
+
+    tip = log[-1]["tables"]
+
+    def _rd(rel):
+        return spark.read.parquet(_os.path.join(tmp_index_dir, rel))
+
+    assert _rd(tip["docs_delta"]).count() <= 40  # <= CDC batch size
+    aff = _rd(tip["affected_terms"])
+    # 40 touched docs cover most of the tiny Zipf vocab (500 terms) —
+    # at real vocab scale the ratio is tiny; assert the structural
+    # property (strict subset) plus the exact block identity below
+    assert aff.count() < cur.terms.count()
+    assert (
+        _rd(tip["postings_delta"]).count()
+        == cur.postings.join(aff, "term", "left_semi").count()
+    )
+
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    assert loaded.snapshot_id == 3
+    a = _postings_pdf(loaded.postings)
+    b = _postings_pdf(cur.postings)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"postings {col}"
+    ta = loaded.terms.toPandas().sort_values("term").reset_index(drop=True)
+    tb = cur.terms.toPandas().sort_values("term").reset_index(drop=True)
+    assert ta.equals(tb)
+    da = loaded.docs.drop("terms").toPandas().sort_values("doc_id").reset_index(drop=True)
+    db = cur.docs.select(da.columns.tolist()).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert da.equals(db)
+    assert loaded.n_docs == cur.n_docs
+    assert loaded.avgdl == pytest.approx(cur.avgdl, rel=1e-12)
+    # queries serve off the folded chain
+    assert search(loaded, "baba", 5).count() > 0
+
+
+def test_delta_chain_optional_tables_and_compact(spark, tmp_index_dir):
+    """Positions, attrs and the typo table fold through delta commits
+    too; compact_snapshot collapses the chain into a full snapshot,
+    byte-identical, recording the levels collapsed; expire keeps the
+    ancestor closure of a live delta."""
+    import dataclasses
+
+    from meilibridge_spark.sources.tables import (
+        compact_snapshot,
+        expire_snapshots,
+        load_snapshot,
+        save_snapshot_delta,
+        snapshot_log,
+    )
+
+    cfg = dataclasses.replace(CFG, filterable_attributes=("role",))
+    src = generate_transcripts(spark, n_convs=10, seed=9).persist()
+    cur = build_and_save(
+        spark, src, cfg, tmp_index_dir,
+        with_positions=True, with_attributes=True, with_typos=True,
+    )
+    cdc = generate_cdc_batch(spark, src, seed=13)
+    cur = apply_cdc(cur, cdc)
+    save_snapshot_delta(cur, tmp_index_dir)
+
+    # expire with keep_last=1 must keep the base (ancestor closure)
+    assert expire_snapshots(tmp_index_dir, keep_last=1) == []
+    loaded = load_snapshot(spark, tmp_index_dir, cfg)
+    for tbl in ("positions", "attrs", "typos"):
+        got = getattr(loaded, tbl)
+        want = getattr(cur, tbl)
+        assert got is not None
+        assert got.exceptAll(want.select(got.columns)).count() == 0
+        assert want.select(got.columns).exceptAll(got).count() == 0
+
+    new_id = compact_snapshot(spark, tmp_index_dir, cfg)
+    log = snapshot_log(tmp_index_dir)
+    comp = next(s for s in log if s["snapshot_id"] == new_id)
+    assert not comp.get("delta", False)
+    assert comp["metrics"]["compaction"]["delta_levels_collapsed"] == 1
+    compacted = load_snapshot(spark, tmp_index_dir, cfg)
+    a = _postings_pdf(compacted.postings)
+    b = _postings_pdf(cur.postings)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"postings {col}"
+    # with the chain collapsed, the ancestors can expire
+    expired = expire_snapshots(tmp_index_dir, keep_last=1)
+    assert sorted(expired) == [1, 2]
+    assert search(load_snapshot(spark, tmp_index_dir, cfg), "baba", 5).count() > 0
+
+
+def test_streaming_delta_commits(spark, tmp_index_dir, tmp_path):
+    """start_cdc_sync(delta_commits=True): each micro-batch commits a
+    delta entry; the folded tip equals what full commits produce."""
+    from meilibridge_spark.sources.tables import load_snapshot, snapshot_log
+    from meilibridge_spark.streaming.cdc_stream import start_cdc_sync
+
+    src = generate_transcripts(spark, n_convs=8, seed=21).persist()
+    build_and_save(spark, src, CFG, tmp_index_dir)
+    cdc = generate_cdc_batch(spark, src, seed=23)
+    cdc_dir = str(tmp_path / "cdc")
+    cdc.write.mode("overwrite").parquet(cdc_dir)
+    q = start_cdc_sync(
+        spark,
+        cdc_path=cdc_dir,
+        index_dir=tmp_index_dir,
+        cfg=CFG,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        delta_commits=True,
+    )
+    q.awaitTermination(120)
+    log = snapshot_log(tmp_index_dir)
+    assert log[-1]["delta"] is True
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    base = load_snapshot(spark, tmp_index_dir, CFG, snapshot_id=1)
+    want = apply_cdc(base, spark.read.parquet(cdc_dir))
+    a = _postings_pdf(loaded.postings)
+    b = _postings_pdf(want.postings)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"postings {col}"
