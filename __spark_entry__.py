@@ -486,6 +486,87 @@ ORDER BY s.s DESC, doc_id LIMIT {k}"""
     )
 
 
+def _q_matching_frequency(terms_text: str, k: int):
+    """matchingStrategy='frequency' (Meilisearch v1.8): the words
+    criterion is the drop level under most-frequent-first word removal
+    (operators/search.py freq_drop_ranks); level asc outranks BM25."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        hits = search(idx, terms_text, k=k, matching_strategy="frequency")
+        return hits.select(
+            "doc_id", F.round("score", 4).alias("score"), "freq_level"
+        )
+
+    return run
+
+
+def _sql_matching_frequency(terms: "list[str]", k: int) -> str:
+    qvals = ", ".join(
+        f"('{t}', {i})" for i, t in enumerate(terms)
+    )
+    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return (
+        _sql_scores(terms)
+        + f""",
+drop_order AS (
+  SELECT q.term,
+         row_number() OVER (ORDER BY dfreq.df DESC, q.qpos DESC) AS drop_rank
+  FROM (VALUES {qvals}) AS q(term, qpos)
+  JOIN dfreq ON dfreq.term = q.term
+),
+lvl AS (
+  SELECT s.doc_id,
+         coalesce(max(CASE WHEN tf.doc_id IS NULL THEN o.drop_rank END), 0)::INT
+           AS freq_level
+  FROM scores s
+  CROSS JOIN drop_order o
+  LEFT JOIN tf ON tf.doc_id = s.doc_id AND tf.term = o.term
+  GROUP BY s.doc_id
+)
+SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score, l.freq_level
+FROM scores s JOIN lvl l USING (doc_id)
+ORDER BY l.freq_level ASC, s.s DESC, s.doc_id LIMIT {k}"""
+    )
+
+
+def _q_negative(positive: str, neg_word: str, k: int):
+    """Negative keyword (Meilisearch v1.8 '-word' syntax): docs
+    containing the negated word are excluded from the candidates
+    (operators/positions.py parse_negative -> search exclude_docs)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import (
+            search_with_phrases,
+        )
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        hits = search_with_phrases(idx, f"{positive} -{neg_word}", k=k)
+        return hits.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _sql_negative(terms: "list[str]", neg_word: str, k: int) -> str:
+    return (
+        _sql_scores(terms)
+        + f"""SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score
+FROM scores s
+WHERE NOT EXISTS (
+  SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = '{neg_word}'
+)
+ORDER BY s.s DESC, s.doc_id LIMIT {k}"""
+    )
+
+
 def _view_index(spark: SparkSession, sf_dir: str):
     """S25 view indirection: the indexed 'collection' is a JOIN VIEW
     over orders ⋈ customer ⋈ nation (the reference's user_books
@@ -1407,22 +1488,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ft_corpus_stats, ev_windowed_counts, sim_lsh_buckets,
     # sim_ivf_assign, mm_resize_plan, mm_frame_plan — all
     # driver-verified green in r03) each leave a sibling of the same
-    # family in the gate. Entries after the 50th remain fully
-    # oracle-checked by tests/test_entry_oracle.py, which runs ALL
-    # entries.
+    # family in the gate. Late round-4 additions: ft_negative and
+    # ft_matching_frequency (both NEW operators) take the gate slots of
+    # r03-verified ft_words_rank (ranking family keeps typo/attribute/
+    # exactness entries) and ft_bm25_dictionary (tokenizer family keeps
+    # stopwords/synonyms), which move to the overflow. Entries after
+    # the 50th remain fully oracle-checked by
+    # tests/test_entry_oracle.py, which runs ALL entries.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
         "ft_ranking_score": _q_ranking_score(
             "fast join", ["fast", "join"], 10, 0.5
         ),
-        "ft_words_rank": _q_words_rank("customer window vector merge", 20),
+        "ft_negative": _q_negative("spark join", "table", 10),
         "ft_hybrid_stored": _q_hybrid_stored("spark join table", 10, 0.5, 30, 7),
         "ft_hybrid_rs": _q_hybrid_rs("spark join table", 10, 0.5, 30, 7),
         "ft_multi_search": _q_multi_search,
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
-        "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
+        "ft_matching_frequency": _q_matching_frequency(
+            "scan join spark", 20
+        ),
         "ft_bm25_typo_rank": _q_typo_rank("spakr jion window", 10),
         "ft_bm25_typo_disable": _q_typo(
             "spakr jion window", 10, disable_on_words=("spakr",)
@@ -1477,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         # ---- entries 51+: secondary variants + the r03-verified
         # rotation outflow (see ORDERING CONTRACT above) ---------------
+        "ft_words_rank": _q_words_rank("customer window vector merge", 20),
+        "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_phrase": _q_phrase("spark join", 10),
@@ -1753,6 +1842,10 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
         ),
         "ft_multi_search": _sql_multi_search(),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
+        "ft_matching_frequency": _sql_matching_frequency(
+            ["scan", "join", "spark"], 20
+        ),
+        "ft_negative": _sql_negative(["spark", "join"], "table", 10),
         "ft_highlight": _sql_highlight(["spark", "join"], 5),
         "ft_crop": _sql_crop(["spark", "join"], 5, 8),
         "ft_facet_count_order": (

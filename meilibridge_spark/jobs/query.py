@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 
 
 def parse_hybrid_queries_file(lines) -> "list[tuple[str, int, str]]":
@@ -84,9 +85,12 @@ def main() -> None:
                          "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
-    ap.add_argument("--matching-strategy", choices=["last", "all"],
+    ap.add_argument("--matching-strategy",
+                    choices=["last", "all", "frequency"],
                     default="last",
-                    help="'all' = only docs matching every query word")
+                    help="'all' = only docs matching every query word; "
+                         "'frequency' = words criterion under "
+                         "most-frequent-first word removal")
     ap.add_argument("--search-on", default=None,
                     help="attributesToSearchOn: comma-separated searchable "
                          "attribute names restricting where terms may match "
@@ -256,12 +260,12 @@ def main() -> None:
         return
 
     query_text = args.query
-    if args.matching_strategy == "all":
+    if args.matching_strategy in ("all", "frequency"):
         # the batch path owns the word-group machinery (synonyms + typo
         # alternates satisfying their word); singles ride it
         rows = search_many(
             index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
-            typo=args.typo, matching_strategy="all",
+            typo=args.typo, matching_strategy=args.matching_strategy,
             attributes_to_search_on=search_on, offset=args.offset,
         ).collect()
         out = [
@@ -271,11 +275,14 @@ def main() -> None:
         print(json.dumps({"query": args.query, "k": args.k, "hits": out}))
         return
     has_phrase = '"' in query_text
+    has_negative = re.search(r"(?:^|\s)-\S", query_text) is not None
     if has_phrase and index.positions is None:
         ap.error('quoted phrases need a snapshot built with positions '
                  '(build_index --with-positions)')
     if has_phrase and args.typo:
         ap.error("--typo does not compose with quoted phrases")
+    if has_negative and args.typo:
+        ap.error("--typo does not compose with negative keywords")
     if args.typo:
         from meilibridge_spark.functions.tokenizer import parse_query
         from meilibridge_spark.operators.search import typo_expand_terms
@@ -303,7 +310,8 @@ def main() -> None:
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
-        and not has_phrase and not sort_spec and not args.distinct
+        and not has_phrase and not has_negative and not sort_spec
+        and not args.distinct
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -318,7 +326,7 @@ def main() -> None:
         # to the post-processed ordering driver-side (k rows are tiny)
         cap = index.cfg.max_total_hits if post else args.k
         off = 0 if post else args.offset
-        if has_phrase:
+        if has_phrase or has_negative:
             from meilibridge_spark.operators.positions import (
                 search_with_phrases,
             )
@@ -371,7 +379,7 @@ def main() -> None:
         from meilibridge_spark.operators.relational import facet_distribution
 
         cap = index.cfg.max_total_hits
-        if has_phrase:
+        if has_phrase or has_negative:
             from meilibridge_spark.operators.positions import (
                 search_with_phrases as _swp,
             )

@@ -265,6 +265,78 @@ def parse_quoted(q: str) -> "tuple[str, list[str]]":
     return rest, phrases
 
 
+def parse_negative(q: str) -> "tuple[str, list[str], list[str]]":
+    """Split Meilisearch v1.8 negative-keyword syntax out of a query:
+    ``spark -slow -"hash join"`` -> (positive remainder, negative
+    words, negative phrases). A ``-`` counts as negation only at the
+    start of the string or after whitespace (``state-of-art`` is one
+    ordinary token); ``-"..."`` with an unbalanced trailing quote
+    negates to the end of the string (same recovery as
+    :func:`parse_quoted`)."""
+    import re
+
+    neg_phrases: "list[str]" = []
+
+    def _grab_phrase(m: "re.Match[str]") -> str:
+        p = m.group(1)
+        if p.strip():
+            neg_phrases.append(p)
+        return " "
+
+    rest = re.sub(r'(?:(?<=\s)|^)-"([^"]*)(?:"|$)', _grab_phrase, q)
+    neg_words: "list[str]" = []
+
+    def _grab_word(m: "re.Match[str]") -> str:
+        neg_words.append(m.group(1))
+        return " "
+
+    rest = re.sub(r"(?:(?<=\s)|^)-(\S+)", _grab_word, rest)
+    return rest, neg_words, neg_phrases
+
+
+def negative_exclusion_docs(
+    index: InvertedIndex,
+    neg_words: "list[str]",
+    neg_phrases: "list[str]",
+    positions: "DataFrame | None" = None,
+) -> "DataFrame | None":
+    """Exclusion doc set for negative keywords/phrases: docs containing
+    ANY negative word (postings of the tokenized word — no
+    synonym/typo expansion, Meilisearch excludes the literal keyword)
+    or ANY negative phrase (positional adjacency, like positive
+    phrases). Returns None when nothing excludes; cost is one pruned
+    posting scan over the negative terms plus one positional self-join
+    per negative phrase — proportional to the negated terms only."""
+    from meilibridge_spark.functions.tokenizer import tokenize
+    from meilibridge_spark.operators.search import candidate_rows
+
+    neg_terms = list(
+        dict.fromkeys(
+            t for w in neg_words for t in tokenize(w, index.cfg.analyzer)
+        )
+    )
+    out: "DataFrame | None" = None
+    if neg_terms:
+        out = candidate_rows(index, neg_terms).select("doc_id").distinct()
+    steps_list = [
+        s
+        for s in (phrase_steps(p, index.cfg.analyzer) for p in neg_phrases)
+        if s
+    ]
+    if steps_list:
+        if positions is None:
+            positions = index.positions
+        if positions is None:
+            raise ValueError(
+                "negative phrases need a positions table: pass one or "
+                "build the snapshot with with_positions=True"
+            )
+        for steps in steps_list:
+            cand = phrase_candidates(positions, steps)
+            out = cand if out is None else out.unionByName(cand).distinct()
+    return out
+
+
 def search_with_phrases(
     index: InvertedIndex,
     q: str,
@@ -286,7 +358,25 @@ def search_with_phrases(
     the constrained candidate set. A phrase consisting only of stop
     words constrains nothing (no anchor terms). Without quotes this is
     exactly ``search()``.
+
+    Negative keywords/phrases (Meilisearch v1.8): ``-word`` and
+    ``-"a phrase"`` segments are parsed out first
+    (:func:`parse_negative`) and become an exclusion doc set
+    (:func:`negative_exclusion_docs`) anti-joined inside ``search``;
+    an explicit ``exclude_docs`` kwarg composes by union.
     """
+    q, neg_words, neg_phrases = parse_negative(q)
+    if neg_words or neg_phrases:
+        neg = negative_exclusion_docs(
+            index, neg_words, neg_phrases, positions
+        )
+        if neg is not None:
+            prior = search_kw.pop("exclude_docs", None)
+            search_kw["exclude_docs"] = (
+                neg
+                if prior is None
+                else prior.select("doc_id").unionByName(neg).distinct()
+            )
     free, phrases = parse_quoted(q)
     all_steps = [phrase_steps(p, index.cfg.analyzer) for p in phrases]
     all_steps = [s for s in all_steps if s]

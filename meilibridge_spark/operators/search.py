@@ -153,11 +153,43 @@ def candidate_rows(index: InvertedIndex, q_terms: "list[str]") -> DataFrame:
 ATTR_RANK_SENTINEL = 1 << 20
 
 
+def freq_drop_ranks(
+    groups: "list[list[str]]", idf_map: "dict[str, float]"
+) -> "list[tuple[int, list[str]]]":
+    """matching_strategy='frequency' drop order (Meilisearch v1.8+
+    matchingStrategy=frequency: when a query can't be fully satisfied,
+    words are removed most-frequent-first instead of last-first).
+
+    Input: per-word alternate groups in query order
+    (query_word_groups); output: (drop_rank, indexed_alternates) with
+    drop_rank 1 = dropped first. Order: corpus document frequency DESC
+    — computed as idf ASC, idf being monotone-decreasing in df — with
+    ties dropped later-query-position-first (the 'last' flavor). A
+    group whose frequency is that of its most common indexed alternate
+    (min idf over alternates: a synonym/typo alternate stands in for
+    the word). A group with NO indexed alternate is treated as the most
+    frequent of all (pre-dropped, so it never blocks qualification) and
+    is omitted from the output.
+
+    A document's words level is then max(drop_rank) over groups it
+    does NOT satisfy (0 if it satisfies every group) == the number of
+    drops after which the doc matches every remaining word; level ASC
+    is the frequency-strategy words criterion."""
+    indexed: "list[tuple[float, int, list[str]]]" = []
+    for pos, g in enumerate(groups):
+        alts = [t for t in g if t in idf_map]
+        if alts:
+            indexed.append((min(idf_map[t] for t in alts), -pos, alts))
+    indexed.sort(key=lambda x: (x[0], x[1]))
+    return [(r, alts) for r, (_, _, alts) in enumerate(indexed, start=1)]
+
+
 def search(
     index: InvertedIndex,
     query: str,
     k: "int | None" = None,
     filter_docs: "DataFrame | None" = None,
+    exclude_docs: "DataFrame | None" = None,
     words_rank: "bool | None" = None,
     orig_terms: "list[str] | None" = None,
     typo_rank: bool = False,
@@ -190,6 +222,18 @@ def search(
     ``filter_docs``: optional DataFrame with a doc_id column restricting
     candidates (Q7 filterable attributes -> pre-score semi-join); BM25
     stats stay corpus-global (Meilisearch filter semantics).
+
+    ``exclude_docs``: optional DataFrame with a doc_id column REMOVED
+    from the candidates (anti-join) — the execution half of Meilisearch
+    v1.8 negative keywords/phrases; ``positions.search_with_phrases``
+    parses the ``-word`` / ``-"phrase"`` syntax and builds the set.
+
+    ``matching_strategy``: ``'last'`` (default, OR semantics ranked by
+    the words rule), ``'all'`` (every word group must match), or
+    ``'frequency'`` (Meilisearch v1.8 matchingStrategy=frequency: the
+    words criterion becomes the drop level under most-frequent-first
+    word removal — ``freq_drop_ranks`` — exposed as an output column
+    ``freq_level`` and sorted ascending ahead of every other rule).
 
     Ranking criteria — the reference's default ranking_rules list
     [words, typo, proximity, attribute, sort, exactness]
@@ -236,9 +280,10 @@ def search(
         from meilibridge_spark.operators.attrs import attrs_search_mask
 
         search_on_mask = attrs_search_mask(index.cfg, attributes_to_search_on)
-    if matching_strategy not in ("last", "all"):
+    if matching_strategy not in ("last", "all", "frequency"):
         raise ValueError(
-            f"matching_strategy must be 'last' or 'all', got {matching_strategy!r}"
+            "matching_strategy must be 'last', 'all' or 'frequency', "
+            f"got {matching_strategy!r}"
         )
     q_terms = parse_query(query, index.cfg.analyzer)
     idf_map = _idf_map(index, q_terms)
@@ -248,7 +293,7 @@ def search(
             [], "doc_id long, score double, matched_terms int"
         )
     groups: "list[list[str]] | None" = None
-    if matching_strategy == "all":
+    if matching_strategy in ("all", "frequency"):
         from meilibridge_spark.functions.tokenizer import query_word_groups
 
         groups = (
@@ -257,13 +302,21 @@ def search(
             else query_word_groups(query, index.cfg.analyzer)
         )
         present = set(idf_map)
-        groups = [[t for t in g if t in present] for g in groups]
-        if any(not g for g in groups):
-            # a word with no indexed alternates can never be satisfied
-            return spark.createDataFrame(
-                [], "doc_id long, score double, matched_terms int"
-            )
-        groups = groups or None
+        if matching_strategy == "all":
+            groups = [[t for t in g if t in present] for g in groups]
+            if any(not g for g in groups):
+                # a word with no indexed alternates can never be satisfied
+                return spark.createDataFrame(
+                    [], "doc_id long, score double, matched_terms int"
+                )
+            groups = groups or None
+        else:
+            # frequency: _wg{i} flag order == drop order, so the level
+            # of a doc is max(i+1) over its unsatisfied flags;
+            # no-alternate groups are pre-dropped (freq_drop_ranks)
+            groups = [
+                alts for _, alts in freq_drop_ranks(groups, idf_map)
+            ] or None
     rows = candidate_rows(index, list(idf_map))
     if filter_docs is not None:
         # no forced broadcast: a filterable-attribute set can be a large
@@ -271,6 +324,11 @@ def search(
         # joins) — AQE picks broadcast from the MEASURED filter size
         # when it is actually small
         rows = rows.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+    if exclude_docs is not None:
+        # negative keywords / phrases (Meilisearch v1.8 '-word'
+        # syntax, parsed by positions.search_with_phrases): documents
+        # in the exclusion set never become candidates
+        rows = rows.join(exclude_docs.select("doc_id"), "doc_id", "left_anti")
     if attribute_rank or search_on_mask is not None:
         # tf slot = attribute bitmask (operators/attrs.py); the Q11 rank
         # is its lowest set bit: bit_count((m & -m) - 1) == ctz(m)
@@ -342,10 +400,27 @@ def search(
             )
     agg = scored.groupBy("doc_id").agg(*aggs)
     if groups is not None:
-        cond = F.lit(True)
-        for i in range(len(groups)):
-            cond = cond & (F.col(f"_wg{i}") == 1)
-        agg = agg.filter(cond).drop(*[f"_wg{i}" for i in range(len(groups))])
+        wg_cols = [f"_wg{i}" for i in range(len(groups))]
+        if matching_strategy == "all":
+            cond = F.lit(True)
+            for i in range(len(groups)):
+                cond = cond & (F.col(f"_wg{i}") == 1)
+            agg = agg.filter(cond).drop(*wg_cols)
+        else:
+            # frequency: level = max drop_rank over unsatisfied groups
+            # (_wg{i} order == drop order, drop_rank = i+1)
+            lvl_terms = [
+                F.when(F.col(f"_wg{i}") == 1, F.lit(0)).otherwise(
+                    F.lit(i + 1)
+                )
+                for i in range(len(groups))
+            ]
+            lvl = (
+                F.greatest(*lvl_terms) if len(lvl_terms) > 1 else lvl_terms[0]
+            )
+            agg = agg.withColumn(
+                "freq_level", lvl.cast("int")
+            ).drop(*wg_cols)
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     # reference rule order words > typo > attribute > exactness composes
     # by inserting in REVERSE priority at the head
@@ -357,6 +432,9 @@ def search(
         order.insert(0, F.col("matched_exact").desc())
     if words_rank:
         order.insert(0, F.col("matched_terms").desc())
+    if matching_strategy == "frequency" and groups is not None:
+        # the frequency words criterion outranks every other rule
+        order.insert(0, F.col("freq_level").asc())
     ordered = agg.orderBy(*order)
     if offset:
         return ordered.offset(offset).limit(k)
@@ -483,6 +561,7 @@ def _score_shard(
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
+    freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -496,9 +575,18 @@ def _score_shard(
     array), ``exact_sets`` ('exactness': per-qkey exact-form term set,
     exact_form desc) — each local top-k rank-identical to the
     single-query contract (tested). Criteria that are off cost
-    nothing."""
+    nothing.
+
+    ``freq_groups`` (matching_strategy='frequency'): per qkey the
+    query's word groups as (drop_rank, alternates) in df-descending
+    drop order; a doc's level = max drop_rank over groups it does NOT
+    satisfy (0 if it satisfies all) — the analog of Meilisearch
+    removing words most-frequent-first. level asc is the PRIMARY sort
+    key, ahead of every other criterion."""
     out_q, out_d, out_s = [], [], []
     extras: "dict[str, list]" = {}
+    if freq_groups is not None:
+        extras["freq_level"] = []
     if track_matched:
         extras["matched"] = []
     if attr_rank:
@@ -547,11 +635,31 @@ def _score_shard(
                         b = best[qi]
                         b[a[0]] = np.minimum(b[a[0]], a[1])
                 touched[qi] = True
-        extras_only_score = counts is None and best is None and exc is None
+        extras_only_score = (
+            counts is None
+            and best is None
+            and exc is None
+            and freq_groups is None
+        )
         for qi, qkey in enumerate(chunk):
             if not touched[qi]:
                 continue
             row = scores[qi]
+            lvl = None
+            if freq_groups is not None:
+                # matching_strategy='frequency': level = max drop_rank
+                # over word groups the doc does NOT satisfy (dense
+                # per-group presence pass, same shape as 'all' below)
+                lvl = np.zeros(shard_range, dtype=np.int32)
+                for drop_rank, g in freq_groups[qkey]:
+                    pres = np.zeros(shard_range, dtype=bool)
+                    for t in g:
+                        hit = per_term.get(t)
+                        if hit is not None and hit[0].size:
+                            pres[hit[0]] = True
+                    np.maximum(
+                        lvl, np.where(pres, 0, drop_rank), out=lvl
+                    )
             if require_groups is not None:
                 # matching_strategy='all': zero out docs missing any
                 # word group BEFORE local top-k (a shard-local doc
@@ -577,8 +685,8 @@ def _score_shard(
                 pos, vals = pos[order], vals[order]
             else:
                 # lexsort: LAST key is primary. Priority (first to
-                # last): matched desc, best_attr asc, exact_form desc,
-                # score desc, doc_id asc.
+                # last): freq_level asc, matched desc, best_attr asc,
+                # exact_form desc, score desc, doc_id asc.
                 keys: "list[np.ndarray]" = [pos, -vals]
                 if exc is not None:
                     keys.append(-exc[qi][pos])
@@ -586,7 +694,11 @@ def _score_shard(
                     keys.append(best[qi][pos])
                 if counts is not None:
                     keys.append(-counts[qi][pos])
+                if lvl is not None:
+                    keys.append(lvl[pos])
                 order = np.lexsort(tuple(keys))[:k]
+                if lvl is not None:
+                    extras["freq_level"].append(lvl[pos][order])
                 if counts is not None:
                     extras["matched"].append(counts[qi][pos][order])
                 if best is not None:
@@ -624,6 +736,7 @@ def _make_shard_scorer(
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
+    freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
@@ -676,7 +789,7 @@ def _make_shard_scorer(
             out_q, out_d, out_s, extras = _score_shard(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
                 track_matched, per_attr if attr_rank else None, attr_rank,
-                exact_sets, require_groups,
+                exact_sets, require_groups, freq_groups,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -697,6 +810,7 @@ def _make_filtered_shard_scorer(
     attr_rank: bool = False,
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
+    freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
@@ -712,6 +826,8 @@ def _make_filtered_shard_scorer(
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
     idf_of = {t: i for terms in term_plan.values() for t, i in terms}
     empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
+    if freq_groups is not None:
+        empty_cols["freq_level"] = []
     if track_matched:
         empty_cols["matched"] = []
     if attr_rank:
@@ -750,7 +866,7 @@ def _make_filtered_shard_scorer(
         out_q, out_d, out_s, extras = _score_shard(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
             track_matched, per_attr if attr_rank else None, attr_rank,
-            exact_sets, require_groups,
+            exact_sets, require_groups, freq_groups,
         )
         if not out_q:
             return empty
@@ -811,7 +927,13 @@ def search_many(
     scatter-gather stays exact. A query containing a word with no
     indexed alternates returns zero hits (dropped from the plan before
     the job). Rank-identical to the single-path ``search(...,
-    matching_strategy='all')`` contract (tested).
+    matching_strategy='all')`` contract (tested). ``"frequency"`` =
+    Meilisearch v1.8 matchingStrategy=frequency: the words criterion
+    becomes the drop level under most-frequent-first word removal
+    (``freq_drop_ranks``; output column ``freq_level``, level asc
+    ahead of every other rule, computed shard-locally from the same
+    word-group presence passes as 'all') — rank-identical to the
+    single path (tested).
 
     ``offset`` (Q13 pagination): per query, skip the first ``offset``
     ranked hits and return the next ``k``; ``rank`` stays the ABSOLUTE
@@ -862,9 +984,9 @@ def search_many(
     # rank filter at the very end (rank stays the ABSOLUTE position,
     # Meilisearch offset/limit semantics)
     k_all = k + offset
-    if matching_strategy not in ("last", "all"):
+    if matching_strategy not in ("last", "all", "frequency"):
         raise ValueError(
-            "matching_strategy must be 'last' or 'all', "
+            "matching_strategy must be 'last', 'all' or 'frequency', "
             f"got {matching_strategy!r}"
         )
     if words_rank is None:
@@ -911,7 +1033,7 @@ def search_many(
     key_terms: dict[str, tuple[str, ...]] = {}
     exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
     group_sets: "dict[str, list[list[str]]]" = {}
-    if matching_strategy == "all":
+    if matching_strategy in ("all", "frequency"):
         from meilibridge_spark.functions.tokenizer import query_word_groups
     for qid, qtext in queries:
         terms = list(dict.fromkeys(parsed[qid]))
@@ -927,13 +1049,16 @@ def search_many(
             # forms must not dedup onto one key
             key += "\x01" + ",".join(sorted(exact_of[qid]))
         gq = None
-        if matching_strategy == "all":
+        if matching_strategy in ("all", "frequency"):
             # same term set but different word-group structure must not
-            # dedup either (the groups drive the 'all' constraint)
+            # dedup either (the groups drive the 'all' constraint and
+            # the 'frequency' drop order — which also depends on group
+            # POSITION for df ties, preserved by the in-order dump)
             gq = query_word_groups(
                 qtext, index.cfg.analyzer, expansions=exp_map or None
             )
-            key += "\x02" + "|".join(",".join(sorted(g)) for g in gq)
+            sep = "\x02" if matching_strategy == "all" else "\x03"
+            key += sep + "|".join(",".join(sorted(g)) for g in gq)
         # key-indexed side tables register only once the dedup key is
         # FULLY built — registering exact_sets before the '\x02' group
         # suffix made exactness silently inert under
@@ -967,6 +1092,14 @@ def search_many(
         plan = [
             (key, terms) for key, terms in plan if key not in unsatisfiable
         ]
+    freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None
+    if matching_strategy == "frequency":
+        # per query: (drop_rank, indexed alternates) in df-desc drop
+        # order; unindexed groups are pre-dropped inside freq_drop_ranks
+        freq_groups = {
+            key: freq_drop_ranks(gq, idf_map)
+            for key, gq in group_sets.items()
+        }
     # fetch blocks only for terms that appear in SURVIVING plan entries:
     # idf_map may hold terms belonging solely to queries dropped as
     # unsatisfiable under matching_strategy='all' — fetching those
@@ -976,6 +1109,9 @@ def search_many(
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
     # rule order words > (typo: single-path only) > attribute > exactness
     rank_cols: "list[tuple[str, str, bool]]" = []
+    if freq_groups is not None:
+        # the frequency words criterion outranks every other rule
+        rank_cols.append(("freq_level", "freq_level", True))
     if words_rank:
         rank_cols.append(("matched", "matched_terms", False))
     if attribute_rank:
@@ -998,6 +1134,7 @@ def search_many(
         attr_rank=attribute_rank,
         exact_sets=exact_sets,
         require_groups=require_groups,
+        freq_groups=freq_groups,
         search_on_mask=search_on_mask,
     )
 

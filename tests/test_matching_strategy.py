@@ -90,7 +90,7 @@ def test_all_unsatisfiable_word(built):
 
 def test_all_validation(built):
     with pytest.raises(ValueError, match="matching_strategy"):
-        search(built, "spark", matching_strategy="frequency")
+        search(built, "spark", matching_strategy="first")
     with pytest.raises(ValueError, match="matching_strategy"):
         search_many(built, [("q", "spark")], k=5, matching_strategy="bogus")
 

@@ -1,0 +1,122 @@
+"""Negative keywords/phrases (Meilisearch v1.8 search syntax):
+``-word`` excludes every document containing the literal word,
+``-"a phrase"`` excludes documents containing the contiguous phrase.
+Parsed by positions.parse_negative, executed as an exclusion doc set
+anti-joined inside search (exclude_docs). Checks the parser (mid-word
+hyphens, unbalanced quotes), word and phrase exclusion vs brute force,
+composition with positive phrases and filters, and the
+stop-word/unknown-word no-ops. Documented deviation: a negative-only
+query has an empty positive part and returns no hits (the engine has
+no all-documents placeholder search)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    IndexConfig,
+)
+from meilibridge_spark.operators.positions import (
+    build_positions,
+    negative_exclusion_docs,
+    parse_negative,
+    search_with_phrases,
+)
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_index
+
+ROWS = [
+    (0, "the spark shuffle join planning", "en"),
+    (1, "the spark only spark here", "en"),
+    (2, "the join order statistics", "de"),
+    (3, "spark join rare gem", "de"),
+    (4, "rare the gem join", "en"),
+    (5, "plain text nothing relevant", "en"),
+]
+SCHEMA = "doc_id long, text string, lang string"
+
+CFG = IndexConfig(
+    index_name="neg-kw",
+    primary_key=("doc_id",),
+    searchable_attributes=("text",),
+    filterable_attributes=("lang",),
+    analyzer=AnalyzerConfig.make(
+        token_pattern=ASCII_TOKEN_PATTERN, stop_words=("the",)
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    idx = build_index(df, CFG, doc_id_col="doc_id")
+    idx.positions = build_positions(df, CFG)
+    idx.postings = idx.postings.persist()
+    idx.postings.count()
+    return idx
+
+
+def test_parse_negative():
+    rest, words, phrases = parse_negative('spark -slow -"hash join" x')
+    assert rest.split() == ["spark", "x"]
+    assert words == ["slow"] and phrases == ["hash join"]
+    # '-' only negates after whitespace / at start: mid-word hyphens stay
+    rest, words, phrases = parse_negative("state-of-art -bad")
+    assert rest.split() == ["state-of-art"]
+    assert words == ["bad"] and phrases == []
+    # leading negative + unbalanced trailing quote opens to end-of-string
+    rest, words, phrases = parse_negative('-x spark -"rare gem')
+    assert rest.split() == ["spark"]
+    assert words == ["x"] and phrases == ["rare gem"]
+    # no negatives -> untouched
+    assert parse_negative('a "b c" d') == ('a "b c" d', [], [])
+
+
+def test_negative_word_excludes(built):
+    base = {r["doc_id"] for r in search(built, "join", k=10).collect()}
+    assert base == {0, 2, 3, 4}
+    hits = search_with_phrases(built, "join -rare", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 2}
+    # scores equal the plain search's scores (exclusion, not re-ranking)
+    plain = {
+        r["doc_id"]: r["score"] for r in search(built, "join", k=10).collect()
+    }
+    for r in hits:
+        assert r["score"] == pytest.approx(plain[r["doc_id"]])
+
+
+def test_negative_phrase_adjacency(built):
+    # doc 3 has contiguous 'rare gem'; doc 4 has 'rare the gem' (the
+    # stop word keeps its position slot, so the phrase does NOT match)
+    hits = search_with_phrases(built, 'join -"rare gem"', k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 2, 4}
+
+
+def test_negative_composes_with_positive_phrase_and_filter(built, spark):
+    filt = built.docs.filter(F.col("lang") == "en").select("doc_id")
+    hits = search_with_phrases(
+        built, '"spark shuffle" join -statistics', k=10, filter_docs=filt
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+
+
+def test_negative_stopword_and_unknown_are_noops(built):
+    # 'the' is a stop word (tokenizes to nothing), 'zzz' is unindexed
+    hits = search_with_phrases(built, "join -the -zzz", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 2, 3, 4}
+    assert (
+        negative_exclusion_docs(built, ["the"], []) is None
+    )
+
+
+def test_negative_only_query_returns_empty(built):
+    assert search_with_phrases(built, "-rare", k=10).collect() == []
+
+
+def test_explicit_exclude_docs_composes(built, spark):
+    extra = spark.createDataFrame([(0,)], "doc_id long")
+    hits = search_with_phrases(
+        built, "join -rare", k=10, exclude_docs=extra
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {2}
