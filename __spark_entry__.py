@@ -509,7 +509,6 @@ def _sql_matching_frequency(terms: "list[str]", k: int) -> str:
     qvals = ", ".join(
         f"('{t}', {i})" for i, t in enumerate(terms)
     )
-    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
     return (
         _sql_scores(terms)
         + f""",

@@ -242,6 +242,18 @@ def main() -> None:
                 for i, line in enumerate(f)
                 if line.strip()
             ]
+        # '-word' negatives are handled natively by search_many (per
+        # query, any strategy); '-"..."' negative phrases need the
+        # positional single-query path and would raise mid-job
+        bad = next(
+            (t for _, t in batch if re.search(r'(?:^|\s)-"', t)), None
+        )
+        if bad is not None:
+            ap.error(
+                f'negative phrases (-"...") are not supported in '
+                f"--queries-file batches (offending query: {bad!r}); "
+                "run them singly (they need the positional path)"
+            )
         filt = make_filter()
         if filt is None:
             prepare_serving(index)  # shuffle-free only helps unfiltered
@@ -262,7 +274,17 @@ def main() -> None:
     query_text = args.query
     if args.matching_strategy in ("all", "frequency"):
         # the batch path owns the word-group machinery (synonyms + typo
-        # alternates satisfying their word); singles ride it
+        # alternates satisfying their word); singles ride it. '-word'
+        # negatives are native to search_many; quoted (and negative)
+        # phrases need the positional path, which only composes with
+        # the default strategy — error instead of silently dropping
+        # the adjacency constraint (or inverting the negation).
+        if '"' in query_text:
+            ap.error(
+                "quoted/negative phrases do not compose with "
+                "--matching-strategy all|frequency (phrases need the "
+                "positional single-query path); use the default strategy"
+            )
         rows = search_many(
             index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
             typo=args.typo, matching_strategy=args.matching_strategy,

@@ -272,26 +272,52 @@ def parse_negative(q: str) -> "tuple[str, list[str], list[str]]":
     start of the string or after whitespace (``state-of-art`` is one
     ordinary token); ``-"..."`` with an unbalanced trailing quote
     negates to the end of the string (same recovery as
-    :func:`parse_quoted`)."""
-    import re
+    :func:`parse_quoted`).
 
-    neg_phrases: "list[str]" = []
-
-    def _grab_phrase(m: "re.Match[str]") -> str:
-        p = m.group(1)
-        if p.strip():
-            neg_phrases.append(p)
-        return " "
-
-    rest = re.sub(r'(?:(?<=\s)|^)-"([^"]*)(?:"|$)', _grab_phrase, q)
+    Quote-aware: the scanner walks the string left to right so a dash
+    INSIDE a positive quoted segment (``join "spark -shuffle"``) stays
+    part of the phrase — a regex pass with no quote state grabbed it as
+    a negative keyword, inverting the query's semantics (docs
+    containing 'shuffle' were excluded instead of required)."""
     neg_words: "list[str]" = []
-
-    def _grab_word(m: "re.Match[str]") -> str:
-        neg_words.append(m.group(1))
-        return " "
-
-    rest = re.sub(r"(?:(?<=\s)|^)-(\S+)", _grab_word, rest)
-    return rest, neg_words, neg_phrases
+    neg_phrases: "list[str]" = []
+    out: "list[str]" = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        at_boundary = i == 0 or q[i - 1].isspace()
+        if ch == '"':
+            # positive quoted segment: copy verbatim (unbalanced quote
+            # runs to end-of-string, parse_quoted applies the same
+            # recovery later); dashes inside never negate
+            j = q.find('"', i + 1)
+            end = n if j == -1 else j + 1
+            out.append(q[i:end])
+            i = end
+        elif ch == "-" and at_boundary and i + 1 < n and q[i + 1] == '"':
+            j = q.find('"', i + 2)
+            end = n if j == -1 else j
+            p = q[i + 2 : end]
+            if p.strip():
+                neg_phrases.append(p)
+            out.append(" ")
+            i = end if j == -1 else j + 1
+        elif (
+            ch == "-"
+            and at_boundary
+            and i + 1 < n
+            and not q[i + 1].isspace()
+        ):
+            j = i + 1
+            while j < n and not q[j].isspace() and q[j] != '"':
+                j += 1
+            neg_words.append(q[i + 1 : j])
+            out.append(" ")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), neg_words, neg_phrases
 
 
 def negative_exclusion_docs(

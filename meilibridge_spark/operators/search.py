@@ -562,11 +562,19 @@ def _score_shard(
     exact_sets: "dict[str, frozenset] | None" = None,
     require_groups: "dict[str, list[list[str]]] | None" = None,
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
+    forbid_terms: "dict[str, list[str]] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
     at chunk*shard_range*8 bytes (64 * 2^14 * 8 = 8 MiB at the default
     cfg.shard_range of 2^14).
+
+    ``forbid_terms`` (negative keywords, Meilisearch v1.8 ``-word``):
+    per qkey the literal terms whose presence EXCLUDES a doc — banned
+    docs are zeroed before the local top-k (a shard-local doc filter,
+    like 'all' above), so the scatter-gather stays exact. The negated
+    terms' postings ride the same block exchange with idf folded to 0
+    (they never contribute score, only the ban mask).
 
     Ordering: (score desc, doc_id asc); the optional Q11 ranking
     criteria compose in reference rule order ahead of the score —
@@ -645,6 +653,14 @@ def _score_shard(
             if not touched[qi]:
                 continue
             row = scores[qi]
+            if forbid_terms is not None:
+                # negative keywords: a doc containing ANY negated term
+                # never becomes a candidate (row=0 drops it from
+                # flatnonzero below, in every strategy's path)
+                for t in forbid_terms.get(qkey, ()):
+                    hit = per_term.get(t)
+                    if hit is not None and hit[0].size:
+                        row[hit[0]] = 0.0
             lvl = None
             if freq_groups is not None:
                 # matching_strategy='frequency': level = max drop_rank
@@ -738,6 +754,7 @@ def _make_shard_scorer(
     require_groups: "dict[str, list[list[str]]] | None" = None,
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
+    forbid_terms: "dict[str, list[str]] | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -757,6 +774,13 @@ def _make_shard_scorer(
     """
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
     idf_of = {t: i for terms in term_plan.values() for t, i in terms}
+    if forbid_terms:
+        # negated terms ride the exchange for the ban mask only: fold
+        # idf 0 so their decoded impacts are 0 (and the fold never
+        # KeyErrors on a term no surviving positive plan uses)
+        for ts in forbid_terms.values():
+            for t in ts:
+                idf_of.setdefault(t, 0.0)
 
     def scorer(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         # buffer the partition's (compressed) blocks grouped by shard
@@ -790,6 +814,7 @@ def _make_shard_scorer(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
                 track_matched, per_attr if attr_rank else None, attr_rank,
                 exact_sets, require_groups, freq_groups,
+                forbid_terms=forbid_terms,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -812,6 +837,7 @@ def _make_filtered_shard_scorer(
     require_groups: "dict[str, list[list[str]]] | None" = None,
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
+    forbid_terms: "dict[str, list[str]] | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered batch search
     (Q7 semantics in the batch path): key = doc-shard; left = the
@@ -825,6 +851,11 @@ def _make_filtered_shard_scorer(
     the mask later drops are harmless: their scores stay 0)."""
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
     idf_of = {t: i for terms in term_plan.values() for t, i in terms}
+    if forbid_terms:
+        # see _make_shard_scorer: ban-mask-only terms fold idf 0
+        for ts in forbid_terms.values():
+            for t in ts:
+                idf_of.setdefault(t, 0.0)
     empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
     if freq_groups is not None:
         empty_cols["freq_level"] = []
@@ -867,6 +898,7 @@ def _make_filtered_shard_scorer(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
             track_matched, per_attr if attr_rank else None, attr_rank,
             exact_sets, require_groups, freq_groups,
+            forbid_terms=forbid_terms,
         )
         if not out_q:
             return empty
@@ -940,6 +972,17 @@ def search_many(
     position (offset+1..offset+k). Shards rank their local top
     offset+k, the skip is a final rank filter.
 
+    Negative keywords (Meilisearch v1.8 ``-word`` query syntax) are
+    parsed out of each query's text: docs containing a negated word
+    never become candidates for THAT query. The ban is per query,
+    applied shard-locally from the negated terms' own postings riding
+    the normal block exchange — no doc-granular exclusion set is built
+    or shuffled, and it composes with every strategy/criterion/filter
+    here. Negated words stay literal (no synonym/typo expansion, same
+    contract as positions.negative_exclusion_docs); negative PHRASES
+    (``-"..."``) raise — they need positional adjacency, which the
+    single-query positions.search_with_phrases path owns.
+
     ``attributes_to_search_on`` (Meilisearch's attributesToSearchOn):
     restrict matching for EVERY query in the batch to terms occurring
     in the named searchable attributes. The attr-mask blocks ride the
@@ -1008,6 +1051,43 @@ def search_many(
         search_on_mask = attrs_search_mask(index.cfg, attributes_to_search_on)
     need_attr_blocks = attribute_rank or search_on_mask is not None
     spark = index.postings.sparkSession
+    # Meilisearch v1.8 negative keywords are query SYNTAX: strip
+    # '-word' segments per query BEFORE tokenization — the tokenizer
+    # has no dash concept, so raw '-table' would become the REQUIRED
+    # positive term 'table', the exact inverse of exclusion. Negated
+    # words stay literal (no synonym/typo expansion, matching
+    # negative_exclusion_docs) and ban shard-locally through the same
+    # block exchange (forbid_terms in the scorer). Negative PHRASES
+    # need positional adjacency and doc-granular candidate sets: the
+    # single-query path (positions.search_with_phrases) owns those.
+    neg_of: "dict[str, list[str]]" = {}
+    if any("-" in text for _, text in queries):
+        from meilibridge_spark.functions.tokenizer import tokenize
+        from meilibridge_spark.operators.positions import parse_negative
+
+        stripped: "list[tuple[str, str]]" = []
+        for qid, text in queries:
+            pos_text, neg_words, neg_phrases = parse_negative(text)
+            if neg_phrases:
+                raise ValueError(
+                    'negative phrases (-"...") are not supported in '
+                    "batched search_many — route the query through "
+                    "positions.search_with_phrases"
+                )
+            if neg_words:
+                nts = sorted(
+                    {
+                        t
+                        for w in neg_words
+                        for t in tokenize(w, index.cfg.analyzer)
+                    }
+                )
+                if nts:
+                    neg_of[qid] = nts
+                stripped.append((qid, pos_text))
+            else:
+                stripped.append((qid, text))
+        queries = stripped
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
     # out at the end — contributions are query-independent
@@ -1031,6 +1111,7 @@ def search_many(
                 exact_of[qid] = frozenset(tokenize(text, index.cfg.analyzer))
     key_of: dict[str, str] = {}
     key_terms: dict[str, tuple[str, ...]] = {}
+    forbid_of: "dict[str, list[str]]" = {}
     exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
     group_sets: "dict[str, list[list[str]]]" = {}
     if matching_strategy in ("all", "frequency"):
@@ -1059,6 +1140,10 @@ def search_many(
             )
             sep = "\x02" if matching_strategy == "all" else "\x03"
             key += sep + "|".join(",".join(sorted(g)) for g in gq)
+        nts = neg_of.get(qid)
+        if nts:
+            # same positives but different negatives must not dedup
+            key += "\x04" + ",".join(nts)
         # key-indexed side tables register only once the dedup key is
         # FULLY built — registering exact_sets before the '\x02' group
         # suffix made exactness silently inert under
@@ -1067,6 +1152,8 @@ def search_many(
             exact_sets[key] = exact_of[qid]
         if gq is not None:
             group_sets[key] = gq
+        if nts:
+            forbid_of[key] = nts
         key_of[qid] = key
         key_terms[key] = terms
     all_terms = sorted({t for ts in key_terms.values() for t in ts})
@@ -1104,8 +1191,20 @@ def search_many(
     # idf_map may hold terms belonging solely to queries dropped as
     # unsatisfiable under matching_strategy='all' — fetching those
     # blocks both wastes I/O and KeyErrors the decode-time idf fold
-    # (idf_of is built from the pruned plan)
-    fetch_terms = sorted({t for _, terms in plan for t, _ in terms})
+    # (idf_of is built from the pruned plan). Surviving queries'
+    # NEGATED terms must ride along too (ban mask, idf folded to 0).
+    live_keys = {key for key, _ in plan}
+    forbid_live = {
+        key: ts for key, ts in forbid_of.items() if key in live_keys
+    } or None
+    fetch_terms = sorted(
+        {t for _, terms in plan for t, _ in terms}
+        | {
+            t
+            for ts in (forbid_live or {}).values()
+            for t in ts
+        }
+    )
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
     # rule order words > (typo: single-path only) > attribute > exactness
     rank_cols: "list[tuple[str, str, bool]]" = []
@@ -1136,6 +1235,7 @@ def search_many(
         require_groups=require_groups,
         freq_groups=freq_groups,
         search_on_mask=search_on_mask,
+        forbid_terms=forbid_live,
     )
 
     if filter_docs is not None:

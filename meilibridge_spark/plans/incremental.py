@@ -307,6 +307,12 @@ def apply_cdc(
         "terms": terms_delta,
         "touched_keys": keys,
         "docs": upserts.select(src_cols),
+        # the snapshot these delta frames were COMPUTED against: the
+        # delta's parquet plans read that snapshot's files, so
+        # save_snapshot_delta must refuse to attach it to any other
+        # parent (a concurrent commit in between would otherwise be
+        # silently half-overwritten at fold time)
+        "_base_snapshot_id": index.snapshot_id,
     }
     if positions_new is not None:
         delta["touched_doc_ids"] = touched_ids

@@ -311,24 +311,54 @@ def save_snapshot_delta(
             "a base (build_and_save / save_snapshot first)"
         )
     parent_id = manifest["current"]
+    base_id = index.delta.get("_base_snapshot_id")
+    if base_id is not None and base_id != parent_id:
+        # the delta's plans read the base snapshot's parquet files —
+        # folding them over a DIFFERENT parent (committed concurrently
+        # by another stream or a manual save) would silently lose that
+        # parent's changes to the affected terms while keeping the
+        # rest, a mixed state no later validation can catch
+        raise ValueError(
+            f"delta was computed against snapshot {base_id} but the "
+            f"manifest's current snapshot is {parent_id} (a concurrent "
+            "commit interleaved): reload the current snapshot and "
+            "re-apply the CDC batch"
+        )
     snap_id = parent_id + 1
     snap = f"snap-{snap_id:06d}"
     base = os.path.join(index_dir, snap)
     t0 = time.time()
-    tables = {}
-    for key, name, sort_cols in _DELTA_TABLES:
-        df = index.delta.get(key)
-        if df is None:
-            continue
-        out = df
-        if sort_cols:
-            out = out.repartitionByRange(
-                4, sort_cols[0]
-            ).sortWithinPartitions(*sort_cols)
-        else:
-            out = out.coalesce(4)
-        out.write.mode("overwrite").parquet(os.path.join(base, name))
-        tables[name] = f"{snap}/{name}"
+    # the postings delta is the expensive cogrouped decode-merge-reencode
+    # plan, and BOTH the terms delta (term_stats over it) and the typo
+    # delta (built from terms_new = (terms minus affected) + terms_delta)
+    # recompute it from scratch if nothing is pinned — the streaming
+    # micro-batch commit paid the merge ~3x. Pin it (and the cheap
+    # term stats) for the duration of the commit.
+    pinned = [
+        df
+        for df in (index.delta.get("postings"), index.delta.get("terms"))
+        if df is not None
+    ]
+    for df in pinned:
+        df.persist()
+    try:
+        tables = {}
+        for key, name, sort_cols in _DELTA_TABLES:
+            df = index.delta.get(key)
+            if df is None:
+                continue
+            out = df
+            if sort_cols:
+                out = out.repartitionByRange(
+                    4, sort_cols[0]
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                out = out.coalesce(4)
+            out.write.mode("overwrite").parquet(os.path.join(base, name))
+            tables[name] = f"{snap}/{name}"
+    finally:
+        for df in pinned:
+            df.unpersist()
     parent_entry = next(
         s for s in manifest["snapshots"] if s["snapshot_id"] == parent_id
     )

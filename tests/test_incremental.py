@@ -484,3 +484,20 @@ def test_streaming_delta_commits(spark, tmp_index_dir, tmp_path):
     assert len(a) == len(b) > 0
     for col in a.columns:
         assert a[col].tolist() == b[col].tolist(), f"postings {col}"
+
+
+def test_delta_commit_refuses_stale_base(spark, tmp_index_dir):
+    """A delta's DataFrames read the parquet of the snapshot it was
+    computed against; attaching it to a parent committed in between
+    (second stream / manual save) would silently half-overwrite that
+    parent's changes at fold time. save_snapshot_delta must refuse."""
+    from meilibridge_spark.sources.tables import save_snapshot_delta
+
+    src = generate_transcripts(spark, n_convs=15, seed=21).persist()
+    cur = build_and_save(spark, src, CFG, tmp_index_dir)  # snap 1
+    d1 = apply_cdc(cur, generate_cdc_batch(spark, src, seed=3))
+    d2 = apply_cdc(cur, generate_cdc_batch(spark, src, seed=5))
+    assert d1.delta["_base_snapshot_id"] == cur.snapshot_id
+    save_snapshot_delta(d1, tmp_index_dir)  # current -> 2
+    with pytest.raises(ValueError, match="concurrent commit"):
+        save_snapshot_delta(d2, tmp_index_dir)

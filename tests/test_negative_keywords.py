@@ -120,3 +120,115 @@ def test_explicit_exclude_docs_composes(built, spark):
         built, "join -rare", k=10, exclude_docs=extra
     ).collect()
     assert {r["doc_id"] for r in hits} == {2}
+
+
+def test_parse_negative_is_quote_aware():
+    # a dash INSIDE a positive quoted segment is part of the phrase,
+    # not a negation (the old regex pass grabbed 'shuffle"' as a
+    # negative word, inverting the query)
+    rest, words, phrases = parse_negative('join "spark -shuffle"')
+    assert rest == 'join "spark -shuffle"'
+    assert words == [] and phrases == []
+    # mixed: quoted segments pass through, outside dashes still negate
+    rest, words, phrases = parse_negative('"a -b" -c "d -e')
+    assert words == ["c"] and phrases == []
+    assert '"a -b"' in rest and '"d -e' in rest
+
+
+def test_dash_inside_positive_phrase_not_negated(built):
+    # only doc 0 has 'spark shuffle' contiguous; under the old parser
+    # this query EXCLUDED every shuffle doc instead of requiring the
+    # phrase (near-opposite semantics)
+    hits = search_with_phrases(built, 'join "spark -shuffle"', k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0}
+
+
+# ---- batched negatives: search_many parses '-word' natively ----
+
+
+def test_batch_negative_matches_single_path(built):
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [("a", "join -rare"), ("b", "join"), ("c", "spark -join")],
+        k=10,
+    ).collect()
+    hits = {}
+    for r in rows:
+        hits.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert set(hits["a"]) == {0, 2}
+    assert set(hits["b"]) == {0, 2, 3, 4}
+    assert set(hits["c"]) == {1}
+    # exclusion, not re-ranking: surviving scores equal the plain ones
+    for d, s in hits["a"].items():
+        assert s == pytest.approx(hits["b"][d])
+    # and identical to the single positional path
+    single = {
+        r["doc_id"]: r["score"]
+        for r in search_with_phrases(built, "join -rare", k=10).collect()
+    }
+    assert hits["a"] == pytest.approx(single)
+
+
+def test_batch_negative_dedup_keys_stay_separate(built):
+    # same positive term set, different negatives: must not dedup onto
+    # one plan entry
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [("a", "join -rare"), ("b", "join -statistics"), ("c", "join")],
+        k=10,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q["a"] == {0, 2}
+    assert by_q["b"] == {0, 3, 4}
+    assert by_q["c"] == {0, 2, 3, 4}
+
+
+def test_batch_negative_composes_with_strategies(built):
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built, [("a", "spark join -rare")], k=10, matching_strategy="all"
+    ).collect()
+    # spark AND join = {0, 3}; minus docs containing 'rare' ({3, 4})
+    assert {r["doc_id"] for r in rows} == {0}
+    rows = search_many(
+        built, [("a", "join -rare")], k=10, matching_strategy="frequency"
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {0, 2}
+
+
+def test_batch_negative_composes_with_filter(built):
+    from meilibridge_spark.operators.search import search_many
+
+    filt = built.docs.filter(F.col("lang") == "en").select("doc_id")
+    rows = search_many(
+        built, [("a", "join -rare")], k=10, filter_docs=filt
+    ).collect()
+    # join∩en = {0, 4}; minus rare docs ({3, 4}) -> {0}
+    assert {r["doc_id"] for r in rows} == {0}
+
+
+def test_batch_negative_phrase_raises(built):
+    from meilibridge_spark.operators.search import search_many
+
+    with pytest.raises(ValueError, match="negative phrases"):
+        search_many(built, [("a", 'join -"rare gem"')], k=10)
+
+
+def test_batch_negative_stays_literal_under_typo(built):
+    # positives typo-expand, negatives never do: '-rare' excludes only
+    # literal 'rare' docs even with typo=True
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built, [("a", "sparkk -join")], k=10, typo=True
+    ).collect()
+    # 'sparkk' expands to 'spark' ({0, 1, 3}); '-join' excludes the
+    # literal join docs ({0, 2, 3, 4}) -> {1}
+    assert {r["doc_id"] for r in rows} == {1}
