@@ -566,6 +566,157 @@ ORDER BY s.s DESC, s.doc_id LIMIT {k}"""
     )
 
 
+# deterministic synthetic coordinates derived from doc_id — the
+# testdata tables carry no geo columns (TESTDATA.md), so the geosearch
+# entries derive (lat, lng) with integer arithmetic that is exact and
+# identical on both the Spark and DuckDB sides
+_GEO_LAT_SQL = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+_GEO_LNG_SQL = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _geo_docs(idx):
+    from pyspark.sql import functions as F
+
+    return idx.docs.withColumn(
+        "lat", (F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0
+    ).withColumn("lng", (F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+
+
+def _sql_hav(lat: float, lng: float) -> str:
+    """DuckDB haversine (meters), term-for-term the engine's formula
+    (functions/geo.py haversine_meters) over the geod CTE columns."""
+    return (
+        f"2 * 6371000 * asin(sqrt("
+        f"pow(sin(radians(g.lat - ({lat})) / 2), 2) "
+        f"+ cos(radians({lat})) * cos(radians(g.lat)) "
+        f"* pow(sin(radians(g.lng - ({lng})) / 2), 2)))"
+    )
+
+
+_SQL_GEOD = (
+    f", geod AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, "
+    f"{_GEO_LNG_SQL} AS lng FROM documents)\n"
+)
+
+
+def _q_geo_radius(
+    terms_text: str, k: int, lat: float, lng: float, meters: float
+):
+    """Meilisearch geosearch filter (_geoRadius(lat, lng, meters),
+    functions/geo.py) composed with BM25 search: the filter compiles to
+    a sargable lat/lng window + exact haversine and rides the normal
+    filter_docs semi-join; BM25 stats stay corpus-global."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import parse_filter
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        flt = parse_filter(
+            f"_geoRadius({lat}, {lng}, {meters})", (), geo=("lat", "lng")
+        )
+        allowed = _geo_docs(idx).filter(flt).select("doc_id")
+        hits = search(idx, terms_text, k, filter_docs=allowed)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _sql_geo_radius(
+    terms: "list[str]", k: int, lat: float, lng: float, meters: float
+) -> str:
+    return (
+        _sql_scores(terms)
+        + _SQL_GEOD
+        + f"""SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score
+FROM scores s JOIN geod g USING (doc_id)
+WHERE {_sql_hav(lat, lng)} <= {meters}
+ORDER BY s.s DESC, s.doc_id LIMIT {k}"""
+    )
+
+
+def _q_geo_sort(terms_text: str, lat: float, lng: float, k: int):
+    """Meilisearch _geoPoint(lat, lng):asc sort rule
+    (operators/relational.py geo_sort_hits): hits ordered by haversine
+    distance with the _geoDistance response field (whole meters)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.relational import geo_sort_hits
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
+        out = geo_sort_hits(
+            hits, _geo_docs(idx), ("lat", "lng"), lat, lng, k=k
+        )
+        return out.select(
+            "doc_id",
+            F.col("_geoDistance").alias("geo_m"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _sql_geo_sort(terms: "list[str]", lat: float, lng: float, k: int) -> str:
+    return (
+        _sql_scores(terms)
+        + _SQL_GEOD
+        + f"""SELECT s.doc_id,
+       CAST(round({_sql_hav(lat, lng)}) AS BIGINT) AS geo_m,
+       round(s.s, 4)::DOUBLE AS score
+FROM scores s JOIN geod g USING (doc_id)
+ORDER BY geo_m ASC, round(s.s, 9) DESC, s.doc_id LIMIT {k}"""
+    )
+
+
+def _q_negative_batch(specs: "list[tuple[str, str, str]]", k: int):
+    """Batched negative keywords: search_many parses '-word' per query
+    and bans shard-locally via the forbid-terms pass riding the block
+    exchange (operators/search.py) — a different execution path from
+    the single-query exclude_docs anti-join (ft_negative)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        batch = [(qid, f"{pos} -{neg}") for qid, pos, neg in specs]
+        out = search_many(idx, batch, k=k)
+        return out.select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+
+    return run
+
+
+def _sql_negative_batch(
+    specs: "list[tuple[str, list[str], str]]", k: int
+) -> str:
+    ctes = ",\n".join(
+        _sql_score_cte(f"s_{qid}", terms) for qid, terms, _ in specs
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, s.doc_id,
+         round(s.s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s.s DESC, s.doc_id)::INT AS rank
+  FROM s_{qid} s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = '{neg}'
+  )
+) t_{qid} WHERE rank <= {k}"""
+        for qid, _, neg in specs
+    )
+    return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
+
+
 def _view_index(spark: SparkSession, sf_dir: str):
     """S25 view indirection: the indexed 'collection' is a JOIN VIEW
     over orders ⋈ customer ⋈ nation (the reference's user_books
@@ -1493,7 +1644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactness entries) and ft_bm25_dictionary (tokenizer family keeps
     # stopwords/synonyms), which move to the overflow. Entries after
     # the 50th remain fully oracle-checked by
-    # tests/test_entry_oracle.py, which runs ALL entries.
+    # tests/test_entry_oracle.py, which runs ALL entries. Geosearch
+    # additions: ft_geo_radius and ft_geo_sort (NEW operator family,
+    # functions/geo.py) take the gate slots of r03-verified
+    # ft_facet_search (facet family keeps ft_facet_stats +
+    # ft_facet_count_order) and ft_crop (display family keeps
+    # ft_highlight); ft_negative_batch (the new shard-local
+    # forbid-terms path) joins the overflow next to its gate sibling
+    # ft_negative.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
@@ -1534,12 +1692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_facet_stats": _q_facet_stats("spark join", "n_chars"),
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
-        "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
+        "ft_geo_radius": _q_geo_radius("spark join", 10, 10.0, 20.0, 3_000_000),
         "ft_bm25_prefix": _q_prefix("spark jo", 10),
         "ft_distinct_source": _q_distinct("spark join", "source"),
         "ft_sorted_hits": _q_sorted("vector stream", "n_chars", 50),
         "ft_highlight": _q_highlight(["spark", "join"], 5),
-        "ft_crop": _q_crop(["spark", "join"], 5, 8),
+        "ft_geo_sort": _q_geo_sort("spark join", 48.85, 2.35, 25),
         "view_join_search": _q_view_join_search("urgent building", 15),
         "ft_term_dictionary": _q_term_dictionary,
         "point_lookup": _q_point_lookup,
@@ -1582,6 +1740,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_assign": _q_ivf_assign,
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_plan": _q_mm_frame_plan,
+        "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
+        "ft_crop": _q_crop(["spark", "join"], 5, 8),
+        "ft_negative_batch": _q_negative_batch(
+            [
+                ("qa", "spark join", "table"),
+                ("qb", "group hash", "vector"),
+                ("qc", "spark join", "zzznothing"),
+            ],
+            10,
+        ),
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
@@ -1845,6 +2013,18 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
             ["scan", "join", "spark"], 20
         ),
         "ft_negative": _sql_negative(["spark", "join"], "table", 10),
+        "ft_negative_batch": _sql_negative_batch(
+            [
+                ("qa", ["spark", "join"], "table"),
+                ("qb", ["group", "hash"], "vector"),
+                ("qc", ["spark", "join"], "zzznothing"),
+            ],
+            10,
+        ),
+        "ft_geo_radius": _sql_geo_radius(
+            ["spark", "join"], 10, 10.0, 20.0, 3_000_000
+        ),
+        "ft_geo_sort": _sql_geo_sort(["spark", "join"], 48.85, 2.35, 25),
         "ft_highlight": _sql_highlight(["spark", "join"], 5),
         "ft_crop": _sql_crop(["spark", "join"], 5, 8),
         "ft_facet_count_order": (

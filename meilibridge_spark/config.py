@@ -173,6 +173,14 @@ class IndexConfig:
     filter_fold_case: bool = False
     sortable_attributes: tuple[str, ...] = ()
     distinct_attribute: str | None = None
+    #: (lat_col, lng_col) docs columns backing Meilisearch's ``_geo``
+    #: document field — declaring them is the analog of putting _geo in
+    #: filterableAttributes/sortableAttributes: it enables the
+    #: _geoRadius/_geoBoundingBox filter functions (functions/geo.py)
+    #: and the _geoPoint(lat, lng) sort rule. None = geo off (the
+    #: filter parser then raises Meilisearch's invalid_search_filter
+    #: analog instead of silently mis-filtering).
+    geo_attributes: "tuple[str, str] | None" = None
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     #: Q12 typo tolerance knobs (query-side expansion; applied only by
     #: the typo search paths)
@@ -221,6 +229,14 @@ class IndexConfig:
             raise ConfigError("block_size must be >= 2")
         if self.n_salts < 1:
             raise ConfigError("n_salts must be >= 1")
+        if self.geo_attributes is not None and (
+            len(self.geo_attributes) != 2
+            or not all(isinstance(a, str) and a for a in self.geo_attributes)
+        ):
+            raise ConfigError(
+                "geo_attributes must be a (lat_col, lng_col) pair of "
+                f"column names, got {self.geo_attributes!r}"
+            )
 
     def normalized_name(self) -> str:
         """Reference normalizes names: spaces -> dashes (config/config.go)."""

@@ -17,9 +17,12 @@ Meilisearch user writes today works against our docs table:
   combinators: NOT expr, expr AND expr, expr OR expr, ( expr )
   values:      'single' / "double" quoted strings, bare words, numbers
 
-Not implemented (raise loudly, never silently mis-filter): the
-experimental ``_geoRadius``/``_geoBoundingBox`` geo filters (the
-transcripts/docs model has no geo attributes).
+Geosearch (functions/geo.py): ``_geoRadius(lat, lng, meters)`` and
+``_geoBoundingBox([lat, lng], [lat, lng])`` compile when the index
+declares ``geo_attributes=(lat_col, lng_col)`` — Meilisearch's analog
+of ``_geo`` in filterableAttributes. Without the declaration they
+raise loudly (never silently mis-filter), and ``_geoPoint`` in a
+filter raises Meilisearch's "is a sort rule" error.
 
 Fields must be declared filterable — a filter on any other attribute
 raises ConfigError, mirroring Meilisearch's invalid_search_filter
@@ -124,11 +127,18 @@ def _literal(tok: "tuple[str, str]"):
 
 
 class _Parser:
-    def __init__(self, tokens, filterable: "tuple[str, ...]", fold_case=False):
+    def __init__(
+        self,
+        tokens,
+        filterable: "tuple[str, ...]",
+        fold_case=False,
+        geo: "tuple[str, str] | None" = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.filterable = set(filterable)
         self.fold_case = fold_case
+        self.geo = geo
 
     def _fold(self, c: Column, val):
         """(column, literal) for an equality-family comparison —
@@ -192,17 +202,76 @@ class _Parser:
             col = self._or(neg)
             self._expect("rparen")
             return col
+        if self._peek()[0] == "word" and self._peek()[1] in (
+            "_geoRadius",
+            "_geoBoundingBox",
+        ):
+            return self._geo_fn(neg)
         return self._condition(neg)
+
+    def _geo_num(self, where: str) -> float:
+        val = _literal(self._next())
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
+            raise ConfigError(f"{where}: expected a number, got {val!r}")
+        return float(val)
+
+    def _geo_pair(self, where: str) -> "tuple[float, float]":
+        self._expect("lbrack")
+        lat = self._geo_num(where)
+        self._expect("comma")
+        lng = self._geo_num(where)
+        self._expect("rbrack")
+        return lat, lng
+
+    def _geo_fn(self, neg: bool) -> Column:
+        """_geoRadius(lat, lng, meters) / _geoBoundingBox([lat, lng],
+        [lat, lng]) — Meilisearch geosearch filter functions, compiled
+        against the index's declared (lat_col, lng_col) columns
+        (functions/geo.py; sargable window + exact haversine)."""
+        from meilibridge_spark.functions import geo as _geo
+
+        _, fn = self._next()
+        if self.geo is None:
+            raise ConfigError(
+                f"{fn} needs geo_attributes=(lat_col, lng_col) declared "
+                "on the index (the analog of adding _geo to "
+                "filterableAttributes)"
+            )
+        lat_col, lng_col = F.col(self.geo[0]), F.col(self.geo[1])
+        self._expect("lparen")
+        if fn == "_geoRadius":
+            lat = self._geo_num(fn)
+            self._expect("comma")
+            lng = self._geo_num(fn)
+            self._expect("comma")
+            meters = self._geo_num(fn)
+            self._expect("rparen")
+            make = _geo.geo_radius_complement if neg else _geo.geo_radius
+            return make(lat_col, lng_col, lat, lng, meters)
+        tl = self._geo_pair(fn)
+        self._expect("comma")
+        br = self._geo_pair(fn)
+        self._expect("rparen")
+        make = (
+            _geo.geo_bounding_box_complement if neg else _geo.geo_bounding_box
+        )
+        return make(lat_col, lng_col, tl, br)
 
     def _field(self) -> str:
         kind, text = self._next()
         if kind not in ("word", "str"):
             raise ConfigError(f"expected an attribute name, got {text!r}")
+        if text.startswith("_geoPoint"):
+            # Meilisearch's invalid_search_filter wording
+            raise ConfigError(
+                "_geoPoint is a sort rule, not a filter: use "
+                "_geoRadius / _geoBoundingBox to filter by location"
+            )
         if text.startswith("_geo"):
             raise ConfigError(
-                "geo filters (_geoRadius/_geoBoundingBox) are not "
-                "supported: the transcripts data model has no geo "
-                "attributes"
+                f"{text!r} is not a filterable expression: the geo "
+                "filter functions are _geoRadius(lat, lng, meters) and "
+                "_geoBoundingBox([lat, lng], [lat, lng])"
             )
         if text not in self.filterable:
             raise ConfigError(
@@ -340,26 +409,35 @@ class _Parser:
 
 
 def parse_filter(
-    expr: str, filterable: "tuple[str, ...]", fold_case: bool = False
+    expr: str,
+    filterable: "tuple[str, ...]",
+    fold_case: bool = False,
+    geo: "tuple[str, str] | None" = None,
 ) -> Column:
     """Compile a Meilisearch filter string to a Catalyst Column,
     enforcing ``filterable_attributes`` membership. ``fold_case``:
     Meilisearch-style case-insensitive string comparison (see module
-    docstring for the pushdown trade)."""
+    docstring for the pushdown trade). ``geo``: the (lat_col, lng_col)
+    columns backing the ``_geo`` field — enables _geoRadius /
+    _geoBoundingBox (functions/geo.py)."""
     tokens = _tokenize(expr)
     if not tokens:
         raise ConfigError("empty filter expression")
-    return _Parser(tokens, filterable, fold_case=fold_case).parse()
+    return _Parser(tokens, filterable, fold_case=fold_case, geo=geo).parse()
 
 
 def filter_doc_ids(index, expr: str, fold_case: "bool | None" = None):
     """Apply a filter expression against the index's docs table ->
     doc_id DataFrame, ready for ``search(..., filter_docs=...)`` /
     ``search_many(..., filter_docs=...)``. ``fold_case`` defaults to
-    the index's ``cfg.filter_fold_case``."""
+    the index's ``cfg.filter_fold_case``; geo filter functions compile
+    when the index declares ``cfg.geo_attributes``."""
     if fold_case is None:
         fold_case = getattr(index.cfg, "filter_fold_case", False)
     col = parse_filter(
-        expr, tuple(index.cfg.filterable_attributes), fold_case=fold_case
+        expr,
+        tuple(index.cfg.filterable_attributes),
+        fold_case=fold_case,
+        geo=getattr(index.cfg, "geo_attributes", None),
     )
     return index.docs.filter(col).select("doc_id")

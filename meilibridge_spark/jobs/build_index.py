@@ -57,7 +57,17 @@ def main() -> None:
                     help="comma-separated sortable_attributes (manifest)")
     ap.add_argument("--distinct-attribute", default=None,
                     help="distinct_attribute setting (manifest)")
+    ap.add_argument("--geo-attributes", default=None,
+                    help="lat_col,lng_col docs columns backing the "
+                         "_geo field (enables _geoRadius/_geoBoundingBox "
+                         "filters and _geoPoint sort; manifest)")
     args = ap.parse_args()
+    geo = None
+    if args.geo_attributes:
+        parts = [a for a in args.geo_attributes.split(",") if a]
+        if len(parts) != 2:
+            ap.error("--geo-attributes must be exactly lat_col,lng_col")
+        geo = tuple(parts)
 
     from meilibridge_spark.config import AnalyzerConfig, IndexConfig
     from meilibridge_spark.plans.build import build_and_save
@@ -77,6 +87,7 @@ def main() -> None:
         ),
         sortable_attributes=tuple(a for a in args.sortable.split(",") if a),
         distinct_attribute=args.distinct_attribute,
+        geo_attributes=geo,
     )
     if args.synthetic_convs:
         source = generate_transcripts(spark, n_convs=args.synthetic_convs, seed=args.seed)

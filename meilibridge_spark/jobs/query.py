@@ -313,12 +313,47 @@ def main() -> None:
             typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
         )
     sort_spec = None
+    geo_sort = None  # (lat, lng, ascending) from _geoPoint(lat, lng)
     if args.sort:
         sort_spec = []
-        for part in (p.strip() for p in args.sort.split(",") if p.strip()):
+        # split on commas OUTSIDE parens: '_geoPoint(48.2, 2.3):asc'
+        # carries commas of its own
+        parts, depth, cur = [], 0, []
+        for ch in args.sort:
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                depth += (ch == "(") - (ch == ")")
+                cur.append(ch)
+        parts.append("".join(cur))
+        for part in (p.strip() for p in parts if p.strip()):
             attr, _, direction = part.partition(":")
             if direction not in ("asc", "desc", ""):
                 ap.error(f"--sort direction must be asc|desc, got {part!r}")
+            m = re.fullmatch(
+                r"_geoPoint\(\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*\)", attr
+            )
+            if m:
+                # Meilisearch geosearch sort rule; supported standalone
+                if index.cfg.geo_attributes is None:
+                    ap.error(
+                        "_geoPoint sort needs geo_attributes=(lat_col, "
+                        "lng_col) declared on the index"
+                    )
+                if geo_sort is not None:
+                    ap.error("only one _geoPoint sort rule is allowed")
+                geo_sort = (
+                    float(m.group(1)),
+                    float(m.group(2)),
+                    direction != "desc",
+                )
+                continue
+            if attr.startswith("_geo"):
+                ap.error(
+                    f"--sort rule {attr!r} is not sortable; the geo sort "
+                    "rule is _geoPoint(lat, lng):asc|desc"
+                )
             if attr not in index.cfg.sortable_attributes:
                 ap.error(
                     f"--sort attribute {attr!r} is not sortable; the index "
@@ -326,6 +361,11 @@ def main() -> None:
                     f"{list(index.cfg.sortable_attributes)}"
                 )
             sort_spec.append((attr, direction != "desc"))
+        if geo_sort is not None and sort_spec:
+            ap.error(
+                "_geoPoint does not combine with attribute sort rules "
+                "yet; pass it as the only --sort rule"
+            )
     if args.distinct and not index.cfg.distinct_attribute:
         ap.error("--distinct needs a distinct_attribute in the index "
                  "settings (build with --distinct-attribute)")
@@ -333,7 +373,7 @@ def main() -> None:
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
-        and not args.distinct
+        and not geo_sort and not args.distinct
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -341,7 +381,7 @@ def main() -> None:
         # --search-on routes to the DataFrame path (WAND's block-max
         # bounds don't model the attribute restriction); quoted phrases
         # route through the positional-constraint composition
-        post = bool(sort_spec or args.distinct)
+        post = bool(sort_spec or geo_sort or args.distinct)
         # distinct/sort post-process the top max_total_hits hit set
         # (Meilisearch applies distinct before pagination), so with them
         # the search itself runs uncapped-to-max and offset is applied
@@ -376,9 +416,17 @@ def main() -> None:
                 hits_df, index.docs, sort_spec,
                 k=args.offset + args.k, hit_bound=cap,
             )
+        elif geo_sort:
+            from meilibridge_spark.operators.relational import geo_sort_hits
+
+            glat, glng, gasc = geo_sort
+            hits_df = geo_sort_hits(
+                hits_df, index.docs, index.cfg.geo_attributes, glat, glng,
+                ascending=gasc, k=args.offset + args.k, hit_bound=cap,
+            )
         rows = hits_df.collect()
         if post:
-            if not sort_spec:
+            if not sort_spec and not geo_sort:
                 rows = sorted(
                     rows, key=lambda r: (-round(r["score"], 9), r["doc_id"])
                 )
@@ -390,6 +438,9 @@ def main() -> None:
                 "score": round(r["score"], 6),
                 **{a: (str(r[a]) if r[a] is not None else None)
                    for a in sort_attrs},
+                **(
+                    {"_geoDistance": r["_geoDistance"]} if geo_sort else {}
+                ),
             }
             for r in rows
         ]

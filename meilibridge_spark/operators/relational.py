@@ -236,6 +236,44 @@ def sort_hits(
     return out.limit(k) if k else out
 
 
+def geo_sort_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    geo_attrs: "tuple[str, str]",
+    lat: float,
+    lng: float,
+    ascending: bool = True,
+    k: "int | None" = None,
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Meilisearch ``_geoPoint(lat, lng):asc|desc`` sort rule: order
+    hits by great-circle distance to the point and add the
+    ``_geoDistance`` response field (whole meters, like the endpoint).
+    Documents without coordinates sort AFTER located ones in either
+    direction (Meilisearch geosearch semantics); relevancy then doc_id
+    remain the final tie-breaks. With ``k`` this stays a bounded
+    TakeOrderedAndProject like :func:`sort_hits` — the distance is one
+    codegen'd expression per surviving hit, never a global sort."""
+    from meilibridge_spark.functions.geo import haversine_meters
+
+    lat_col, lng_col = geo_attrs
+    dist = haversine_meters(F.col(lat_col), F.col(lng_col), lat, lng)
+    out = hits_with_docs(hits, docs, list(geo_attrs), hit_bound).withColumn(
+        "_geoDistance", F.round(dist).cast("long")
+    )
+    order = [
+        (
+            F.col("_geoDistance").asc_nulls_last()
+            if ascending
+            else F.col("_geoDistance").desc_nulls_last()
+        ),
+        F.round(F.col("score"), 9).desc(),
+        F.col("doc_id").asc(),
+    ]
+    out = out.orderBy(*order)
+    return out.limit(k) if k else out
+
+
 def display(
     hits: DataFrame,
     docs: DataFrame,

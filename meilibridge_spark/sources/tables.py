@@ -144,6 +144,11 @@ def _index_meta(index: InvertedIndex) -> dict:
         "filterable_attributes": list(index.cfg.filterable_attributes),
         "sortable_attributes": list(index.cfg.sortable_attributes),
         "distinct_attribute": index.cfg.distinct_attribute,
+        "geo_attributes": (
+            list(index.cfg.geo_attributes)
+            if index.cfg.geo_attributes is not None
+            else None
+        ),
         # attrs tf-slot encoding version: "mask" = attribute bitmask
         # (operators/attrs.py). Older snapshots wrote min_attr_rank+1
         # and carry no marker; load_snapshot refuses those — reading a
@@ -447,6 +452,7 @@ def load_snapshot(
         ("filterable_attributes", ()),
         ("sortable_attributes", ()),
         ("distinct_attribute", None),
+        ("geo_attributes", None),
     ):
         stored = meta.get(knob)
         if stored is not None and getattr(cfg, knob) == default:
