@@ -1052,6 +1052,42 @@ def _q_facet_multi(terms_text: str, attrs: "tuple[str, ...]", max_values: int):
     return run
 
 
+def _q_facet_exhaustive(terms_text: str, attrs: "tuple[str, ...]"):
+    """Meilisearch-exact facetDistribution: counts over ALL matching
+    docs (>=1 query term), not the top max_total_hits page
+    (relational.facet_distribution_exhaustive)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.relational import (
+            facet_distribution_exhaustive,
+        )
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        return facet_distribution_exhaustive(idx, terms_text, list(attrs))
+
+    return run
+
+
+def _sql_facet_exhaustive(terms: "list[str]", attrs: "tuple[str, ...]") -> str:
+    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS facet, d.{a}::VARCHAR AS value, "
+        f"count(*)::BIGINT AS count "
+        f"FROM documents d JOIN cand USING (doc_id) "
+        f"WHERE d.{a} IS NOT NULL GROUP BY 2"
+        for a in attrs
+    )
+    return f"""WITH {_sql_tok()},
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {inlist}),
+c AS (
+{branches}
+)
+SELECT facet, value, count FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY facet ORDER BY value ASC) AS rn
+  FROM c
+) t WHERE rn <= 100"""
+
+
 def _q_facet_stats(terms_text: str, attr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from meilibridge_spark.operators.relational import facet_stats
@@ -1758,6 +1794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_repeated_terms": _q_topk("scan scan scan hash", 15),
         "ft_phrase_stopword": _q_phrase("join the table", 10, flavor="stop"),
         "ft_facet_multi": _q_facet_multi("spark join", ("lang", "source"), 100),
+        "ft_facet_exhaustive": _q_facet_exhaustive(
+            "spark join", ("lang", "source")
+        ),
         "ft_doc_lengths": _q_doc_lengths,
         "sim_similar_docs": _q_similar_docs,
         "docs_fetch": _q_docs_fetch,
@@ -2204,6 +2243,9 @@ SELECT facet, value, "count" FROM (
   FROM counts
 ) t WHERE rn <= 100
 """
+        ),
+        "ft_facet_exhaustive": _sql_facet_exhaustive(
+            ["spark", "join"], ("lang", "source")
         ),
         "ft_federated": f"""
 WITH {_sql_tok()},

@@ -180,6 +180,43 @@ def facet_distribution(
     )
 
 
+def facet_distribution_exhaustive(
+    index,
+    query_text: str,
+    attrs: "list[str]",
+    filter_docs: "DataFrame | None" = None,
+    max_values: int = 100,
+) -> DataFrame:
+    """Meilisearch-EXACT facetDistribution: value counts over ALL
+    documents matching the query (default 'last' OR semantics — at
+    least one query term after synonym expansion) and the filter, not
+    just the top max_total_hits page the bounded
+    :func:`facet_counts`/:func:`facet_distribution` analogs count
+    (Meilisearch computes facets from the full candidate bitmap before
+    pagination; the bounded forms remain the cheap page-level option).
+
+    Cost at scale: one pruned posting scan of the query terms ->
+    distinct candidate ids (the only doc-granular shuffle, the same
+    bitmap walk Meilisearch pays), one semi-join against the docs
+    scan, one map-side-combined count per (facet, value). No hit
+    ranking, no top-k machinery."""
+    from meilibridge_spark.functions.tokenizer import parse_query
+    from meilibridge_spark.operators.search import candidate_rows
+
+    terms = parse_query(query_text, index.cfg.analyzer)
+    if not terms:
+        spark = index.docs.sparkSession
+        return spark.createDataFrame(
+            [], "facet string, value string, count bigint"
+        )
+    cand = candidate_rows(index, terms).select("doc_id").distinct()
+    if filter_docs is not None:
+        cand = cand.join(
+            filter_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+    return facet_distribution(cand, index.docs, attrs, max_values)
+
+
 def facet_stats(
     hits: DataFrame,
     docs: DataFrame,

@@ -838,3 +838,47 @@ def test_star_components_deep_chain_logarithmic(spark):
         ).collect()
     }
     assert len(got) == 41 and set(got.values()) == {0}
+
+
+def test_facet_distribution_exhaustive(spark):
+    """Meilisearch-exact facetDistribution: counts over ALL docs
+    matching >=1 query term (not a top-k page), filter composes,
+    empty/stop-word query returns an empty frame."""
+    from meilibridge_spark.config import ASCII_TOKEN_PATTERN, AnalyzerConfig, IndexConfig
+    from meilibridge_spark.operators.relational import (
+        facet_distribution_exhaustive,
+    )
+    from meilibridge_spark.plans.build import build_index
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "spark join", "en"),
+        (1, "spark only", "en"),
+        (2, "join order", "de"),
+        (3, "nothing here", "fr"),
+        (4, "spark spark spark", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = IndexConfig(
+        index_name="fx",
+        primary_key=("doc_id",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    got = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_distribution_exhaustive(idx, "spark join", ["lang"]).collect()
+    }
+    # matching docs = {0, 1, 2, 4} regardless of any top-k cap
+    assert got == {("lang", "en"): 2, ("lang", "de"): 2}
+    filt = df.filter(F.col("lang") == "de").select("doc_id")
+    got_f = {
+        (r["facet"], r["value"]): r["count"]
+        for r in facet_distribution_exhaustive(
+            idx, "spark join", ["lang"], filter_docs=filt
+        ).collect()
+    }
+    assert got_f == {("lang", "de"): 2}
+    assert (
+        facet_distribution_exhaustive(idx, "zzz", ["lang"]).count() == 0
+    )
