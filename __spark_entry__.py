@@ -1112,6 +1112,71 @@ def _q_prefix(terms_text: str, k: int):
     return run
 
 
+def _q_prefix_batch(specs: "list[tuple[str, str]]", k: int):
+    """Batched last-word prefix search: search_many(prefix=True)
+    resolves every unique prefix in ONE job of pushed per-prefix scans
+    and is rank-identical per query to search_prefix (tested)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir)
+        out = search_many(idx, specs, k=k, prefix=True)
+        return out.select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+
+    return run
+
+
+def _sql_prefix_term_filter(terms: "list[str]") -> str:
+    """Expanded term set for one prefix query: the typed terms plus up
+    to 10 lexicographic dictionary terms the LAST word prefixes
+    (mirrors prefix_expand_terms)."""
+    last = terms[-1]
+    typed = " ".join(f"UNION SELECT '{t}'" for t in terms)
+    return (
+        "(SELECT term FROM ("
+        f"  SELECT term FROM dfreq WHERE term LIKE '{last}%' "
+        f"  AND term NOT IN ({', '.join(repr(t) for t in terms)}) "
+        f"  ORDER BY term LIMIT 10) "
+        f"{typed})"
+    )
+
+
+def _sql_prefix_batch(specs: "list[tuple[str, list[str]]]", k: int) -> str:
+    ctes = ",\n".join(
+        f"""s_{qid} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {_sql_prefix_term_filter(terms)}
+  GROUP BY tf.doc_id
+)"""
+        for qid, terms in specs
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, s.doc_id,
+         round(s.s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s.s DESC, s.doc_id)::INT AS rank
+  FROM s_{qid} s
+) t_{qid} WHERE rank <= {k}"""
+        for qid, _ in specs
+    )
+    return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
+
+
 def _q_distinct(terms_text: str, attr: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -1786,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             10,
         ),
+        "ft_prefix_batch": _q_prefix_batch(
+            [("qa", "spark jo"), ("qb", "join ta"), ("qc", "vector")], 10
+        ),
         "ft_bm25_absent_term": _q_topk("zzzmissing spark", 10),
         "ft_bm25_filtered": _q_filtered("spark join", 10, "en"),
         "ft_bm25_hot_terms": _q_topk("the data", 100),
@@ -2052,6 +2120,14 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
             ["scan", "join", "spark"], 20
         ),
         "ft_negative": _sql_negative(["spark", "join"], "table", 10),
+        "ft_prefix_batch": _sql_prefix_batch(
+            [
+                ("qa", ["spark", "jo"]),
+                ("qb", ["join", "ta"]),
+                ("qc", ["vector"]),
+            ],
+            10,
+        ),
         "ft_negative_batch": _sql_negative_batch(
             [
                 ("qa", ["spark", "join"], "table"),

@@ -85,6 +85,10 @@ def main() -> None:
                          "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
+    ap.add_argument("--prefix", action="store_true",
+                    help="Meilisearch last-word prefix search: the final "
+                         "query word also matches dictionary terms it "
+                         "prefixes")
     ap.add_argument("--matching-strategy",
                     choices=["last", "all", "frequency"],
                     default="last",
@@ -261,6 +265,7 @@ def main() -> None:
             index, batch, k=args.k, filter_docs=filt, typo=args.typo,
             matching_strategy=args.matching_strategy,
             attributes_to_search_on=search_on, offset=args.offset,
+            prefix=args.prefix,
         ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -289,6 +294,7 @@ def main() -> None:
             index, [("q", args.query)], k=args.k, filter_docs=make_filter(),
             typo=args.typo, matching_strategy=args.matching_strategy,
             attributes_to_search_on=search_on, offset=args.offset,
+            prefix=args.prefix,
         ).collect()
         out = [
             {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
@@ -311,6 +317,19 @@ def main() -> None:
 
         query_text = " ".join(
             typo_expand_terms(index, parse_query(args.query, cfg.analyzer))
+        )
+    if args.prefix:
+        if has_phrase or has_negative:
+            ap.error("--prefix does not compose with quoted phrases or "
+                     "negative keywords in single-query mode")
+        if args.typo:
+            ap.error("--prefix + --typo compose only on the batch paths "
+                     "(--queries-file or --matching-strategy all|frequency)")
+        from meilibridge_spark.functions.tokenizer import parse_query
+        from meilibridge_spark.operators.search import prefix_expand_terms
+
+        query_text = " ".join(
+            prefix_expand_terms(index, parse_query(query_text, cfg.analyzer))
         )
     sort_spec = None
     geo_sort = None  # (lat, lng, ascending) from _geoPoint(lat, lng)

@@ -922,6 +922,8 @@ def search_many(
     matching_strategy: str = "last",
     attributes_to_search_on: "tuple[str, ...] | None" = None,
     offset: int = 0,
+    prefix: bool = False,
+    prefix_max_expansions: int = 10,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, best_attr]
@@ -971,6 +973,15 @@ def search_many(
     ranked hits and return the next ``k``; ``rank`` stays the ABSOLUTE
     position (offset+1..offset+k). Shards rank their local top
     offset+k, the skip is a final rank filter.
+
+    ``prefix=True`` (Meilisearch's always-on last-word prefix search):
+    each query's final word also matches dictionary terms it prefixes,
+    bounded to ``prefix_max_expansions`` lexicographic candidates with
+    their own idf — rank-identical to the single-path ``search_prefix``
+    (tested). ONE job resolves every unique prefix in the batch
+    (prefix_expansion_map: pushed per-prefix TakeOrdered scans);
+    candidates satisfy the last word's group under
+    matching_strategy='all'/'frequency' exactly like typo alternates.
 
     Negative keywords (Meilisearch v1.8 ``-word`` query syntax) are
     parsed out of each query's text: docs containing a negated word
@@ -1098,6 +1109,23 @@ def search_many(
             dict.fromkeys(t for ts in parsed.values() for t in ts)
         )
         exp_map = typo_expansion_map(index, all_q_terms, typo_cfg)
+    pref_map: "dict[str, list[str]]" = {}
+    if prefix:
+        # Meilisearch last-word prefix semantics for the whole batch:
+        # ONE job resolves every unique last-word prefix (pushed
+        # per-prefix scans, prefix_expansion_map); over-fetch by the
+        # worst per-query overlap so trimming below always yields
+        # max_expansions NEW candidates (single-path parity)
+        overlaps: "dict[str, int]" = {}
+        for ts in parsed.values():
+            if not ts:
+                continue
+            p = ts[-1]
+            ov = sum(1 for t in dict.fromkeys(ts) if t.startswith(p))
+            overlaps[p] = max(overlaps.get(p, 0), ov)
+        pref_map = prefix_expansion_map(
+            index, overlaps, prefix_max_expansions
+        )
     exact_of: "dict[str, frozenset]" = {}
     if exactness_rank:
         # exact form = what the user typed BEFORE any derivation
@@ -1123,6 +1151,14 @@ def search_many(
                 for c in exp_map.get(t, ()):
                     if c not in terms:
                         terms.append(c)
+        pref_added: "list[str]" = []
+        if pref_map and parsed[qid]:
+            for c in pref_map.get(parsed[qid][-1], ()):
+                if len(pref_added) >= prefix_max_expansions:
+                    break
+                if c not in terms:
+                    terms.append(c)
+                    pref_added.append(c)
         terms = tuple(terms)
         key = "\x1f".join(terms)
         if exactness_rank:
@@ -1135,8 +1171,15 @@ def search_many(
             # dedup either (the groups drive the 'all' constraint and
             # the 'frequency' drop order — which also depends on group
             # POSITION for df ties, preserved by the in-order dump)
+            q_exp = exp_map
+            if pref_added:
+                # prefix candidates satisfy the LAST word's group,
+                # exactly like typo alternates satisfy theirs
+                q_exp = {t: list(cs) for t, cs in exp_map.items()}
+                last = parsed[qid][-1]
+                q_exp[last] = q_exp.get(last, []) + pref_added
             gq = query_word_groups(
-                qtext, index.cfg.analyzer, expansions=exp_map or None
+                qtext, index.cfg.analyzer, expansions=q_exp or None
             )
             sep = "\x02" if matching_strategy == "all" else "\x03"
             key += sep + "|".join(",".join(sorted(g)) for g in gq)
@@ -1941,6 +1984,39 @@ def search_prefix(
     q_terms = parse_query(query, index.cfg.analyzer)
     expanded = prefix_expand_terms(index, q_terms, max_expansions)
     return search(index, " ".join(expanded), k)
+
+
+def prefix_expansion_map(
+    index: InvertedIndex,
+    prefix_overlaps: "dict[str, int]",
+    max_expansions: int = 10,
+) -> "dict[str, list[str]]":
+    """Batched last-word prefix lookup for ``search_many(prefix=True)``:
+    prefix -> candidate dictionary terms, lexicographic. ONE Spark job
+    covers every unique prefix in the batch — a union of per-prefix
+    TakeOrdered legs, each leg's ``startsWith`` pushed to the
+    term-sorted parquet scan (StringStartsWith row-group pruning), so
+    the cost is n_prefixes pruned scans exactly like the single path,
+    never a full-vocabulary pass. ``prefix_overlaps[p]`` over-fetches
+    by the worst-case count of already-present query terms sharing
+    ``p`` (same contract as prefix_expand_terms), so callers always
+    get ``max_expansions`` NEW candidates when they exist."""
+    from functools import reduce
+
+    legs = [
+        index.terms.filter(F.col("term").startswith(p))
+        .select(F.lit(p).alias("prefix"), "term")
+        .orderBy("term")
+        .limit(max_expansions + overlap)
+        for p, overlap in sorted(prefix_overlaps.items())
+    ]
+    if not legs:
+        return {}
+    rows = reduce(lambda a, b: a.unionByName(b), legs).collect()
+    out: "dict[str, list[str]]" = {}
+    for r in rows:
+        out.setdefault(r["prefix"], []).append(r["term"])
+    return {p: sorted(ts) for p, ts in out.items()}
 
 
 class DriverSearcher:

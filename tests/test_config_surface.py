@@ -138,3 +138,42 @@ def test_prefix_expand_with_colliding_query_terms(idx):
     # it must not consume an expansion slot
     got = prefix_expand_terms(idx, ["join", "jo"], max_expansions=3)
     assert got == ["join", "jo", "joined", "joint", "journey"]
+
+
+def test_search_many_prefix_matches_single(idx):
+    """search_many(prefix=True) is rank-identical to the single-path
+    search_prefix per query; one prefix lookup job covers the batch."""
+    from meilibridge_spark.operators.search import search_many, search_prefix
+
+    batch = [("a", "venture jo"), ("b", "jo"), ("c", "join"), ("d", "zz")]
+    rows = search_many(idx, batch, k=10, prefix=True).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, text in batch:
+        single = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(search_prefix(idx, text, 10).collect())
+        ]
+        assert sorted(by_q.get(qid, [])) == single, qid
+    assert "d" not in by_q  # unindexed prefix -> no hits
+
+
+def test_search_many_prefix_bounded_and_strategy(idx):
+    from meilibridge_spark.operators.search import search_many
+
+    # bounded expansions trim identically to the single path
+    rows = search_many(
+        idx, [("a", "jo")], k=10, prefix=True, prefix_max_expansions=2
+    ).collect()
+    # join(1), joined(2) only — journey(3) is beyond the bound
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    # matching_strategy='all': the prefix candidates SATISFY the last
+    # word's group, so 'venture jo' requires venture AND any jo*-term
+    rows = search_many(
+        idx, [("a", "venture jo")], k=10, prefix=True,
+        matching_strategy="all",
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {0}
