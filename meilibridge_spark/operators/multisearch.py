@@ -33,6 +33,7 @@ _ALLOWED_KEYS = {
     "typo",
     "matching_strategy",
     "attributes_to_search_on",
+    "prefix",
 }
 
 MULTI_SEARCH_SCHEMA = (
@@ -47,14 +48,16 @@ def multi_search(
 ) -> DataFrame:
     """Answer ``requests`` (each a dict with ``index_uid`` + ``q`` and
     optional ``k``/``offset``/``filter`` (Meilisearch filter string)/
-    ``typo``/``matching_strategy``/``attributes_to_search_on``) ->
+    ``typo``/``matching_strategy``/``attributes_to_search_on``/
+    ``prefix`` (Meilisearch last-word prefix search)) ->
     (request_no, index_uid, doc_id, score, rank) with rank the ABSOLUTE
     1-based position in that request's ranking (offset semantics
     identical to ``search_many``). request_no is the 0-based position
     in ``requests`` — the per-request hit lists of the endpoint's
     ``results`` array, flattened with their request index.
 
-    Each (index, filter, typo, matching_strategy, search_on) group is
+    Each (index, filter, typo, matching_strategy, search_on, prefix)
+    group is
     ONE search_many job; identical-option requests batch regardless of
     their k/offset. Unknown request keys and unknown index uids raise
     (the endpoint 400s)."""
@@ -88,12 +91,13 @@ def multi_search(
             bool(req.get("typo")),
             req.get("matching_strategy", "last"),
             tuple(son) if son is not None else None,
+            bool(req.get("prefix")),
         )
         groups.setdefault(key, []).append(i)
 
     spark = next(iter(indexes.values())).postings.sparkSession
     out: "DataFrame | None" = None
-    for (uid, fexpr, typo, mstrat, son), req_nos in groups.items():
+    for (uid, fexpr, typo, mstrat, son, pfx), req_nos in groups.items():
         index = indexes[uid]
         filter_docs = None
         if fexpr:
@@ -113,6 +117,7 @@ def multi_search(
             typo=typo,
             matching_strategy=mstrat,
             attributes_to_search_on=son,
+            prefix=pfx,
         )
         bounds = spark.createDataFrame(
             [

@@ -166,3 +166,31 @@ def test_matching_strategy_and_typo_group_separately(idxs, monkeypatch):
     assert {d for _, d, _, _ in by[0]} == {0, 3}
     assert len(by[1]) > len(by[0])
     assert by[2]  # typo request matched via 'sparc'->'spark'
+
+
+def test_multi_search_prefix_option_groups_and_matches_single(idxs):
+    """'prefix' is a batch-incompatible option: a prefixed request must
+    match the single-path search_prefix on the same index, while an
+    identical plain request in the same call stays unexpanded."""
+    from meilibridge_spark.operators.search import search_prefix
+
+    out = multi_search(
+        idxs,
+        [
+            {"index_uid": "a", "q": "spark jo", "prefix": True, "k": 10},
+            {"index_uid": "a", "q": "spark jo", "k": 10},
+        ],
+    ).collect()
+    by_req = {}
+    for r in out:
+        by_req.setdefault(r["request_no"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    single = [
+        (i + 1, r["doc_id"], round(r["score"], 9))
+        for i, r in enumerate(search_prefix(idxs["a"], "spark jo", 10).collect())
+    ]
+    assert sorted(by_req[0]) == single
+    # the plain request sees no 'jo*' expansion: only docs containing
+    # the literal term 'spark' score ('jo' is unindexed)
+    assert {d for _, d, _ in by_req[1]} == {0, 1, 3, 4}
