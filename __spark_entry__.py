@@ -158,9 +158,13 @@ def _sql_topk(
     )
 
 
-def _sql_score_cte(name: str, terms: "list[str]") -> str:
-    """One named BM25-score CTE (depends on the _sql_tok CTEs)."""
-    inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+def _sql_score_cte(
+    name: str, terms: "list[str]", term_filter: "str | None" = None
+) -> str:
+    """One named BM25-score CTE (depends on the _sql_tok CTEs).
+    ``term_filter``: a subquery/list expression replacing the literal
+    IN list (e.g. a prefix-expansion subquery)."""
+    inlist = term_filter or ("(" + ", ".join(f"'{t}'" for t in terms) + ")")
     return f"""{name} AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -1151,18 +1155,9 @@ def _sql_prefix_term_filter(terms: "list[str]") -> str:
 
 def _sql_prefix_batch(specs: "list[tuple[str, list[str]]]", k: int) -> str:
     ctes = ",\n".join(
-        f"""s_{qid} AS (
-  SELECT tf.doc_id,
-         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf * ({K1} + 1)
-              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN alldl USING (doc_id)
-  CROSS JOIN stats
-  WHERE tf.term IN {_sql_prefix_term_filter(terms)}
-  GROUP BY tf.doc_id
-)"""
+        _sql_score_cte(
+            f"s_{qid}", terms, term_filter=_sql_prefix_term_filter(terms)
+        )
         for qid, terms in specs
     )
     selects = "\nUNION ALL\n".join(

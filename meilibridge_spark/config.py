@@ -230,7 +230,8 @@ class IndexConfig:
         if self.n_salts < 1:
             raise ConfigError("n_salts must be >= 1")
         if self.geo_attributes is not None and (
-            len(self.geo_attributes) != 2
+            isinstance(self.geo_attributes, str)
+            or len(self.geo_attributes) != 2
             or not all(isinstance(a, str) and a for a in self.geo_attributes)
         ):
             raise ConfigError(

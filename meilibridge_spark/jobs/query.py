@@ -248,9 +248,13 @@ def main() -> None:
             ]
         # '-word' negatives are handled natively by search_many (per
         # query, any strategy); '-"..."' negative phrases need the
-        # positional single-query path and would raise mid-job
+        # positional single-query path and would raise mid-job. The
+        # check uses the quote-aware parser itself, so a dash inside a
+        # positive quoted phrase never false-positives.
+        from meilibridge_spark.operators.positions import parse_negative
+
         bad = next(
-            (t for _, t in batch if re.search(r'(?:^|\s)-"', t)), None
+            (t for _, t in batch if parse_negative(t)[2]), None
         )
         if bad is not None:
             ap.error(

@@ -291,8 +291,12 @@ def geo_sort_hits(
     remain the final tie-breaks. With ``k`` this stays a bounded
     TakeOrderedAndProject like :func:`sort_hits` — the distance is one
     codegen'd expression per surviving hit, never a global sort."""
-    from meilibridge_spark.functions.geo import haversine_meters
+    from meilibridge_spark.functions.geo import (
+        _check_lat_lng,
+        haversine_meters,
+    )
 
+    _check_lat_lng(lat, lng, "_geoPoint")
     lat_col, lng_col = geo_attrs
     dist = haversine_meters(F.col(lat_col), F.col(lng_col), lat, lng)
     out = hits_with_docs(hits, docs, list(geo_attrs), hit_bound).withColumn(

@@ -533,7 +533,13 @@ def _restrict_terms_to_attrs(
     dense bool per term per shard — cost O(shard_range) per term, paid
     once per shard for the whole query batch. Terms absent from the
     attr blocks (dictionary compounds spanning attribute boundaries)
-    have no allowed docs and drop entirely (documented deviation)."""
+    have no allowed docs and drop entirely (documented deviation).
+    Negated terms' ban offsets are snapshotted BEFORE this restriction
+    (factories build ban_src): a negation excludes corpus-wide like the
+    single-query exclude_docs path — the restriction narrows what can
+    MATCH, never what a negation excludes — and a term that is positive
+    in one query and negated in another stays restricted for scoring
+    while banning from its full posting."""
     out: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
     allow = np.zeros(shard_range, dtype=bool)
     for term, (o, imp) in per_term.items():
@@ -563,6 +569,7 @@ def _score_shard(
     require_groups: "dict[str, list[list[str]]] | None" = None,
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     forbid_terms: "dict[str, list[str]] | None" = None,
+    ban_src: "dict[str, np.ndarray] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -656,11 +663,19 @@ def _score_shard(
             if forbid_terms is not None:
                 # negative keywords: a doc containing ANY negated term
                 # never becomes a candidate (row=0 drops it from
-                # flatnonzero below, in every strategy's path)
+                # flatnonzero below, in every strategy's path). Ban
+                # offsets come from ban_src — snapshotted BEFORE any
+                # attributesToSearchOn restriction, so the exclusion
+                # stays corpus-wide (single-path parity)
                 for t in forbid_terms.get(qkey, ()):
-                    hit = per_term.get(t)
-                    if hit is not None and hit[0].size:
-                        row[hit[0]] = 0.0
+                    o = None
+                    if ban_src is not None:
+                        o = ban_src.get(t)
+                    if o is None:
+                        hit = per_term.get(t)
+                        o = hit[0] if hit is not None else None
+                    if o is not None and o.size:
+                        row[o] = 0.0
             lvl = None
             if freq_groups is not None:
                 # matching_strategy='frequency': level = max drop_rank
@@ -781,6 +796,11 @@ def _make_shard_scorer(
         for ts in forbid_terms.values():
             for t in ts:
                 idf_of.setdefault(t, 0.0)
+    forbid_all = (
+        frozenset(t for ts in forbid_terms.values() for t in ts)
+        if forbid_terms
+        else None
+    )
 
     def scorer(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         # buffer the partition's (compressed) blocks grouped by shard
@@ -806,6 +826,11 @@ def _make_shard_scorer(
                 if attr_rank or search_on_mask is not None
                 else None
             )
+            ban_src = None
+            if forbid_all is not None:
+                ban_src = {
+                    t: per_term[t][0] for t in forbid_all if t in per_term
+                }
             if search_on_mask is not None:
                 per_term = _restrict_terms_to_attrs(
                     per_term, per_attr, shard_range
@@ -814,7 +839,7 @@ def _make_shard_scorer(
                 per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
                 track_matched, per_attr if attr_rank else None, attr_rank,
                 exact_sets, require_groups, freq_groups,
-                forbid_terms=forbid_terms,
+                forbid_terms=forbid_terms, ban_src=ban_src,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -856,6 +881,11 @@ def _make_filtered_shard_scorer(
         for ts in forbid_terms.values():
             for t in ts:
                 idf_of.setdefault(t, 0.0)
+    forbid_all = (
+        frozenset(t for ts in forbid_terms.values() for t in ts)
+        if forbid_terms
+        else None
+    )
     empty_cols: dict = {"qkey": [], "doc_id": [], "score": []}
     if freq_groups is not None:
         empty_cols["freq_level"] = []
@@ -890,6 +920,11 @@ def _make_filtered_shard_scorer(
             and attr_pdf is not None
             else None
         )
+        ban_src = None
+        if forbid_all is not None:
+            ban_src = {
+                t: per_term[t][0] for t in forbid_all if t in per_term
+            }
         if search_on_mask is not None:
             per_term = _restrict_terms_to_attrs(
                 per_term, per_attr or {}, shard_range
@@ -898,7 +933,7 @@ def _make_filtered_shard_scorer(
             per_term, term_plan, qkeys, shard_range, base, k, query_chunk,
             track_matched, per_attr if attr_rank else None, attr_rank,
             exact_sets, require_groups, freq_groups,
-            forbid_terms=forbid_terms,
+            forbid_terms=forbid_terms, ban_src=ban_src,
         )
         if not out_q:
             return empty
@@ -1121,7 +1156,17 @@ def search_many(
             if not ts:
                 continue
             p = ts[-1]
-            ov = sum(1 for t in dict.fromkeys(ts) if t.startswith(p))
+            # the trim loop below skips candidates already in `terms`,
+            # which holds typed terms AND their typo expansions — budget
+            # the over-fetch for both or a colliding typo alternate
+            # silently eats a prefix-candidate slot
+            full = list(dict.fromkeys(ts))
+            if exp_map:
+                for t in list(full):
+                    for c in exp_map.get(t, ()):
+                        if c not in full:
+                            full.append(c)
+            ov = sum(1 for t in full if t.startswith(p))
             overlaps[p] = max(overlaps.get(p, 0), ov)
         pref_map = prefix_expansion_map(
             index, overlaps, prefix_max_expansions

@@ -184,7 +184,19 @@ def test_parser_geo_errors():
 def test_geo_config_validation():
     with pytest.raises(ConfigError, match="geo_attributes"):
         IndexConfig(index_name="g", geo_attributes=("lat",)).validate()
+    # a bare 2-char string is a len-2 iterable of 1-char strs — must
+    # still be rejected (it is not a (lat_col, lng_col) pair)
+    with pytest.raises(ConfigError, match="geo_attributes"):
+        IndexConfig(index_name="g", geo_attributes="xy").validate()
     IndexConfig(index_name="g", geo_attributes=("lat", "lng")).validate()
+
+
+def test_geo_sort_rejects_out_of_range_point(spark, geo_df):
+    hits = spark.createDataFrame([(0, 1.0)], "doc_id long, score double")
+    with pytest.raises(ConfigError, match="latitude"):
+        geo_sort_hits(hits, geo_df, ("lat", "lng"), 95.0, 2.0)
+    with pytest.raises(ConfigError, match="longitude"):
+        geo_sort_hits(hits, geo_df, ("lat", "lng"), 5.0, 200.0)
 
 
 def test_geo_sort_hits_distance_and_nulls_last(spark, geo_df):

@@ -232,3 +232,44 @@ def test_batch_negative_stays_literal_under_typo(built):
     # 'sparkk' expands to 'spark' ({0, 1, 3}); '-join' excludes the
     # literal join docs ({0, 2, 3, 4}) -> {1}
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_batch_negative_ban_is_corpus_wide_under_search_on(spark):
+    """attributesToSearchOn narrows what can MATCH, never what a
+    negation excludes: a doc carrying the negated word only in a
+    NON-searched attribute is still excluded (single-path parity), and
+    a term negated in one query stays attribute-restricted for scoring
+    in another query of the same batch."""
+    from meilibridge_spark.operators.search import search_many
+    from meilibridge_spark.plans.build import build_index
+
+    rows = [
+        (0, "spark talk", "plain body"),
+        (1, "spark intro", "secret body"),
+        (2, "secret spark", "plain body"),
+        (3, "other title", "spark secret"),
+    ]
+    cfg = IndexConfig(
+        index_name="neg-attr",
+        primary_key=("doc_id",),
+        searchable_attributes=("title", "body"),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    idx = build_index(df, cfg, doc_id_col="doc_id", with_attributes=True)
+
+    rows_out = search_many(
+        idx,
+        [("a", "spark -secret"), ("b", "secret")],
+        k=10,
+        attributes_to_search_on=("title",),
+    ).collect()
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # 'spark' must appear in TITLE ({0, 1, 2}); 'secret' anywhere
+    # excludes ({1, 2, 3}) -> only doc 0 survives. Before the ban_src
+    # snapshot, doc 1 (secret only in body) leaked through.
+    assert by_q["a"] == {0}
+    # 'secret' as a POSITIVE query stays title-restricted: doc 2 only
+    assert by_q["b"] == {2}
