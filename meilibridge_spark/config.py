@@ -122,9 +122,11 @@ class TypoToleranceConfig:
     """Q12 typo tolerance — mirrors the reference's TypoTolerance
     settings (config/type.go:70-80): ``enabled``,
     ``min_word_size_for_typos`` {one_typo: 5, two_typos: 9},
-    ``disable_on_words`` (query words never typo-expanded) and
+    ``disable_on_words`` (query words never typo-expanded),
     ``disable_on_attributes`` (attributes whose exclusive vocabulary is
-    excluded from typo candidates).
+    excluded from typo candidates) and ``disable_on_numbers``
+    (Meilisearch v1.12: digit-carrying words neither expand nor serve
+    as alternates).
     """
 
     enabled: bool = True
@@ -132,6 +134,10 @@ class TypoToleranceConfig:
     two_typos: int = 9
     disable_on_words: tuple[str, ...] = ()
     disable_on_attributes: tuple[str, ...] = ()
+    #: Meilisearch v1.12 typoTolerance.disableOnNumbers: words
+    #: containing digits neither typo-expand nor serve as typo
+    #: alternates ('2024' never matches '2025')
+    disable_on_numbers: bool = False
 
     @staticmethod
     def make(
@@ -140,6 +146,7 @@ class TypoToleranceConfig:
         two_typos: int = 9,
         disable_on_words: "tuple[str, ...] | list[str] | set[str]" = (),
         disable_on_attributes: "tuple[str, ...] | list[str]" = (),
+        disable_on_numbers: bool = False,
     ) -> "TypoToleranceConfig":
         return TypoToleranceConfig(
             enabled=enabled,
@@ -147,6 +154,7 @@ class TypoToleranceConfig:
             two_typos=two_typos,
             disable_on_words=tuple(sorted({w.lower() for w in disable_on_words})),
             disable_on_attributes=tuple(disable_on_attributes),
+            disable_on_numbers=disable_on_numbers,
         )
 
 

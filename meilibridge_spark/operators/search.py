@@ -1882,7 +1882,9 @@ def typo_expansion_map(
     """Q12: map each eligible query term to its dictionary terms within
     edit distance 1 (len >= one_typo, default 5) or 2 (len >= two_typos,
     default 9) — reference knobs config/type.go:70-80. Terms listed in
-    ``disable_on_words`` are never expanded.
+    ``disable_on_words`` are never expanded; with ``disable_on_numbers``
+    (Meilisearch v1.12) digit-carrying words neither expand nor serve
+    as alternates.
 
     Candidate generation: when ``prepare_typo_index`` has been called,
     ONE key-pruned lookup against the deletion-neighborhood table
@@ -1895,10 +1897,14 @@ def typo_expansion_map(
     if not typo.enabled:
         return {}
     disabled = {w.lower() for w in typo.disable_on_words}
+
+    def _numeric(t: str) -> bool:
+        return typo.disable_on_numbers and any(c.isdigit() for c in t)
+
     fuzzy = {
         t: (2 if len(t) >= typo.two_typos else 1)
         for t in dict.fromkeys(q_terms)
-        if len(t) >= typo.one_typo and t not in disabled
+        if len(t) >= typo.one_typo and t not in disabled and not _numeric(t)
     }
     if not fuzzy:
         return {}
@@ -1935,6 +1941,10 @@ def typo_expansion_map(
             .orderBy("term")
             .collect()
         ]
+    if typo.disable_on_numbers:
+        # digit-carrying dictionary words never serve as alternates
+        # ('2024' must not match '2025')
+        cands = [c for c in cands if not any(ch.isdigit() for ch in c)]
     out: "dict[str, list[str]]" = {}
     for t, d in fuzzy.items():
         exp = [c for c in cands if c != t and _edit_distance(t, c) <= d]

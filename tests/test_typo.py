@@ -301,3 +301,43 @@ def test_cdc_maintains_stored_typo_table(spark, tmp_index_dir):
     fresh = build_typo_table(merged.terms)
     assert merged.typos.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(merged.typos).count() == 0
+
+
+def test_disable_on_numbers(spark):
+    """Meilisearch v1.12 typoTolerance.disableOnNumbers: digit-carrying
+    query words never typo-expand, and digit-carrying dictionary words
+    never serve as alternates ('12345' must not match '12346')."""
+    from meilibridge_spark.config import (
+        ASCII_TOKEN_PATTERN,
+        AnalyzerConfig,
+        IndexConfig,
+        TypoToleranceConfig,
+    )
+    from meilibridge_spark.operators.search import typo_expansion_map
+    from meilibridge_spark.plans.build import build_index
+
+    rows = [
+        (0, "release 12345 stable"),
+        (1, "release 12346 nightly"),
+        (2, "stable branch only"),
+    ]
+    cfg = IndexConfig(
+        index_name="typo-num",
+        primary_key=("doc_id",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    idx = build_index(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        cfg,
+        doc_id_col="doc_id",
+    )
+    on = TypoToleranceConfig.make(disable_on_numbers=True)
+    off = TypoToleranceConfig.make()
+    # digit query word: no expansion with the flag, expands without
+    assert typo_expansion_map(idx, ["12345"], on) == {}
+    assert typo_expansion_map(idx, ["12345"], off) == {"12345": ["12346"]}
+    # digit dictionary words never serve as alternates either
+    # ('stabl3' is a digit-carrying QUERY word -> also not expanded)
+    assert typo_expansion_map(idx, ["stabl3"], on) == {}
+    # plain words still expand normally under the flag
+    assert typo_expansion_map(idx, ["stible"], on) == {"stible": ["stable"]}
