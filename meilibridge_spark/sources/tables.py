@@ -546,6 +546,48 @@ def snapshot_log(index_dir: str) -> "list[dict]":
     return _read_manifest(index_dir)["snapshots"]
 
 
+def get_settings(
+    index_dir: str, snapshot_id: "int | None" = None
+) -> dict:
+    """``GET /indexes/{uid}/settings`` analog: the settings surface the
+    index was BUILT with, in the endpoint's camelCase response shape,
+    read from the snapshot entry's stored settings (per-entry since the
+    round-4 ADVICE fix — asking about snapshot N answers with N's
+    settings even after later saves). Engine-internal knobs
+    (shard_range, block_size) are reported under ``engine`` — the
+    endpoint has no slot for them and the distinction matters
+    (Meilisearch settings are mutable; these two are baked into the
+    stored bytes)."""
+    manifest = _read_manifest(index_dir)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshot in {index_dir}")
+    sid = snapshot_id if snapshot_id is not None else manifest["current"]
+    entry = next(
+        (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
+    )
+    if entry is None:
+        raise KeyError(f"snapshot {sid} not in {index_dir}")
+    meta = entry.get("index") or manifest.get("index") or {}
+    geo = meta.get("geo_attributes")
+    return {
+        "indexUid": meta.get("name"),
+        "primaryKey": list(meta.get("primary_key", [])),
+        "searchableAttributes": list(meta.get("searchable_attributes", [])),
+        "filterableAttributes": list(meta.get("filterable_attributes", []))
+        + (["_geo"] if geo else []),
+        "sortableAttributes": list(meta.get("sortable_attributes", []))
+        + (["_geo"] if geo else []),
+        "distinctAttribute": meta.get("distinct_attribute"),
+        "geoAttributes": list(geo) if geo else None,
+        "engine": {
+            "shardRange": meta.get("shard_range"),
+            "blockSize": meta.get("block_size"),
+            "attrsTfEncoding": meta.get("attrs_tf_encoding"),
+        },
+        "snapshotId": sid,
+    }
+
+
 def expire_snapshots(index_dir: str, keep_last: int = 1) -> "list[int]":
     """Iceberg ``expire_snapshots`` analog: drop all but the newest
     ``keep_last`` snapshots — manifest entries removed first (commit

@@ -462,3 +462,44 @@ def test_snapshot_settings_are_per_entry(spark, tmp_index_dir):
     latest = load_snapshot(spark, tmp_index_dir, CFG)
     assert latest.attrs is None
     assert latest.cfg.filterable_attributes == ("tool",)
+
+
+def test_get_settings_endpoint_shape(spark, tmp_index_dir):
+    """GET /settings analog: camelCase endpoint shape, per-snapshot
+    answers (an earlier snapshot keeps ITS settings after later saves),
+    _geo reflected in filterable/sortable when geo_attributes set."""
+    import dataclasses
+
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    cfg = dataclasses.replace(
+        CFG,
+        filterable_attributes=("role",),
+        sortable_attributes=("ts",),
+        geo_attributes=("lat", "lng"),
+    )
+    src = generate_transcripts(spark, n_convs=5, seed=3).persist()
+    from pyspark.sql import functions as F
+
+    src = src.withColumn("lat", F.lit(1.0)).withColumn("lng", F.lit(2.0))
+    idx = build_and_save(spark, src, cfg, tmp_index_dir)
+    s = get_settings(tmp_index_dir)
+    assert s["snapshotId"] == idx.snapshot_id
+    assert s["searchableAttributes"] == ["text"]
+    assert s["filterableAttributes"] == ["role", "_geo"]
+    assert s["sortableAttributes"] == ["ts", "_geo"]
+    assert s["geoAttributes"] == ["lat", "lng"]
+    assert s["engine"]["blockSize"] == cfg.block_size
+    # a later save with different settings must not rewrite snapshot 1's
+    cfg2 = dataclasses.replace(cfg, filterable_attributes=("tool",))
+    build_and_save(spark, src, cfg2, tmp_index_dir, recreate=False)
+    assert get_settings(tmp_index_dir, snapshot_id=1)[
+        "filterableAttributes"
+    ] == ["role", "_geo"]
+    assert get_settings(tmp_index_dir)["filterableAttributes"] == [
+        "tool", "_geo",
+    ]
+    with pytest.raises(KeyError):
+        get_settings(tmp_index_dir, snapshot_id=99)
