@@ -378,3 +378,63 @@ def delete_by_filter(
         F.lit(ts).cast("timestamp").alias("ts"),
     )
     return apply_cdc(index, events, cfg)
+
+
+def edit_documents(
+    index: "InvertedIndex",
+    edits: "dict[str, str]",
+    ts,
+    filter_expr: "str | None" = None,
+    cfg: "IndexConfig | None" = None,
+) -> "InvertedIndex":
+    """Meilisearch ``POST /indexes/{uid}/documents/edit`` (v1.10
+    edit-documents-by-function): apply ``edits`` to every document
+    matching ``filter_expr`` (all documents when None) and MERGE the
+    results through the incremental CDC path, so the outcome is
+    byte-identical to rebuilding from an equivalently edited corpus.
+
+    ``edits`` maps an updatable field (sources/cdc.UPDATABLE_FIELDS —
+    the same surface a CDC partial update may touch, mirroring the
+    reference's UpdateFields map, pkg/bridge/mongo.go:252-262) to a
+    Spark SQL expression evaluated over the CURRENT document row —
+    the Spark-native analog of Meilisearch's RHAI ``function`` with
+    ``doc`` bound (e.g. ``{"text": "upper(text)"}``,
+    ``{"role": "'assistant'"}``). Constants the expression needs play
+    Meilisearch's ``context`` — inline them (expressions are strings,
+    so f-string or ``lit``-style quoting both work).
+
+    Cost ∝ matching docs + affected-term postings, exactly like
+    :func:`delete_by_filter`: one pushed-down docs scan resolves the
+    filter, the new field values are computed in the SAME scan (no
+    second pass), and apply_cdc touches only affected terms' blocks.
+    """
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.sources.cdc import CDC_SCHEMA, UPDATABLE_FIELDS
+
+    if not edits:
+        raise ValueError("edit_documents needs at least one edit")
+    bad = sorted(set(edits) - set(UPDATABLE_FIELDS))
+    if bad:
+        raise ValueError(
+            f"non-updatable field(s) {bad}; CDC partial updates may "
+            f"touch {sorted(UPDATABLE_FIELDS)}"
+        )
+    rows = index.docs
+    if filter_expr is not None:
+        ids = filter_doc_ids(index, filter_expr)
+        rows = rows.join(ids, "doc_id", "left_semi")
+    pairs = []
+    for field, expr in sorted(edits.items()):
+        pairs.append(F.lit(field))
+        pairs.append(F.expr(expr).cast("string"))
+    f = {x.name: x.dataType for x in CDC_SCHEMA.fields}
+    events = rows.select(
+        F.lit("update").alias("op"),
+        "conv_id",
+        "turn_idx",
+        F.lit(None).cast(f["full_document"]).alias("full_document"),
+        F.create_map(*pairs).alias("updated_fields"),
+        F.lit(None).cast(f["removed_fields"]).alias("removed_fields"),
+        F.lit(ts).cast("timestamp").alias("ts"),
+    )
+    return apply_cdc(index, events, cfg)

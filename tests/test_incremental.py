@@ -501,3 +501,82 @@ def test_delta_commit_refuses_stale_base(spark, tmp_index_dir):
     save_snapshot_delta(d1, tmp_index_dir)  # current -> 2
     with pytest.raises(ValueError, match="concurrent commit"):
         save_snapshot_delta(d2, tmp_index_dir)
+
+
+def test_edit_documents_equals_fresh_rebuild(spark):
+    """Edit-documents-by-function (Meilisearch POST /documents/edit,
+    v1.10): SQL-expression edits over the filtered docs MERGE through
+    the CDC path and land byte-identical to a fresh build of the
+    edited corpus; non-updatable fields and empty edits error loudly."""
+    import datetime as dt
+
+    from meilibridge_spark.plans.incremental import edit_documents
+
+    cfg = IndexConfig(index_name="editf", filterable_attributes=("role",))
+    src = generate_transcripts(spark, n_convs=10, seed=6).persist()
+    base = build_index(src, cfg)
+    base.docs = base.docs.persist()
+    base.postings = base.postings.persist()
+    ts = dt.datetime(2026, 1, 2)
+    new = edit_documents(
+        base,
+        {"text": "upper(text)", "role": "'editor'"},
+        ts,
+        filter_expr="role = 'user'",
+    )
+    # the edited rows carry the computed values, untouched rows don't
+    edited_src = src.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("role") == "user", F.lit("editor"))
+        .otherwise(F.col("role"))
+        .alias("role"),
+        F.when(F.col("role") == "user", F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+    )
+    diff = (
+        new.docs.alias("n")
+        .join(edited_src.alias("e"), ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("n.text") != F.col("e.text"))
+            | (F.col("n.role") != F.col("e.role"))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert new.n_docs == base.n_docs  # updates never change the key set
+    # postings byte-identical to a fresh build of the final doc state
+    final_src = new.docs.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_id"
+    )
+    fresh = build_index(final_src, cfg, doc_id_col="doc_id")
+    a = _postings_pdf(new.postings)
+    b = _postings_pdf(fresh.postings)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        assert a[col].tolist() == b[col].tolist(), f"postings {col}"
+    with pytest.raises(ValueError, match="non-updatable"):
+        edit_documents(base, {"ts": "ts"}, ts)
+    with pytest.raises(ValueError, match="at least one edit"):
+        edit_documents(base, {}, ts)
+
+
+def test_edit_documents_no_filter_touches_all(spark):
+    """filter_expr=None edits every document (Meilisearch semantics:
+    the filter is optional; the function applies corpus-wide)."""
+    import datetime as dt
+
+    from meilibridge_spark.plans.incremental import edit_documents
+
+    cfg = IndexConfig(index_name="editall")
+    src = generate_transcripts(spark, n_convs=5, seed=8).persist()
+    base = build_index(src, cfg)
+    new = edit_documents(
+        base, {"text": "concat(text, ' zzmarker')"}, dt.datetime(2026, 1, 3)
+    )
+    n = new.docs.count()
+    assert new.docs.filter(F.col("text").endswith(" zzmarker")).count() == n
+    # the appended term is now searchable on every doc
+    assert search(new, "zzmarker", n + 5).count() == n
