@@ -1072,6 +1072,63 @@ def _q_facet_exhaustive(terms_text: str, attrs: "tuple[str, ...]"):
     return run
 
 
+def _q_fed_facets(query: str, merge: bool):
+    """Meilisearch v1.11 federated facets: facetsByIndex over the plain
+    and synonym-expanding indexes; merge=True sums counts across
+    indexes (federation.mergeFacets)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.federation import federated_facets
+
+        a = _docs_index(spark, sf_dir)
+        b = _docs_index(spark, sf_dir, "syn")
+        return federated_facets(
+            [("plain", a, 1.0), ("syn", b, 1.0)],
+            query,
+            {"plain": ["lang"], "syn": ["lang", "source"]},
+            merge=merge,
+        )
+
+    return run
+
+
+def _sql_fed_facets(merge: bool) -> str:
+    branches = """
+  SELECT 'plain' AS index_uid, 'lang' AS facet, d.lang::VARCHAR AS value,
+         count(*)::BIGINT AS count
+  FROM documents d JOIN ca USING (doc_id) WHERE d.lang IS NOT NULL GROUP BY 3
+  UNION ALL
+  SELECT 'syn', 'lang', d.lang::VARCHAR, count(*)::BIGINT
+  FROM documents d JOIN cb USING (doc_id) WHERE d.lang IS NOT NULL GROUP BY 3
+  UNION ALL
+  SELECT 'syn', 'source', d.source::VARCHAR, count(*)::BIGINT
+  FROM documents d JOIN cb USING (doc_id) WHERE d.source IS NOT NULL GROUP BY 3
+"""
+    head = f"""WITH {_sql_tok()},
+ca AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'join')),
+cb AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'slow', 'join')),
+c AS ({branches})
+"""
+    if not merge:
+        return head + """
+SELECT index_uid, facet, value, count FROM (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY index_uid, facet ORDER BY value ASC) AS rn
+  FROM c
+) t WHERE rn <= 100 ORDER BY index_uid, facet, value
+"""
+    return head + """
+, m AS (
+  SELECT facet, value, sum(count)::BIGINT AS count
+  FROM c GROUP BY facet, value
+)
+SELECT facet, value, count FROM (
+  SELECT m.*, row_number() OVER (PARTITION BY facet ORDER BY value ASC) AS rn
+  FROM m
+) t WHERE rn <= 100 ORDER BY facet, value
+"""
+
+
 def _sql_facet_exhaustive(terms: "list[str]", attrs: "tuple[str, ...]") -> str:
     inlist = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
     branches = "\nUNION ALL\n".join(
@@ -1860,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_exhaustive": _q_facet_exhaustive(
             "spark join", ("lang", "source")
         ),
+        "ft_fed_facets": _q_fed_facets("fast join", merge=False),
+        "ft_fed_facets_merged": _q_fed_facets("fast join", merge=True),
         "ft_doc_lengths": _q_doc_lengths,
         "sim_similar_docs": _q_similar_docs,
         "docs_fetch": _q_docs_fetch,
@@ -2318,6 +2377,8 @@ SELECT facet, value, "count" FROM (
         "ft_facet_exhaustive": _sql_facet_exhaustive(
             ["spark", "join"], ("lang", "source")
         ),
+        "ft_fed_facets": _sql_fed_facets(merge=False),
+        "ft_fed_facets_merged": _sql_fed_facets(merge=True),
         "ft_federated": f"""
 WITH {_sql_tok()},
 sc AS (

@@ -22,9 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from meilibridge_spark.functions.tokenizer import parse_query
-from meilibridge_spark.operators.relational import ranking_scores
+from meilibridge_spark.operators.relational import (
+    facet_distribution_exhaustive,
+    ranking_scores,
+)
 from meilibridge_spark.operators.search import InvertedIndex, search
 
 
@@ -88,3 +92,77 @@ def federated_search(
         F.col("index_uid").asc(),
         F.col("doc_id").asc(),
     ).limit(k or max(t[1].cfg.max_total_hits for t in targets))
+
+
+def federated_facets(
+    targets: "list[tuple[str, InvertedIndex, float]]",
+    query: str,
+    facets_by_index: "dict[str, list[str]]",
+    merge: bool = False,
+    max_values: int = 100,
+    per_index_filter_docs: "dict[str, DataFrame] | None" = None,
+) -> DataFrame:
+    """Meilisearch v1.11 federated facets: ``federation.facetsByIndex``
+    (per-index facet distributions over each index's FULL candidate
+    set for the shared ``query``) and ``federation.mergeFacets``
+    (``merge=True``: one distribution, counts summed across indexes,
+    capped at ``max_values`` values per facet — Meilisearch's
+    ``mergeFacets.maxValuesPerFacet``).
+
+    Output: ``(index_uid, facet, value, count)`` per-index, or
+    ``(facet, value, count)`` merged; values alphabetical within each
+    facet (the engine's facet ordering, matching
+    relational.facet_distribution).
+
+    Plan shape: one exhaustive candidate resolution per index (the
+    same pruned posting scan + semi-join facet_distribution_exhaustive
+    pays — Meilisearch computes federation facets from each index's
+    full candidate bitmap, not the merged hit page), then a union of
+    T tiny aggregated frames; the merge GROUPs only aggregated
+    (facet, value) counts, never doc-granular rows.
+    """
+    if not targets:
+        raise ValueError("federated_facets needs at least one target")
+    uid_of = {u: idx for u, idx, _ in targets}
+    unknown = sorted(set(facets_by_index) - set(uid_of))
+    if unknown:
+        raise ValueError(
+            f"facetsByIndex names unknown index_uid(s) {unknown}; "
+            f"targets are {sorted(uid_of)}"
+        )
+    parts = []
+    for uid, attrs in sorted(facets_by_index.items()):
+        if not attrs:
+            continue
+        filt = (per_index_filter_docs or {}).get(uid)
+        # merged mode caps AFTER summing across indexes (Meilisearch's
+        # mergeFacets.maxValuesPerFacet) — a per-index cap here would
+        # silently drop counts from values that survive the merge
+        per_index_cap = (1 << 31) - 1 if merge else max_values
+        dist = facet_distribution_exhaustive(
+            uid_of[uid], query, list(attrs), filter_docs=filt,
+            max_values=per_index_cap,
+        )
+        parts.append(dist.select(F.lit(uid).alias("index_uid"), "*"))
+    spark = targets[0][1].postings.sparkSession
+    if not parts:
+        schema = "facet string, value string, count bigint"
+        if not merge:
+            schema = "index_uid string, " + schema
+        return spark.createDataFrame([], schema)
+    dists = parts[0]
+    for p in parts[1:]:
+        dists = dists.unionByName(p)
+    if not merge:
+        return dists.orderBy("index_uid", "facet", "value")
+    merged = (
+        dists.groupBy("facet", "value")
+        .agg(F.sum("count").alias("count"))
+    )
+    w = Window.partitionBy("facet").orderBy(F.col("value").asc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_values)
+        .drop("_rn")
+        .orderBy("facet", "value")
+    )

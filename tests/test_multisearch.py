@@ -194,3 +194,56 @@ def test_multi_search_prefix_option_groups_and_matches_single(idxs):
     # the plain request sees no 'jo*' expansion: only docs containing
     # the literal term 'spark' score ('jo' is unindexed)
     assert {d for _, d, _ in by_req[1]} == {0, 1, 3, 4}
+
+
+def test_federated_facets_merge_identity(spark):
+    """Merged federated facets (federation.mergeFacets) == summing the
+    per-index facetsByIndex distributions by (facet, value); unknown
+    index_uid in facetsByIndex errors loudly."""
+    from meilibridge_spark.operators.federation import federated_facets
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    a = build_index(docs, _cfg("fa"))
+    b = build_index(docs.filter(F.col("lang") == "en"), _cfg("fb"))
+    targets = [("a", a, 1.0), ("b", b, 1.0)]
+    fbi = {"a": ["lang"], "b": ["lang"]}
+    per = federated_facets(targets, "spark join", fbi, merge=False)
+    merged = federated_facets(targets, "spark join", fbi, merge=True)
+    want = {
+        (r["facet"], r["value"]): r["count"]
+        for r in per.groupBy("facet", "value")
+        .agg(F.sum("count").alias("count"))
+        .collect()
+    }
+    got = {(r["facet"], r["value"]): r["count"] for r in merged.collect()}
+    assert got == want and got  # non-empty and identical
+    rows = {(r["index_uid"], r["value"]): r["count"] for r in per.collect()}
+    # index b only holds the en slice
+    assert ("b", "de") not in rows and rows[("a", "de")] > 0
+    with pytest.raises(ValueError, match="unknown index_uid"):
+        federated_facets(targets, "spark", {"zz": ["lang"]})
+
+
+def test_federated_facets_merge_cap_after_sum(spark):
+    """The merged cap keeps the FIRST max_values values of the merged
+    distribution with full cross-index counts (cap after sum, not
+    per-index)."""
+    from meilibridge_spark.operators.federation import federated_facets
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    a = build_index(docs, _cfg("fca"))
+    b = build_index(docs, _cfg("fcb"))
+    targets = [("a", a, 1.0), ("b", b, 1.0)]
+    merged = federated_facets(
+        targets, "spark join", {"a": ["lang"], "b": ["lang"]},
+        merge=True, max_values=1,
+    )
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["value"] == "de"
+    per = federated_facets(
+        targets, "spark join", {"a": ["lang"], "b": ["lang"]}, merge=False
+    )
+    want = sum(
+        r["count"] for r in per.collect() if r["value"] == "de"
+    )
+    assert rows[0]["count"] == want
