@@ -1072,6 +1072,35 @@ def _q_facet_exhaustive(terms_text: str, attrs: "tuple[str, ...]"):
     return run
 
 
+def _q_retrieve_vectors(terms_text: str, k: int):
+    """Meilisearch retrieveVectors (v1.10): top-k hits with each doc's
+    stored embedding attached (_vectors; NULL when the doc has none).
+    Projected to (dim, first component) so the gate compares exact
+    ints + 6dp floats instead of raw float arrays."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.relational import with_vectors
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, k)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = with_vectors(hits, emb, hit_bound=k)
+        return out.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.when(F.col("_vectors").isNull(), F.lit(-1))
+            .otherwise(F.size("_vectors"))
+            .cast("int")
+            .alias("dim"),
+            F.round(F.element_at("_vectors", 1).cast("double"), 6).alias(
+                "v0"
+            ),
+        )
+
+    return run
+
+
 def _q_fed_facets(query: str, merge: bool):
     """Meilisearch v1.11 federated facets: facetsByIndex over the plain
     and synonym-expanding indexes; merge=True sums counts across
@@ -1919,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_fed_facets": _q_fed_facets("fast join", merge=False),
         "ft_fed_facets_merged": _q_fed_facets("fast join", merge=True),
+        "ft_retrieve_vectors": _q_retrieve_vectors("spark join", 10),
         "ft_doc_lengths": _q_doc_lengths,
         "sim_similar_docs": _q_similar_docs,
         "docs_fetch": _q_docs_fetch,
@@ -2379,6 +2409,18 @@ SELECT facet, value, "count" FROM (
         ),
         "ft_fed_facets": _sql_fed_facets(merge=False),
         "ft_fed_facets_merged": _sql_fed_facets(merge=True),
+        "ft_retrieve_vectors": (
+            _sql_scores(["spark", "join"])
+            + """
+, topk AS (SELECT doc_id, s FROM scores ORDER BY s DESC, doc_id LIMIT 10)
+SELECT t.doc_id, round(t.s, 4)::DOUBLE AS score,
+       (CASE WHEN e.vec_id IS NULL THEN -1 ELSE len(e.embedding) END)::INT
+         AS dim,
+       round(e.embedding[1]::DOUBLE, 6) AS v0
+FROM topk t LEFT JOIN embeddings e ON e.vec_id = t.doc_id
+ORDER BY t.s DESC, t.doc_id
+"""
+        ),
         "ft_federated": f"""
 WITH {_sql_tok()},
 sc AS (

@@ -49,6 +49,41 @@ def hits_with_docs(
     )
 
 
+def with_vectors(
+    hits: DataFrame,
+    embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hit_bound: "int | None" = None,
+) -> DataFrame:
+    """Meilisearch ``retrieveVectors: true`` (v1.10): attach each hit's
+    stored embedding as a ``_vectors`` column (NULL when the document
+    has none — the endpoint's ``_vectors: {}`` case).
+
+    ``embeddings`` is an embeddings DataFrame ``(id_col, vec_col)`` or
+    a stored :class:`~meilibridge_spark.sources.tables.VectorIndex`
+    (its partitioned ``assigned`` table is probed; ``id_col``/
+    ``vec_col`` then come from the layout).
+
+    Plan shape: the big embeddings table is probed with a broadcast
+    INNER join on the (bounded) hit ids — never the preserved side of
+    an outer join, which Spark can't broadcast — then the <=|hits|-row
+    probe result left-joins back onto the hits. One pruned scan of two
+    embedding columns; no embeddings shuffle.
+    """
+    from meilibridge_spark.sources.tables import VectorIndex
+
+    if isinstance(embeddings, VectorIndex):
+        id_col, vec_col = embeddings.id_col, embeddings.vec_col
+        embeddings = embeddings.assigned
+    ids = _maybe_broadcast(hits.select("doc_id"), hit_bound)
+    probe = embeddings.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(vec_col).alias("_vectors"),
+    ).join(ids, "doc_id")
+    return hits.join(probe, "doc_id", "left")
+
+
 def facet_counts(
     hits: DataFrame,
     docs: DataFrame,

@@ -314,3 +314,34 @@ def test_ranking_score_fusion_mode(built):
         search_hybrid_many(
             idx, emb, queries, vecs, k=5, pool=5, score_mode="rrf"
         )
+
+
+def test_with_vectors_retrieve(spark, built):
+    """retrieveVectors analog: hits carry their stored embedding,
+    docs without one get NULL (_vectors: {}); a stored VectorIndex is
+    accepted in place of the raw embeddings frame."""
+    from meilibridge_spark.operators.relational import with_vectors
+    from meilibridge_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from meilibridge_spark.sources.tables import VectorIndex
+
+    idx, emb = built
+    hits = search(idx, "spark join", 5)
+    out = with_vectors(hits, emb, hit_bound=5)
+    got = {r["doc_id"]: r["_vectors"] for r in out.collect()}
+    assert got[0] == [0.0, 1.0] and got[1] == [0.5, 0.5]
+    assert got[4] is None  # doc 4 has no embedding
+    assert out.count() == hits.count()  # left join never drops hits
+    # VectorIndex form resolves id/vec cols from the layout
+    cents = ivf_centroids(emb, 2, "vec_id", "embedding")
+    assigned = emb.join(ivf_assign(emb, cents, "vec_id", "embedding"), "vec_id")
+    vec = VectorIndex(
+        centroids=cents, assigned=assigned, n_centroids=2, n_probe=2
+    )
+    got2 = {
+        r["doc_id"]: r["_vectors"]
+        for r in with_vectors(hits, vec, hit_bound=5).collect()
+    }
+    assert got2 == got
