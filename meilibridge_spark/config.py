@@ -251,6 +251,69 @@ class IndexConfig:
         """Reference normalizes names: spaces -> dashes (config/config.go)."""
         return self.index_name.strip().replace(" ", "-")
 
+    def to_json_dict(self) -> dict:
+        """JSON-serializable form of the FULL config (analyzer and typo
+        settings included — unlike the snapshot manifest's settings
+        surface, which only carries what loaders must adopt). Used by
+        the dump exporter; round-trips through :meth:`from_json_dict`.
+        """
+        import dataclasses
+
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "IndexConfig":
+        """Rebuild an IndexConfig from :meth:`to_json_dict` output after
+        a JSON round-trip (lists back to the tuples the frozen
+        dataclasses use; nested analyzer/typo reconstructed)."""
+        an = d.get("analyzer") or {}
+        ty = d.get("typo") or {}
+        analyzer = AnalyzerConfig(
+            token_pattern=an.get("token_pattern", DEFAULT_TOKEN_PATTERN),
+            lowercase=bool(an.get("lowercase", True)),
+            stop_words=tuple(an.get("stop_words") or ()),
+            synonyms=tuple(
+                (w, tuple(g)) for w, g in (an.get("synonyms") or ())
+            ),
+            dictionary=tuple(an.get("dictionary") or ()),
+        )
+        typo = TypoToleranceConfig(
+            enabled=bool(ty.get("enabled", True)),
+            one_typo=int(ty.get("one_typo", 5)),
+            two_typos=int(ty.get("two_typos", 9)),
+            disable_on_words=tuple(ty.get("disable_on_words") or ()),
+            disable_on_attributes=tuple(
+                ty.get("disable_on_attributes") or ()
+            ),
+            disable_on_numbers=bool(ty.get("disable_on_numbers", False)),
+        )
+        geo = d.get("geo_attributes")
+        cfg = cls(
+            index_name=d["index_name"],
+            primary_key=tuple(d.get("primary_key") or ("conv_id", "turn_idx")),
+            fields=tuple((k, v) for k, v in (d.get("fields") or ())),
+            searchable_attributes=tuple(
+                d.get("searchable_attributes") or ("text",)
+            ),
+            displayed_attributes=tuple(d.get("displayed_attributes") or ()),
+            filterable_attributes=tuple(d.get("filterable_attributes") or ()),
+            filter_fold_case=bool(d.get("filter_fold_case", False)),
+            sortable_attributes=tuple(d.get("sortable_attributes") or ()),
+            distinct_attribute=d.get("distinct_attribute"),
+            geo_attributes=tuple(geo) if geo else None,
+            analyzer=analyzer,
+            typo=typo,
+            words_ranking=bool(d.get("words_ranking", False)),
+            k1=float(d.get("k1", DEFAULT_K1)),
+            b=float(d.get("b", DEFAULT_B)),
+            max_total_hits=int(d.get("max_total_hits", DEFAULT_MAX_TOTAL_HITS)),
+            n_salts=int(d.get("n_salts", 8)),
+            block_size=int(d.get("block_size", DEFAULT_BLOCK_SIZE)),
+            shard_range=int(d.get("shard_range", 1 << 14)),
+        )
+        cfg.validate()
+        return cfg
+
     def projection(self) -> list[tuple[str, str]]:
         """(source_col, out_col) pairs; S7 updateItemKeys semantics:
         keep only listed keys, rename when value non-empty."""

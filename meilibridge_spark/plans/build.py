@@ -147,12 +147,27 @@ def build_and_save(
         n_docs=n_docs, avgdl=avgdl, positions=positions, attrs=attrs,
         typos=typos,
     )
-    save_snapshot(
-        index,
+    # journal the commit as a /tasks-shaped record (sources/tasks.py).
+    # Deviation recorded: recreate=True wipes index_dir (journal
+    # included) — the journal is per index LIFETIME, not per instance.
+    from meilibridge_spark.sources.tasks import task_scope
+
+    with task_scope(
         index_dir,
-        parent_id=None,
-        extra_metrics={"build_seconds": round(time.time() - t0, 3)},
-        max_ts=max_ts,
-    )
+        "documentAdditionOrUpdate",
+        index_uid=cfg.normalized_name(),
+    ) as task:
+        save_snapshot(
+            index,
+            index_dir,
+            parent_id=None,
+            extra_metrics={"build_seconds": round(time.time() - t0, 3)},
+            max_ts=max_ts,
+        )
+        task["details"] = {
+            "receivedDocuments": n_docs,
+            "indexedDocuments": n_docs,
+            "snapshotId": index.snapshot_id,
+        }
     # staging kept until next build for cheap resume; a fresh recreate clears it
     return index

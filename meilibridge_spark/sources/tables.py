@@ -107,6 +107,23 @@ def index_exists(index_dir: str) -> bool:
     return _read_manifest(index_dir)["current"] is not None
 
 
+def stored_index_config(
+    index_dir: str, snapshot_id: "int | None" = None
+) -> "IndexConfig | None":
+    """The FULL IndexConfig a stored snapshot was built with, or None
+    for pre-full-config manifests. Loading with this cfg reproduces the
+    build's analyzer/typo/BM25 behavior exactly — the GET /settings and
+    dump-export entry point."""
+    manifest = _read_manifest(index_dir)
+    sid = snapshot_id or manifest["current"]
+    entry = next(
+        (s for s in manifest["snapshots"] if s["snapshot_id"] == sid), None
+    )
+    meta = (entry or {}).get("index") or manifest.get("index") or {}
+    cj = meta.get("config")
+    return IndexConfig.from_json_dict(cj) if cj else None
+
+
 def delete_index(index_dir: str) -> None:
     """S16 DeleteIndex analog."""
     if os.path.isdir(index_dir):
@@ -130,6 +147,13 @@ def _index_meta(index: InvertedIndex) -> dict:
     return {
         "name": index.cfg.normalized_name(),
         "primary_key": list(index.cfg.primary_key),
+        # the FULL build configuration (analyzer, typo, BM25 params —
+        # everything, not just the adoptable surface below): settings
+        # live with the index, exactly Meilisearch's model. Loaders
+        # adopt any field the caller left at its default; dumps
+        # (sources/dumps.py) record this verbatim so an import
+        # re-indexes with the original analyzer.
+        "config": index.cfg.to_json_dict(),
         # layout constants baked into the stored postings bytes: block
         # segmentation and shard-aligned block ids depend on them, and
         # the query-side scatter-add derives dense-array offsets from
@@ -439,26 +463,42 @@ def load_snapshot(
             "min-rank tf encoding; this engine version reads attribute "
             "bitmasks (attrs_tf_encoding='mask') — rebuild the index"
         )
-    # adopt the BUILT settings surface for any attribute list the caller
-    # left at its default — filter/sort/distinct enforcement is then
-    # defined by the index (manifest), not by the loading CLI/cfg; an
-    # explicitly-set caller value still wins (tests/overrides).
+    # adopt the BUILT settings for any field the caller left at its
+    # default — enforcement (filters, sorts, analyzer, typo, BM25
+    # params) is then defined by the index (manifest), not by whatever
+    # cfg the loading CLI happens to construct; an explicitly-set
+    # caller value still wins (tests/overrides). Snapshots written
+    # since the full-config entry carry cfg.to_json_dict() verbatim;
+    # older ones fall back to the legacy adoptable-surface knobs.
     import dataclasses
 
     adopted = {}
-    for knob, default in (
-        ("searchable_attributes", IndexConfig.__dataclass_fields__[
-            "searchable_attributes"].default),
-        ("filterable_attributes", ()),
-        ("sortable_attributes", ()),
-        ("distinct_attribute", None),
-        ("geo_attributes", None),
-    ):
-        stored = meta.get(knob)
-        if stored is not None and getattr(cfg, knob) == default:
-            adopted[knob] = (
-                tuple(stored) if isinstance(stored, list) else stored
-            )
+    stored_cfg_json = meta.get("config")
+    if stored_cfg_json is not None:
+        stored_cfg = IndexConfig.from_json_dict(stored_cfg_json)
+        for f in dataclasses.fields(IndexConfig):
+            if f.default is not dataclasses.MISSING:
+                default = f.default
+            elif f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+                default = f.default_factory()  # type: ignore[misc]
+            else:
+                continue  # index_name: required, caller's always wins
+            if getattr(cfg, f.name) == default:
+                adopted[f.name] = getattr(stored_cfg, f.name)
+    else:
+        for knob, default in (
+            ("searchable_attributes", IndexConfig.__dataclass_fields__[
+                "searchable_attributes"].default),
+            ("filterable_attributes", ()),
+            ("sortable_attributes", ()),
+            ("distinct_attribute", None),
+            ("geo_attributes", None),
+        ):
+            stored = meta.get(knob)
+            if stored is not None and getattr(cfg, knob) == default:
+                adopted[knob] = (
+                    tuple(stored) if isinstance(stored, list) else stored
+                )
     if adopted:
         cfg = dataclasses.replace(cfg, **adopted)
 
@@ -579,6 +619,14 @@ def get_settings(
         + (["_geo"] if geo else []),
         "distinctAttribute": meta.get("distinct_attribute"),
         "geoAttributes": list(geo) if geo else None,
+        # v1.12 settings, present when the snapshot stores its full
+        # config (post-round-4 manifests); endpoint defaults otherwise
+        "prefixSearch": (meta.get("config") or {}).get(
+            "prefix_search", "indexingTime"
+        ),
+        "facetSearch": bool(
+            (meta.get("config") or {}).get("facet_search", True)
+        ),
         "engine": {
             "shardRange": meta.get("shard_range"),
             "blockSize": meta.get("block_size"),
@@ -663,6 +711,23 @@ def compact_snapshot(
     """
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
+    from meilibridge_spark.sources.tasks import task_scope
+
+    with task_scope(
+        index_dir, "snapshotCompaction", index_uid=cfg.normalized_name()
+    ) as _task:
+        return _compact_snapshot(
+            spark, index_dir, cfg, target_file_bytes, _task
+        )
+
+
+def _compact_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig,
+    target_file_bytes: int,
+    _task: dict,
+) -> int:
     index = load_snapshot(spark, index_dir, cfg)
     manifest = _read_manifest(index_dir)
     by_id = {s["snapshot_id"]: s for s in manifest["snapshots"]}
@@ -707,6 +772,8 @@ def compact_snapshot(
                 target_file_bytes
             )
     _write_manifest(index_dir, manifest)
+    _task["details"] = {"snapshotId": new_id,
+                        "deltaLevelsCollapsed": len(chain) - 1}
     return new_id
 
 
@@ -851,12 +918,23 @@ def swap_aliases(aliases_path: str, a: str, b: str) -> None:
     alias, then swap it with the live one). Both names must exist —
     swapping with an unset name is a loud error, like Meilisearch's
     index_not_found for swaps."""
-    aliases = _read_aliases(aliases_path)
-    for n in (a, b):
-        if n not in aliases:
-            raise KeyError(f"alias {n!r} not found; have: {sorted(aliases)}")
-    aliases[a], aliases[b] = aliases[b], aliases[a]
-    _write_aliases(aliases_path, aliases)
+    from meilibridge_spark.sources.tasks import task_scope
+
+    # indexSwap task journaled beside the alias registry (the registry
+    # dir plays the instance role for this instance-level operation)
+    with task_scope(
+        os.path.dirname(os.path.abspath(aliases_path)) or ".",
+        "indexSwap",
+        details={"swaps": [{"indexes": sorted((a, b))}]},
+    ):
+        aliases = _read_aliases(aliases_path)
+        for n in (a, b):
+            if n not in aliases:
+                raise KeyError(
+                    f"alias {n!r} not found; have: {sorted(aliases)}"
+                )
+        aliases[a], aliases[b] = aliases[b], aliases[a]
+        _write_aliases(aliases_path, aliases)
 
 
 def load_aliased(

@@ -81,29 +81,43 @@ def start_cdc_sync(
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index = load_snapshot(spark, index_dir, cfg)
-        if view_of is not None:
-            from meilibridge_spark.operators.views import view_cdc_events
+        from meilibridge_spark.sources.tasks import task_scope
 
-            batch_df = view_cdc_events(view_of(), batch_df)
-        merged = apply_cdc(index, batch_df, cfg)
-        if delta_commits:
-            save_snapshot_delta(
+        # each micro-batch commit is one journaled task (/tasks analog
+        # — the reference WaitForTask's every write; a failed epoch
+        # surfaces as a failed task a monitor can poll for)
+        with task_scope(
+            index_dir,
+            "documentAdditionOrUpdate",
+            index_uid=cfg.normalized_name(),
+            details={"cdcEpoch": int(epoch_id)},
+        ) as task:
+            index = load_snapshot(spark, index_dir, cfg)
+            if view_of is not None:
+                from meilibridge_spark.operators.views import view_cdc_events
+
+                batch_df = view_cdc_events(view_of(), batch_df)
+            merged = apply_cdc(index, batch_df, cfg)
+            if delta_commits:
+                save_snapshot_delta(
+                    merged,
+                    index_dir,
+                    extra_metrics={"cdc_epoch": int(epoch_id)},
+                )
+                task["details"] = {"snapshotId": merged.snapshot_id,
+                                   "delta": True}
+                return
+            merged.docs = merged.docs.persist()
+            merged.postings = merged.postings.persist()
+            save_snapshot(
                 merged,
                 index_dir,
+                parent_id=index.snapshot_id,
                 extra_metrics={"cdc_epoch": int(epoch_id)},
             )
-            return
-        merged.docs = merged.docs.persist()
-        merged.postings = merged.postings.persist()
-        save_snapshot(
-            merged,
-            index_dir,
-            parent_id=index.snapshot_id,
-            extra_metrics={"cdc_epoch": int(epoch_id)},
-        )
-        merged.docs.unpersist()
-        merged.postings.unpersist()
+            merged.docs.unpersist()
+            merged.postings.unpersist()
+            task["details"] = {"snapshotId": merged.snapshot_id}
 
     reader = (
         source

@@ -1,0 +1,191 @@
+"""Dumps: portable export/import (Meilisearch POST /dumps and
+--import-dump). A dump carries original documents + the full build
+config and importing RE-INDEXES — the upgrade / cross-cluster
+migration path, vs snapshots which carry engine-internal bytes.
+
+Invariants tested:
+- config JSON round-trip is lossless (every IndexConfig field);
+- import(dump(index)) serves rank-identical results for every query
+  class the source index served (typo, phrase, attrs, facets);
+- per-turn text equality of the dumped documents vs the source table;
+- vectors round-trip: the imported IVF layout probes identically;
+- commit-marker semantics (no dump.json -> not a dump; import refuses
+  a non-empty index_dir).
+"""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from meilibridge_spark.config import AnalyzerConfig, IndexConfig, TypoToleranceConfig
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_and_save
+from meilibridge_spark.sources.dumps import (
+    create_dump,
+    create_dump_from_dir,
+    import_dump,
+    read_dump_meta,
+)
+from meilibridge_spark.sources.tables import load_snapshot, save_vector_index
+from meilibridge_spark.sources.transcripts import generate_transcripts
+
+CFG = IndexConfig(
+    index_name="dump src",
+    analyzer=AnalyzerConfig.make(
+        stop_words=["ba"], synonyms={"difo": ["digu"]}, dictionary=["babace"]
+    ),
+    typo=TypoToleranceConfig(one_typo=4, disable_on_numbers=True),
+    filterable_attributes=("role",),
+    sortable_attributes=("ts",),
+    displayed_attributes=("conv_id", "turn_idx", "text"),
+    filter_fold_case=True,
+    words_ranking=True,
+    k1=1.3,
+    b=0.8,
+)
+
+QUERIES = ["baba", "baba cedi", "difo", "haki loba mune"]
+
+
+def _hits(index, q):
+    return [
+        (r["doc_id"], r["score"])
+        for r in search(index, q, 10).orderBy("doc_id").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def dirs():
+    d = tempfile.mkdtemp(prefix="mbdump_")
+    yield {
+        "src": os.path.join(d, "src_index"),
+        "dump": os.path.join(d, "dump"),
+        "dst": os.path.join(d, "dst_index"),
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def src_index(spark, dirs):
+    sdf = generate_transcripts(spark, n_convs=30, seed=11)
+    return build_and_save(
+        spark, sdf, CFG, dirs["src"],
+        with_positions=True, with_attributes=True, with_typos=True,
+    )
+
+
+def test_config_json_round_trip():
+    d = json.loads(json.dumps(CFG.to_json_dict()))
+    assert IndexConfig.from_json_dict(d) == CFG
+
+
+def test_config_round_trip_defaults():
+    cfg = IndexConfig(index_name="plain")
+    d = json.loads(json.dumps(cfg.to_json_dict()))
+    assert IndexConfig.from_json_dict(d) == cfg
+
+
+def test_dump_import_rank_identical(spark, dirs, src_index):
+    meta = create_dump(src_index, dirs["dump"])
+    assert meta["n_docs"] == src_index.n_docs
+    assert meta["features"]["positions"] and meta["features"]["typos"]
+
+    imported = import_dump(spark, dirs["dump"], dirs["dst"])
+    assert imported.n_docs == src_index.n_docs
+    assert imported.cfg == src_index.cfg
+    for q in QUERIES:
+        assert _hits(imported, q) == _hits(src_index, q), q
+
+
+def test_dump_documents_text_equality(spark, dirs, src_index):
+    """Per-turn text equality under stable (conv_id, turn_idx) order —
+    the dump carries the ORIGINAL rows, no engine columns."""
+    dumped = spark.read.parquet(os.path.join(dirs["dump"], "documents"))
+    assert "doc_id" not in dumped.columns and "dl" not in dumped.columns
+    src = generate_transcripts(spark, n_convs=30, seed=11)
+    a = dumped.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+    b = src.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_imported_snapshot_reloads_and_serves(spark, dirs, src_index):
+    """The import is a REAL committed index: a fresh load_snapshot of
+    the target dir (new session-side state) serves the same results."""
+    re = load_snapshot(spark, dirs["dst"], CFG)
+    assert re.typos is not None and re.positions is not None
+    for q in QUERIES:
+        assert _hits(re, q) == _hits(src_index, q), q
+
+
+def test_dump_from_dir_matches_live_dump(spark, dirs, src_index, tmp_index_dir):
+    """POST /dumps analog dumps the STORED snapshot's own settings."""
+    d2 = os.path.join(tmp_index_dir, "dump2")
+    meta = create_dump_from_dir(spark, dirs["src"], d2)
+    assert meta["config"] == src_index.cfg.to_json_dict()
+    assert meta["n_docs"] == src_index.n_docs
+
+
+def test_vectors_round_trip(spark, tmp_index_dir):
+    from meilibridge_spark.operators.similarity import build_vector_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    src_dir = os.path.join(tmp_index_dir, "v_src")
+    dump_dir = os.path.join(tmp_index_dir, "v_dump")
+    dst_dir = os.path.join(tmp_index_dir, "v_dst")
+
+    sdf = generate_transcripts(spark, n_convs=8, seed=5)
+    cfg = IndexConfig(index_name="vec dump")
+    idx = build_and_save(spark, sdf, cfg, src_dir)
+    vec = build_vector_index(emb, n_centroids=3, n_probe=2, train_iters=2)
+    save_vector_index(vec, src_dir)
+
+    meta = create_dump_from_dir(spark, src_dir, dump_dir)
+    assert meta["features"]["vectors"] == {
+        "id_col": "vec_id", "vec_col": "embedding",
+        "n_centroids": 3, "n_probe": 2,
+    }
+    imported = import_dump(spark, dump_dir, dst_dir)
+    iv = imported.vectors
+    assert iv is not None
+    assert (iv.n_centroids, iv.n_probe) == (3, 2)
+    # every dumped embedding survives into the retrained layout
+    # (assignment labels may differ in float-sum order across the
+    # re-partitioned retrain; membership and serving quality may not)
+    assert sorted(
+        r["vec_id"] for r in iv.assigned.select("vec_id").collect()
+    ) == list(range(24))
+    # the imported layout at full probe serves EXACT top-k — the
+    # recall contract the quantizer exists to trade against
+    from meilibridge_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.5]), (1, [0.0, 2.0, 1.0])],
+        "query_id long, query_vec array<double>",
+    )
+    exact = cosine_topk(emb, queries, k=3)
+    probed = ivf_topk(
+        emb, queries, k=3, n_centroids=3, n_probe=3,
+        centroids=iv.centroids, assigned=iv.assigned,
+    )
+    key = ["query_id", "vec_id", "cos"]
+    assert sorted(map(tuple, probed.select(*key).collect())) == sorted(
+        map(tuple, exact.select(*key).collect())
+    )
+
+
+def test_import_refuses_existing_index(spark, dirs, src_index):
+    with pytest.raises(FileExistsError):
+        import_dump(spark, dirs["dump"], dirs["src"])
+
+
+def test_uncommitted_dump_is_not_a_dump(spark, tmp_index_dir):
+    d = os.path.join(tmp_index_dir, "half_dump")
+    os.makedirs(os.path.join(d, "documents"))
+    with pytest.raises(FileNotFoundError):
+        read_dump_meta(d)

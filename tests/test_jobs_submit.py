@@ -59,6 +59,28 @@ def test_build_then_query_via_spark_submit(tmp_path):
     scores = [h["score"] for h in res["hits"]]
     assert scores == sorted(scores, reverse=True)
 
+    # dump export -> import into a fresh dir -> the imported index
+    # serves the same query (dump.py is the upgrade/migration path)
+    dump_dir = str(tmp_path / "dump")
+    idx2_dir = str(tmp_path / "idx2")
+    dumped = json.loads(_submit(
+        zip_path, "dump.py", "export",
+        "--index-dir", idx_dir, "--dump-dir", dump_dir,
+    ))
+    assert dumped["n_docs"] == built["n_docs"]
+    imported = json.loads(_submit(
+        zip_path, "dump.py", "import",
+        "--dump-dir", dump_dir, "--index-dir", idx2_dir,
+    ))
+    assert imported["n_docs"] == built["n_docs"]
+    res2 = json.loads(_submit(
+        zip_path, "query.py",
+        "--index-dir", idx2_dir, "--query", "baba cedi", "-k", "3",
+    ))
+    assert [(h["doc_id"], h["score"]) for h in res2["hits"]] == [
+        (h["doc_id"], h["score"]) for h in res["hits"]
+    ]
+
 
 @pytest.mark.skipif(
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"

@@ -1,0 +1,155 @@
+"""Task journal (/tasks API analog, sources/tasks.py): lifecycle
+transitions, Meilisearch-shaped records, filtered/keyset listing,
+cancelation rules, the WaitForTask barrier (the reference waits on a
+task after every write: pkg/meilisearch/meilisearch.go:30), and the
+engine integration (build/compact/dump/swap each journal one task)."""
+
+import concurrent.futures
+import os
+
+import pytest
+
+from meilibridge_spark.sources import tasks as T
+
+
+def test_lifecycle_shape(tmp_index_dir):
+    rec = T.submit_task(
+        tmp_index_dir, "documentAdditionOrUpdate", index_uid="idx",
+        details={"receivedDocuments": 3},
+    )
+    assert rec["uid"] == 0 and rec["status"] == "enqueued"
+    assert set(rec) == {
+        "uid", "indexUid", "status", "type", "details", "error",
+        "duration", "enqueuedAt", "startedAt", "finishedAt",
+    }
+    T._transition(tmp_index_dir, 0, "processing")
+    got = T.get_task(tmp_index_dir, 0)
+    assert got["status"] == "processing" and got["startedAt"] is not None
+    T._transition(tmp_index_dir, 0, "succeeded",
+                  details={"indexedDocuments": 3}, started_monotonic=0.0)
+    got = T.get_task(tmp_index_dir, 0)
+    assert got["status"] == "succeeded"
+    assert got["details"] == {"receivedDocuments": 3, "indexedDocuments": 3}
+    assert got["finishedAt"] is not None
+    assert got["duration"].startswith("PT") and got["duration"].endswith("S")
+
+
+def test_terminal_is_final(tmp_index_dir):
+    rec = T.submit_task(tmp_index_dir, "settingsUpdate")
+    T._transition(tmp_index_dir, rec["uid"], "succeeded")
+    with pytest.raises(ValueError, match="terminal"):
+        T._transition(tmp_index_dir, rec["uid"], "processing")
+
+
+def test_unknown_type_and_uid(tmp_index_dir):
+    with pytest.raises(ValueError, match="unknown task type"):
+        T.submit_task(tmp_index_dir, "nonsense")
+    with pytest.raises(KeyError):
+        T.get_task(tmp_index_dir, 99)
+
+
+def test_task_scope_success_and_failure(tmp_index_dir):
+    with T.task_scope(tmp_index_dir, "dumpCreation", index_uid="i") as t:
+        t["details"] = {"dumpUid": "d1"}
+    ok = T.get_task(tmp_index_dir, t["uid"])
+    assert ok["status"] == "succeeded" and ok["details"] == {"dumpUid": "d1"}
+
+    with pytest.raises(RuntimeError):
+        with T.task_scope(tmp_index_dir, "indexSwap") as t2:
+            raise RuntimeError("boom")
+    bad = T.get_task(tmp_index_dir, t2["uid"])
+    assert bad["status"] == "failed"
+    assert bad["error"] == {"message": "RuntimeError: boom"}
+
+
+def test_get_tasks_filters_and_keyset_pagination(tmp_index_dir):
+    for i in range(7):
+        rec = T.submit_task(
+            tmp_index_dir, "documentAdditionOrUpdate",
+            index_uid=f"idx{i % 2}",
+        )
+        if i % 2 == 0:
+            T._transition(tmp_index_dir, rec["uid"], "succeeded")
+    page1 = T.get_tasks(tmp_index_dir, limit=3)
+    assert [r["uid"] for r in page1["results"]] == [6, 5, 4]  # newest first
+    assert page1["total"] == 7 and page1["from"] == 6 and page1["next"] == 3
+    page2 = T.get_tasks(tmp_index_dir, from_uid=page1["next"], limit=3)
+    assert [r["uid"] for r in page2["results"]] == [3, 2, 1]
+    page3 = T.get_tasks(tmp_index_dir, from_uid=page2["next"], limit=3)
+    assert [r["uid"] for r in page3["results"]] == [0]
+    assert page3["next"] is None
+
+    done = T.get_tasks(tmp_index_dir, statuses=["succeeded"])
+    assert [r["uid"] for r in done["results"]] == [6, 4, 2, 0]
+    by_idx = T.get_tasks(tmp_index_dir, index_uids=["idx1"])
+    assert [r["uid"] for r in by_idx["results"]] == [5, 3, 1]
+    assert T.get_tasks(tmp_index_dir, types=["indexSwap"])["total"] == 0
+
+
+def test_cancel_only_enqueued(tmp_index_dir):
+    a = T.submit_task(tmp_index_dir, "documentAdditionOrUpdate")
+    b = T.submit_task(tmp_index_dir, "documentAdditionOrUpdate")
+    T._transition(tmp_index_dir, b["uid"], "processing")
+    out = T.cancel_tasks(tmp_index_dir, [a["uid"], b["uid"], 42])
+    assert out["canceled_uids"] == [a["uid"]]
+    assert T.get_task(tmp_index_dir, a["uid"])["status"] == "canceled"
+    assert T.get_task(tmp_index_dir, b["uid"])["status"] == "processing"
+    assert out["task"]["type"] == "taskCancelation"
+    assert out["task"]["details"]["matchedTasks"] == 3
+    assert out["task"]["details"]["canceledTasks"] == 1
+
+
+def test_wait_for_task(tmp_index_dir):
+    rec = T.submit_task(tmp_index_dir, "settingsUpdate")
+    with pytest.raises(TimeoutError):
+        T.wait_for_task(tmp_index_dir, rec["uid"], timeout=0.15)
+    T._transition(tmp_index_dir, rec["uid"], "succeeded")
+    assert T.wait_for_task(tmp_index_dir, rec["uid"])["status"] == "succeeded"
+
+
+def test_concurrent_submits_get_unique_uids(tmp_index_dir):
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        uids = [
+            f.result()["uid"]
+            for f in [
+                ex.submit(T.submit_task, tmp_index_dir, "settingsUpdate")
+                for _ in range(24)
+            ]
+        ]
+    assert sorted(uids) == list(range(24))
+
+
+def test_build_and_dump_journal_tasks(spark, tmp_index_dir):
+    """Engine integration: a full build journals one succeeded
+    documentAdditionOrUpdate; dump export journals dumpCreation on the
+    source; import journals dumpImport (after its own build task) on
+    the target."""
+    from meilibridge_spark.config import IndexConfig
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.dumps import create_dump_from_dir, import_dump
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    src_dir = os.path.join(tmp_index_dir, "src")
+    dump_dir = os.path.join(tmp_index_dir, "dump")
+    dst_dir = os.path.join(tmp_index_dir, "dst")
+    sdf = generate_transcripts(spark, n_convs=6, seed=3)
+    idx = build_and_save(spark, sdf, IndexConfig(index_name="t"), src_dir)
+
+    built = T.get_tasks(src_dir, types=["documentAdditionOrUpdate"])
+    assert built["total"] == 1
+    rec = built["results"][0]
+    assert rec["status"] == "succeeded" and rec["indexUid"] == "t"
+    assert rec["details"]["indexedDocuments"] == idx.n_docs
+    assert rec["details"]["snapshotId"] == 1
+
+    create_dump_from_dir(spark, src_dir, dump_dir)
+    dc = T.get_tasks(src_dir, types=["dumpCreation"])
+    assert dc["total"] == 1 and dc["results"][0]["status"] == "succeeded"
+    assert dc["results"][0]["details"]["dumpUid"] == "dump"
+
+    import_dump(spark, dump_dir, dst_dir)
+    di = T.get_tasks(dst_dir)
+    assert [r["type"] for r in di["results"]] == [
+        "dumpImport", "documentAdditionOrUpdate",
+    ]
+    assert all(r["status"] == "succeeded" for r in di["results"])
