@@ -198,6 +198,12 @@ class IndexConfig:
     #: by (matched_terms desc, score desc, doc_id asc) instead of pure
     #: BM25. Off by default — the north_rule contract is BM25 ordering.
     words_ranking: bool = False
+    #: Meilisearch v1.12 index settings: ``prefixSearch`` ("indexingTime"
+    #: = last-word prefix matching available, the default; "disabled" =
+    #: prefix requests match exact words only) and ``facetSearch``
+    #: (False disables the POST /facet-search endpoint analog).
+    prefix_search: str = "indexingTime"
+    facet_search: bool = True
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS
@@ -237,6 +243,11 @@ class IndexConfig:
             raise ConfigError("block_size must be >= 2")
         if self.n_salts < 1:
             raise ConfigError("n_salts must be >= 1")
+        if self.prefix_search not in ("indexingTime", "disabled"):
+            raise ConfigError(
+                "prefix_search must be 'indexingTime' or 'disabled', "
+                f"got {self.prefix_search!r}"
+            )
         if self.geo_attributes is not None and (
             isinstance(self.geo_attributes, str)
             or len(self.geo_attributes) != 2
@@ -304,6 +315,8 @@ class IndexConfig:
             analyzer=analyzer,
             typo=typo,
             words_ranking=bool(d.get("words_ranking", False)),
+            prefix_search=d.get("prefix_search", "indexingTime"),
+            facet_search=bool(d.get("facet_search", True)),
             k1=float(d.get("k1", DEFAULT_K1)),
             b=float(d.get("b", DEFAULT_B)),
             max_total_hits=int(d.get("max_total_hits", DEFAULT_MAX_TOTAL_HITS)),

@@ -127,6 +127,7 @@ def facet_search(
     max_values: int = 100,
     hit_bound: "int | None" = None,
     sort_by: str = "alpha",
+    cfg: "IndexConfig | None" = None,
 ) -> DataFrame:
     """Q8 facet-value search (Meilisearch ``POST /indexes/{uid}/facet-search``):
     facet values of ``attr`` whose string form starts with ``facet_query``
@@ -146,6 +147,17 @@ def facet_search(
     """
     if sort_by not in ("alpha", "count"):
         raise ValueError(f"sort_by must be 'alpha' or 'count', got {sort_by!r}")
+    if cfg is not None and not cfg.facet_search:
+        # v1.12 facetSearch=false: the endpoint is disabled per index
+        # (Meilisearch invalid_facet_search_disabled — a loud 400, not
+        # an empty result). Pass cfg=None to use this as a bare
+        # relational primitive outside the endpoint analog.
+        from meilibridge_spark.config import ConfigError
+
+        raise ConfigError(
+            f"facet search is disabled for index {cfg.index_name!r} "
+            "(facet_search=False)"
+        )
     vals = docs.select(
         "doc_id", F.col(attr).cast("string").alias("value")
     ).where(F.col("value").isNotNull())

@@ -1145,6 +1145,8 @@ def search_many(
         )
         exp_map = typo_expansion_map(index, all_q_terms, typo_cfg)
     pref_map: "dict[str, list[str]]" = {}
+    if prefix and index.cfg.prefix_search == "disabled":
+        prefix = False  # v1.12 prefixSearch=disabled: exact words only
     if prefix:
         # Meilisearch last-word prefix semantics for the whole batch:
         # ONE job resolves every unique last-word prefix (pushed
@@ -2035,8 +2037,12 @@ def search_prefix(
     k: "int | None" = None,
     max_expansions: int = 10,
 ) -> DataFrame:
-    """BM25 top-k with last-word prefix expansion."""
+    """BM25 top-k with last-word prefix expansion. With the v1.12
+    index setting ``prefix_search='disabled'`` the expansion is a
+    no-op (exact words only), matching Meilisearch — not an error."""
     q_terms = parse_query(query, index.cfg.analyzer)
+    if index.cfg.prefix_search == "disabled":
+        return search(index, " ".join(q_terms), k)
     expanded = prefix_expand_terms(index, q_terms, max_expansions)
     return search(index, " ".join(expanded), k)
 

@@ -3,6 +3,7 @@
 parse_collection, plus prefix-search and facet-extension units."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from meilibridge_spark.config import (
     ASCII_TOKEN_PATTERN,
@@ -177,3 +178,65 @@ def test_search_many_prefix_bounded_and_strategy(idx):
         matching_strategy="all",
     ).collect()
     assert {r["doc_id"] for r in rows} == {0}
+
+
+# --- v1.12 index settings: prefixSearch / facetSearch ---------------
+
+def test_prefix_search_disabled_is_exact_words(idx):
+    """prefixSearch='disabled' (Meilisearch v1.12): prefix requests
+    silently match exact words only — single and batch paths agree."""
+    import dataclasses
+
+    from meilibridge_spark.operators.search import (
+        search,
+        search_many,
+        search_prefix,
+    )
+
+    off = dataclasses.replace(
+        idx, cfg=dataclasses.replace(idx.cfg, prefix_search="disabled")
+    )
+    # 'jo' is not an indexed word: expansion off -> no hits
+    assert search_prefix(off, "jo", 10).count() == 0
+    assert search_many(off, [("a", "jo")], k=10, prefix=True).count() == 0
+    # 'join' IS a word: exact matches only (no joined/joint riders)
+    exact = [(r["doc_id"], round(r["score"], 9))
+             for r in search(off, "join", 10).collect()]
+    via_prefix = [(r["doc_id"], round(r["score"], 9))
+                  for r in search_prefix(off, "join", 10).collect()]
+    assert via_prefix == exact and {d for d, _ in exact} == {1}
+
+
+def test_facet_search_disabled_raises(spark, idx):
+    import dataclasses
+
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.operators.relational import facet_search
+
+    docs = idx.docs.withColumn("lang", F.lit("EN"))
+    # enabled (default) and cfg=None both serve
+    assert facet_search(None, docs, "lang", cfg=idx.cfg).count() == 1
+    assert facet_search(None, docs, "lang").count() == 1
+    off = dataclasses.replace(idx.cfg, facet_search=False)
+    with pytest.raises(ConfigError, match="facet search is disabled"):
+        facet_search(None, docs, "lang", cfg=off)
+
+
+def test_prefix_search_setting_validated_and_in_settings(spark, tmp_index_dir):
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+
+    with pytest.raises(ConfigError, match="prefix_search"):
+        IndexConfig(index_name="x", prefix_search="never").validate()
+
+    cfg = IndexConfig(
+        index_name="s12", prefix_search="disabled", facet_search=False
+    )
+    sdf = spark.createDataFrame(
+        [("c", 0, "hello world")], "conv_id string, turn_idx int, text string"
+    )
+    build_and_save(spark, sdf, cfg, tmp_index_dir)
+    st = get_settings(tmp_index_dir)
+    assert st["prefixSearch"] == "disabled"
+    assert st["facetSearch"] is False
