@@ -23,6 +23,15 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", default=None)
+    ap.add_argument("--source-format", default="parquet",
+                    choices=("parquet", "ndjson", "json", "csv"),
+                    help="document payload format (ndjson/csv follow "
+                         "Meilisearch's payload conventions; csv "
+                         "headers may be typed 'field:type')")
+    ap.add_argument("--source-schema", default=None,
+                    help="DDL schema for the payload ('transcripts' = "
+                         "the standard transcript columns); skips the "
+                         "json inference pass")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--continue", dest="cont", action="store_true")
     ap.add_argument(
@@ -92,7 +101,16 @@ def main() -> None:
     if args.synthetic_convs:
         source = generate_transcripts(spark, n_convs=args.synthetic_convs, seed=args.seed)
     elif args.source:
-        source = spark.read.parquet(args.source)
+        from meilibridge_spark.sources.ingest import read_documents
+
+        schema = args.source_schema
+        if schema == "transcripts":
+            from meilibridge_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+            schema = TRANSCRIPT_SCHEMA
+        source = read_documents(
+            spark, args.source, fmt=args.source_format, schema=schema
+        )
     else:
         ap.error("--source or --synthetic-convs required")
         return
