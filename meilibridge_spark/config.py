@@ -204,6 +204,13 @@ class IndexConfig:
     #: (False disables the POST /facet-search endpoint analog).
     prefix_search: str = "indexingTime"
     facet_search: bool = True
+    #: Meilisearch ``faceting`` index settings: ``maxValuesPerFacet``
+    #: (default 100) and ``sortFacetValuesBy`` ("alpha" default /
+    #: "count" — the endpoint's {"*": ...} form, one rule for all
+    #: facets). Used as the endpoint-shaped defaults by the facet
+    #: distribution paths; explicit per-call args still win.
+    faceting_max_values: int = 100
+    faceting_sort_by: str = "alpha"
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS
@@ -248,6 +255,13 @@ class IndexConfig:
                 "prefix_search must be 'indexingTime' or 'disabled', "
                 f"got {self.prefix_search!r}"
             )
+        if self.faceting_sort_by not in ("alpha", "count"):
+            raise ConfigError(
+                "faceting_sort_by must be 'alpha' or 'count', got "
+                f"{self.faceting_sort_by!r}"
+            )
+        if self.faceting_max_values < 1:
+            raise ConfigError("faceting_max_values must be >= 1")
         if self.geo_attributes is not None and (
             isinstance(self.geo_attributes, str)
             or len(self.geo_attributes) != 2
@@ -317,6 +331,8 @@ class IndexConfig:
             words_ranking=bool(d.get("words_ranking", False)),
             prefix_search=d.get("prefix_search", "indexingTime"),
             facet_search=bool(d.get("facet_search", True)),
+            faceting_max_values=int(d.get("faceting_max_values", 100)),
+            faceting_sort_by=d.get("faceting_sort_by", "alpha"),
             k1=float(d.get("k1", DEFAULT_K1)),
             b=float(d.get("b", DEFAULT_B)),
             max_total_hits=int(d.get("max_total_hits", DEFAULT_MAX_TOTAL_HITS)),

@@ -491,8 +491,11 @@ def main() -> None:
             )
         attrs = [a.strip() for a in args.facets.split(",") if a.strip()]
         fd: "dict[str, dict]" = {a: {} for a in attrs}
+        # faceting index settings drive the endpoint-shaped defaults
         for r in facet_distribution(
-            full, index.docs, attrs, hit_bound=cap
+            full, index.docs, attrs, hit_bound=cap,
+            max_values=index.cfg.faceting_max_values,
+            sort_by=index.cfg.faceting_sort_by,
         ).collect():
             fd[r["facet"]][r["value"]] = r["count"]
         resp["facetDistribution"] = fd

@@ -188,11 +188,15 @@ def facet_distribution(
     attrs: "list[str]",
     max_values: int = 100,
     hit_bound: "int | None" = None,
+    sort_by: str = "alpha",
 ) -> DataFrame:
     """Q8 multi-facet form (Meilisearch facetDistribution): value counts
     for SEVERAL facet attributes over the matching docs in ONE job ->
-    (facet, value, count), <= max_values values per facet,
-    lexicographic within each facet.
+    (facet, value, count), <= max_values values per facet.
+    ``sort_by`` maps the ``faceting.sortFacetValuesBy`` index setting:
+    'alpha' (default, lexicographic within each facet) or 'count'
+    (count-desc, value-asc ties) — the cap keeps the TOP values under
+    the chosen order, exactly the setting's semantics.
 
     One join + one explode of per-row (facet, value) structs + one
     map-side-combined count; the per-facet cap is a window over the
@@ -218,12 +222,21 @@ def facet_distribution(
         .groupBy("facet", "value")
         .agg(F.count("*").alias("count"))
     )
-    w = Window.partitionBy("facet").orderBy(F.col("value").asc())
+    if sort_by not in ("alpha", "count"):
+        raise ValueError(
+            f"sort_by must be 'alpha' or 'count', got {sort_by!r}"
+        )
+    order = (
+        [F.col("value").asc()]
+        if sort_by == "alpha"
+        else [F.col("count").desc(), F.col("value").asc()]
+    )
+    w = Window.partitionBy("facet").orderBy(*order)
     return (
         counts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_values)
         .drop("_rn")
-        .orderBy("facet", "value")
+        .orderBy(F.col("facet"), *order)
     )
 
 

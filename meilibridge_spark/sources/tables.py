@@ -107,6 +107,46 @@ def index_exists(index_dir: str) -> bool:
     return _read_manifest(index_dir)["current"] is not None
 
 
+def list_indexes(root_dir: str, limit: int = 20, offset: int = 0) -> dict:
+    """``GET /indexes`` analog: every immediate child of ``root_dir``
+    holding a committed manifest, uid-sorted, offset/limit paginated ->
+    {results: [{uid, primaryKey, createdAt, updatedAt}], offset,
+    limit, total}. ``createdAt`` is the oldest surviving snapshot's
+    commit time, ``updatedAt`` the current one's — the closest honest
+    analog a snapshot store has (expiry can advance createdAt; the
+    endpoint's values are instance metadata we deliberately don't
+    duplicate)."""
+    results = []
+    for name in sorted(os.listdir(root_dir)) if os.path.isdir(root_dir) else []:
+        child = os.path.join(root_dir, name)
+        if not os.path.isdir(child):
+            continue
+        manifest = _read_manifest(child)
+        if manifest["current"] is None:
+            continue
+        snaps = sorted(manifest["snapshots"], key=lambda s: s["snapshot_id"])
+        cur = next(
+            s for s in snaps if s["snapshot_id"] == manifest["current"]
+        )
+        meta = cur.get("index") or manifest.get("index") or {}
+        pk = meta.get("primary_key") or []
+        results.append(
+            {
+                "uid": meta.get("name", name),
+                "primaryKey": pk[0] if len(pk) == 1 else list(pk),
+                "createdAt": snaps[0]["created_at"],
+                "updatedAt": cur["created_at"],
+            }
+        )
+    total = len(results)
+    return {
+        "results": results[offset : offset + limit],
+        "offset": offset,
+        "limit": limit,
+        "total": total,
+    }
+
+
 def stored_index_config(
     index_dir: str, snapshot_id: "int | None" = None
 ) -> "IndexConfig | None":
@@ -627,6 +667,16 @@ def get_settings(
         "facetSearch": bool(
             (meta.get("config") or {}).get("facet_search", True)
         ),
+        "faceting": {
+            "maxValuesPerFacet": int(
+                (meta.get("config") or {}).get("faceting_max_values", 100)
+            ),
+            "sortFacetValuesBy": {
+                "*": (meta.get("config") or {}).get(
+                    "faceting_sort_by", "alpha"
+                )
+            },
+        },
         "engine": {
             "shardRange": meta.get("shard_range"),
             "blockSize": meta.get("block_size"),

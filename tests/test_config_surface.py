@@ -240,3 +240,50 @@ def test_prefix_search_setting_validated_and_in_settings(spark, tmp_index_dir):
     st = get_settings(tmp_index_dir)
     assert st["prefixSearch"] == "disabled"
     assert st["facetSearch"] is False
+
+
+def test_faceting_settings(spark, idx):
+    """faceting.sortFacetValuesBy='count' + maxValuesPerFacet cap in
+    facet_distribution; validation; settings shape."""
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.operators.relational import facet_distribution
+
+    docs = idx.docs.withColumn(
+        "cat",
+        F.when(F.col("doc_id") < 3, "hot").otherwise(
+            F.concat(F.lit("v"), F.col("doc_id"))
+        ),
+    )
+    hits = docs.select("doc_id")
+    rows = facet_distribution(hits, docs, ["cat"], sort_by="count").collect()
+    assert (rows[0]["value"], rows[0]["count"]) == ("hot", 3)
+    assert [r["value"] for r in rows[1:]] == ["v3", "v4"]  # count ties: alpha
+    capped = facet_distribution(
+        hits, docs, ["cat"], sort_by="count", max_values=2
+    ).collect()
+    assert [(r["value"], r["count"]) for r in capped] == [
+        ("hot", 3), ("v3", 1),
+    ]
+    with pytest.raises(ValueError, match="sort_by"):
+        facet_distribution(hits, docs, ["cat"], sort_by="size")
+    with pytest.raises(ConfigError, match="faceting_sort_by"):
+        IndexConfig(index_name="x", faceting_sort_by="size").validate()
+    with pytest.raises(ConfigError, match="faceting_max_values"):
+        IndexConfig(index_name="x", faceting_max_values=0).validate()
+
+
+def test_faceting_settings_in_get_settings(spark, tmp_index_dir):
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+
+    cfg = IndexConfig(
+        index_name="fct", faceting_max_values=7, faceting_sort_by="count"
+    )
+    sdf = spark.createDataFrame(
+        [("c", 0, "hello world")], "conv_id string, turn_idx int, text string"
+    )
+    build_and_save(spark, sdf, cfg, tmp_index_dir)
+    st = get_settings(tmp_index_dir)
+    assert st["faceting"] == {
+        "maxValuesPerFacet": 7, "sortFacetValuesBy": {"*": "count"},
+    }

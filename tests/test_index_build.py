@@ -503,3 +503,34 @@ def test_get_settings_endpoint_shape(spark, tmp_index_dir):
     ]
     with pytest.raises(KeyError):
         get_settings(tmp_index_dir, snapshot_id=99)
+
+
+def test_list_indexes_endpoint_shape(spark, tmp_index_dir):
+    """GET /indexes analog: committed children only, uid-sorted,
+    offset/limit pagination."""
+    import os
+
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import list_indexes
+
+    sdf = generate_transcripts(spark, n_convs=4, seed=9)
+    for name in ("beta", "alpha"):
+        build_and_save(
+            spark, sdf, IndexConfig(index_name=name),
+            os.path.join(tmp_index_dir, name),
+        )
+    os.makedirs(os.path.join(tmp_index_dir, "not_an_index"))
+    (open(os.path.join(tmp_index_dir, "stray.txt"), "w")).close()
+
+    out = list_indexes(tmp_index_dir)
+    assert out["total"] == 2 and out["offset"] == 0
+    assert [r["uid"] for r in out["results"]] == ["alpha", "beta"]
+    r = out["results"][0]
+    assert r["primaryKey"] == ["conv_id", "turn_idx"]
+    assert r["createdAt"] <= r["updatedAt"]
+
+    page = list_indexes(tmp_index_dir, limit=1, offset=1)
+    assert [r["uid"] for r in page["results"]] == ["beta"]
+    assert page["total"] == 2
+
+    assert list_indexes(os.path.join(tmp_index_dir, "missing"))["total"] == 0
