@@ -501,6 +501,7 @@ def ranking_scores(
     n_query_terms: int,
     n_attrs: "int | None" = None,
     threshold: "float | None" = None,
+    score_details: bool = False,
 ) -> DataFrame:
     """Meilisearch ``showRankingScore`` / ``rankingScoreThreshold``
     analog: a per-hit ``_ranking_score`` in [0, 1], absolute (no
@@ -528,6 +529,14 @@ def ranking_scores(
     ``threshold``: drop hits whose ``_ranking_score`` is below it
     (rankingScoreThreshold). Pure Catalyst arithmetic on the (already
     tiny, <= k rows) hit set — no joins, no shuffle.
+
+    ``score_details``: also emit ``_ranking_score_details``, the
+    ``showRankingScoreDetails`` analog — one struct per hit with a
+    sub-struct per ACTIVE rule in Meilisearch's rule order, each
+    carrying its ``order``, its rule-specific inputs
+    (matchingWords/maxMatchingWords, typoCount/maxTypoCount,
+    attributeRankingOrder, matchType) and its [0, 1] ``score``. Same
+    documented-analog caveat as the global score.
     """
     if n_query_terms <= 0:
         raise ValueError("n_query_terms must be positive")
@@ -557,6 +566,49 @@ def ranking_scores(
         out = out.withColumn(name, expr)
     mean = sum((F.col(n) for n in subs), F.lit(0.0)) / F.lit(float(len(subs)))
     out = out.withColumn("_ranking_score", mean)
+    if score_details:
+        details, order = [], 0
+        details.append(
+            F.struct(
+                F.lit(order).alias("order"),
+                F.col("matched_terms").alias("matchingWords"),
+                F.lit(n_query_terms).alias("maxMatchingWords"),
+                F.col("_score_words").alias("score"),
+            ).alias("words")
+        )
+        if "_score_typo" in subs:
+            order += 1
+            details.append(
+                F.struct(
+                    F.lit(order).alias("order"),
+                    (F.col("matched_terms") - F.col("matched_exact")).alias(
+                        "typoCount"
+                    ),
+                    F.col("matched_terms").alias("maxTypoCount"),
+                    F.col("_score_typo").alias("score"),
+                ).alias("typo")
+            )
+        if "_score_attribute" in subs:
+            order += 1
+            details.append(
+                F.struct(
+                    F.lit(order).alias("order"),
+                    F.col("best_attr").alias("attributeRankingOrder"),
+                    F.col("_score_attribute").alias("score"),
+                ).alias("attribute")
+            )
+        if "_score_exactness" in subs:
+            order += 1
+            details.append(
+                F.struct(
+                    F.lit(order).alias("order"),
+                    F.when(
+                        F.col("exact_form") > 0, F.lit("exactMatch")
+                    ).otherwise(F.lit("noExactMatch")).alias("matchType"),
+                    F.col("_score_exactness").alias("score"),
+                ).alias("exactness")
+            )
+        out = out.withColumn("_ranking_score_details", F.struct(*details))
     if threshold is not None:
         out = out.filter(F.col("_ranking_score") >= threshold)
     return out

@@ -539,6 +539,44 @@ def test_ranking_scores_subscores_and_threshold(spark):
         ranking_scores(w, 2, threshold=1.5)
 
 
+def test_ranking_score_details(spark):
+    """showRankingScoreDetails analog: one sub-struct per ACTIVE rule
+    in rule order, each with its inputs and [0,1] score; inactive rules
+    (columns the hit set lacks) are absent from the struct."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import ranking_scores
+
+    hits = spark.createDataFrame(
+        [(0, 1.0, 2, 1, 2), (1, 0.9, 2, 2, 0)],
+        "doc_id long, score double, matched_terms int, "
+        "matched_exact int, exact_form int",
+    )
+    rows = {
+        r["doc_id"]: r["_ranking_score_details"]
+        for r in ranking_scores(hits, 2, score_details=True).collect()
+    }
+    d0 = rows[0].asDict(recursive=True)
+    assert set(d0) == {"words", "typo", "exactness"}
+    assert d0["words"] == {
+        "order": 0, "matchingWords": 2, "maxMatchingWords": 2, "score": 1.0,
+    }
+    assert d0["typo"]["order"] == 1 and d0["typo"]["typoCount"] == 1
+    assert d0["typo"]["score"] == _pytest.approx(0.5)
+    assert d0["exactness"]["matchType"] == "exactMatch"
+    d1 = rows[1].asDict(recursive=True)
+    assert d1["typo"]["typoCount"] == 0 and d1["typo"]["score"] == 1.0
+    assert d1["exactness"]["matchType"] == "noExactMatch"
+    assert d1["exactness"]["score"] == 0.0
+
+    # words-only hit set -> words-only details
+    w = spark.createDataFrame(
+        [(0, 1.0, 1)], "doc_id long, score double, matched_terms int"
+    )
+    det = ranking_scores(w, 4, score_details=True).collect()[0]
+    assert set(det["_ranking_score_details"].asDict()) == {"words"}
+
+
 def test_federated_search_weighted_merge(spark):
     """Federation merges per-index top-k on weighted ranking score:
     weights re-order across indexes; raw BM25 never crosses indexes."""
