@@ -47,6 +47,11 @@ def main() -> None:
     cn.add_argument("--index-dir", required=True)
     cn.add_argument("--uids", required=True)
 
+    bt = sub.add_parser("batches")
+    bt.add_argument("--index-dir", required=True)
+    bt.add_argument("--from-uid", type=int, default=None)
+    bt.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args()
 
     from meilibridge_spark.sources import tasks as T
@@ -64,6 +69,10 @@ def main() -> None:
         out = T.get_task(args.index_dir, args.uid)
     elif args.cmd == "wait":
         out = T.wait_for_task(args.index_dir, args.uid, timeout=args.timeout)
+    elif args.cmd == "batches":
+        out = T.get_batches(
+            args.index_dir, from_uid=args.from_uid, limit=args.limit
+        )
     else:
         out = T.cancel_tasks(
             args.index_dir, [int(u) for u in args.uids.split(",")]

@@ -150,9 +150,8 @@ def import_dump(
     non-empty instance), rebuilding every dumped feature table
     (positions/attrs/typos, and the IVF vector layout when the dump
     carries vectors)."""
-    from meilibridge_spark.operators.similarity import build_vector_index
-    from meilibridge_spark.plans.build import build_and_save
     from meilibridge_spark.sources.tables import index_exists
+    from meilibridge_spark.sources.tasks import task_batch
 
     meta = read_dump_meta(dump_dir)
     if index_exists(index_dir):
@@ -161,6 +160,19 @@ def import_dump(
             "fresh directory"
         )
     cfg = IndexConfig.from_json_dict(meta["config"])
+    # the import's build task + dumpImport task are ONE batch
+    # (/batches analog)
+    with task_batch(index_dir):
+        return _import_dump(spark, dump_dir, index_dir, meta, cfg)
+
+
+def _import_dump(
+    spark: SparkSession, dump_dir: str, index_dir: str, meta: dict,
+    cfg: IndexConfig,
+) -> InvertedIndex:
+    from meilibridge_spark.operators.similarity import build_vector_index
+    from meilibridge_spark.plans.build import build_and_save
+
     feats = meta["features"]
     docs = spark.read.parquet(os.path.join(dump_dir, "documents"))
     idx = build_and_save(

@@ -26,6 +26,7 @@ Statuses: enqueued -> processing -> succeeded | failed, plus canceled
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import json
 import os
 import time
@@ -103,6 +104,29 @@ def _append(index_dir: str, rec: dict) -> None:
         f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
+#: ambient batch grouping (``/batches`` analog): tasks submitted under
+#: ``with task_batch(index_dir):`` share one batchUid — e.g. a dump
+#: import's build task + dumpImport task are one batch. Outside a
+#: batch every task is its own singleton batch, which is also what
+#: Meilisearch does for tasks it processes alone.
+_BATCH_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "meilibridge_task_batch", default=None
+)
+
+
+@contextlib.contextmanager
+def task_batch(index_dir: str):
+    """Group every task submitted in this context (same ``index_dir``)
+    into one batch. The batch uid is allocated lazily by the first
+    task; yields the state dict whose ``"uid"`` carries it."""
+    state: dict = {"dir": index_dir, "uid": None}
+    tok = _BATCH_CTX.set(state)
+    try:
+        yield state
+    finally:
+        _BATCH_CTX.reset(tok)
+
+
 def submit_task(
     index_dir: str,
     task_type: str,
@@ -117,8 +141,20 @@ def submit_task(
     with _locked(index_dir):
         raw = _read_raw(index_dir)
         uid = max((r["uid"] for r in raw), default=-1) + 1
+        ctx = _BATCH_CTX.get()
+        if ctx is not None and ctx["dir"] == index_dir:
+            if ctx["uid"] is None:
+                ctx["uid"] = (
+                    max((r.get("batchUid", -1) for r in raw), default=-1) + 1
+                )
+            batch_uid = ctx["uid"]
+        else:
+            batch_uid = (
+                max((r.get("batchUid", -1) for r in raw), default=-1) + 1
+            )
         rec = {
             "uid": uid,
+            "batchUid": batch_uid,
             "indexUid": index_uid,
             "status": "enqueued",
             "type": task_type,
@@ -230,6 +266,72 @@ def get_tasks(
         folded = [r for r in folded if r["uid"] <= from_uid]
     page = folded[:limit]
     nxt = folded[limit]["uid"] if len(folded) > limit else None
+    return {
+        "results": page,
+        "total": total,
+        "limit": limit,
+        "from": page[0]["uid"] if page else None,
+        "next": nxt,
+    }
+
+
+def _batch_of(tasks: "list[dict]") -> dict:
+    """Aggregate one batch's folded tasks into the GET /batches shape."""
+    statuses: "dict[str, int]" = {}
+    types: "dict[str, int]" = {}
+    index_uids: "dict[str, int]" = {}
+    for t in tasks:
+        statuses[t["status"]] = statuses.get(t["status"], 0) + 1
+        types[t["type"]] = types.get(t["type"], 0) + 1
+        if t["indexUid"]:
+            index_uids[t["indexUid"]] = index_uids.get(t["indexUid"], 0) + 1
+    started = [t["startedAt"] for t in tasks if t["startedAt"]]
+    finished = [t["finishedAt"] for t in tasks if t["finishedAt"]]
+    done = all(t["status"] in _TERMINAL for t in tasks)
+    return {
+        "uid": tasks[0]["batchUid"],
+        "details": {k: v for t in tasks for k, v in (t["details"] or {}).items()},
+        "stats": {
+            "totalNbTasks": len(tasks),
+            "status": statuses,
+            "types": types,
+            "indexUids": index_uids,
+        },
+        "startedAt": min(started) if started else None,
+        "finishedAt": max(finished) if done and finished else None,
+        "progress": None if done else {
+            "finished": sum(
+                1 for t in tasks if t["status"] in _TERMINAL
+            ),
+            "total": len(tasks),
+        },
+    }
+
+
+def get_batches(
+    index_dir: str, from_uid: "int | None" = None, limit: int = 20
+) -> dict:
+    """``GET /batches`` analog (Meilisearch v1.12): folded tasks
+    grouped by batchUid, newest-first, keyset-paginated like
+    get_tasks. Tasks journaled before the batchUid field existed fold
+    into singleton batches keyed by their own uid."""
+    folded = _fold(_read_raw(index_dir)).values()
+    groups: "dict[int, list[dict]]" = {}
+    for t in folded:
+        groups.setdefault(t.get("batchUid", t["uid"]), []).append(t)
+    for g in groups.values():
+        for t in g:
+            t.setdefault("batchUid", t["uid"])
+    batches = sorted(
+        (_batch_of(g) for g in groups.values()),
+        key=lambda b: b["uid"],
+        reverse=True,
+    )
+    total = len(batches)
+    if from_uid is not None:
+        batches = [b for b in batches if b["uid"] <= from_uid]
+    page = batches[:limit]
+    nxt = batches[limit]["uid"] if len(batches) > limit else None
     return {
         "results": page,
         "total": total,

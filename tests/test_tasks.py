@@ -19,8 +19,8 @@ def test_lifecycle_shape(tmp_index_dir):
     )
     assert rec["uid"] == 0 and rec["status"] == "enqueued"
     assert set(rec) == {
-        "uid", "indexUid", "status", "type", "details", "error",
-        "duration", "enqueuedAt", "startedAt", "finishedAt",
+        "uid", "batchUid", "indexUid", "status", "type", "details",
+        "error", "duration", "enqueuedAt", "startedAt", "finishedAt",
     }
     T._transition(tmp_index_dir, 0, "processing")
     got = T.get_task(tmp_index_dir, 0)
@@ -119,6 +119,45 @@ def test_concurrent_submits_get_unique_uids(tmp_index_dir):
     assert sorted(uids) == list(range(24))
 
 
+def test_batches_grouping_and_stats(tmp_index_dir):
+    """GET /batches analog: singleton batches by default; task_batch
+    groups tasks submitted in its context; stats aggregate per batch."""
+    a = T.submit_task(tmp_index_dir, "settingsUpdate", index_uid="i1")
+    with T.task_batch(tmp_index_dir) as b:
+        t1 = T.submit_task(tmp_index_dir, "documentAdditionOrUpdate",
+                           index_uid="i1")
+        t2 = T.submit_task(tmp_index_dir, "dumpImport", index_uid="i1")
+    c = T.submit_task(tmp_index_dir, "settingsUpdate", index_uid="i2")
+    assert a["batchUid"] == 0
+    assert t1["batchUid"] == t2["batchUid"] == b["uid"] == 1
+    assert c["batchUid"] == 2
+
+    out = T.get_batches(tmp_index_dir)
+    assert out["total"] == 3
+    assert [x["uid"] for x in out["results"]] == [2, 1, 0]
+    grouped = out["results"][1]
+    assert grouped["stats"]["totalNbTasks"] == 2
+    assert grouped["stats"]["types"] == {
+        "documentAdditionOrUpdate": 1, "dumpImport": 1,
+    }
+    assert grouped["stats"]["indexUids"] == {"i1": 2}
+    assert grouped["progress"] == {"finished": 0, "total": 2}
+    assert grouped["finishedAt"] is None  # non-terminal tasks
+
+    T._transition(tmp_index_dir, t1["uid"], "succeeded")
+    T._transition(tmp_index_dir, t2["uid"], "failed", error="x")
+    done = next(
+        x for x in T.get_batches(tmp_index_dir)["results"] if x["uid"] == 1
+    )
+    assert done["progress"] is None and done["finishedAt"] is not None
+    assert done["stats"]["status"] == {"succeeded": 1, "failed": 1}
+
+    page = T.get_batches(tmp_index_dir, limit=2)
+    assert page["next"] == 0
+    assert [x["uid"] for x in T.get_batches(
+        tmp_index_dir, from_uid=page["next"], limit=2)["results"]] == [0]
+
+
 def test_build_and_dump_journal_tasks(spark, tmp_index_dir):
     """Engine integration: a full build journals one succeeded
     documentAdditionOrUpdate; dump export journals dumpCreation on the
@@ -153,3 +192,8 @@ def test_build_and_dump_journal_tasks(spark, tmp_index_dir):
         "dumpImport", "documentAdditionOrUpdate",
     ]
     assert all(r["status"] == "succeeded" for r in di["results"])
+    # the import's two tasks are ONE batch (/batches analog)
+    assert di["results"][0]["batchUid"] == di["results"][1]["batchUid"]
+    ib = T.get_batches(dst_dir)
+    assert ib["total"] == 1
+    assert ib["results"][0]["stats"]["totalNbTasks"] == 2
