@@ -73,6 +73,11 @@ def main() -> None:
     ap.add_argument("--distinct", action="store_true",
                     help="apply the index's distinct_attribute "
                          "(manifest) to the hits (single query)")
+    ap.add_argument("--distinct-attr", default=None,
+                    help="query-time distinct attribute (Meilisearch "
+                         "v1.9 'distinct' search parameter): overrides "
+                         "the index setting for this query; must be a "
+                         "filterable attribute, like the endpoint")
     ap.add_argument("--facets", default=None,
                     help="comma-separated facet attributes: emit a "
                          "facetDistribution block computed over the top "
@@ -126,7 +131,9 @@ def main() -> None:
                  "the scatter-gather path")
     if args.facets and (args.queries_file or args.embeddings):
         ap.error("--facets applies to single keyword queries only")
-    if (args.sort or args.distinct) and (args.queries_file or args.embeddings):
+    if (args.sort or args.distinct or args.distinct_attr) and (
+        args.queries_file or args.embeddings
+    ):
         ap.error("--sort/--distinct apply to single keyword queries only")
     mode = args.mode or "wand"
 
@@ -392,11 +399,24 @@ def main() -> None:
     if args.distinct and not index.cfg.distinct_attribute:
         ap.error("--distinct needs a distinct_attribute in the index "
                  "settings (build with --distinct-attribute)")
+    if args.distinct_attr:
+        # the v1.9 query-time distinct must name a FILTERABLE attribute
+        # (the endpoint's invalid_search_distinct rule); enforcement is
+        # index-defined via the manifest-adopted settings
+        if args.distinct_attr not in index.cfg.filterable_attributes:
+            ap.error(
+                f"--distinct-attr {args.distinct_attr!r} is not a "
+                "filterable attribute of this index "
+                f"(have: {sorted(index.cfg.filterable_attributes)})"
+            )
+    distinct_attr = args.distinct_attr or (
+        index.cfg.distinct_attribute if args.distinct else None
+    )
     if (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
-        and not geo_sort and not args.distinct
+        and not geo_sort and distinct_attr is None
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -404,7 +424,7 @@ def main() -> None:
         # --search-on routes to the DataFrame path (WAND's block-max
         # bounds don't model the attribute restriction); quoted phrases
         # route through the positional-constraint composition
-        post = bool(sort_spec or geo_sort or args.distinct)
+        post = bool(sort_spec or geo_sort or distinct_attr)
         # distinct/sort post-process the top max_total_hits hit set
         # (Meilisearch applies distinct before pagination), so with them
         # the search itself runs uncapped-to-max and offset is applied
@@ -425,12 +445,11 @@ def main() -> None:
                 index, query_text, cap, filter_docs=make_filter(),
                 attributes_to_search_on=search_on, offset=off,
             )
-        if args.distinct:
+        if distinct_attr:
             from meilibridge_spark.operators.relational import distinct_hits
 
             hits_df = distinct_hits(
-                hits_df, index.docs, index.cfg.distinct_attribute,
-                hit_bound=cap,
+                hits_df, index.docs, distinct_attr, hit_bound=cap,
             )
         if sort_spec:
             from meilibridge_spark.operators.relational import sort_hits

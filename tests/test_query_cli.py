@@ -1,0 +1,76 @@
+"""In-process drive of the query-job CLI (jobs/query.py main()) for the
+options whose semantics live in the CLI layer rather than an operator —
+currently the Meilisearch v1.9 query-time ``distinct`` search parameter
+(--distinct-attr): it must override the index's distinct_attribute for
+one query, enforce the endpoint's invalid_search_distinct rule
+(attribute must be filterable), and match the library distinct path
+exactly. build_session getOrCreate()s, so main() reuses the pytest
+SparkSession; spark-submit isolation is covered by test_jobs_submit."""
+
+import json
+import sys
+
+import pytest
+
+from meilibridge_spark.config import IndexConfig
+from meilibridge_spark.operators.relational import distinct_hits
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_and_save
+from meilibridge_spark.sources.transcripts import generate_transcripts
+
+
+QUERY = "baba cedi"
+
+
+@pytest.fixture(scope="module")
+def saved(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("qcli"))
+    src = generate_transcripts(spark, n_convs=60, seed=11)
+    return build_and_save(
+        spark, src,
+        IndexConfig(index_name="qcli", filterable_attributes=("role",)),
+        d,
+    )
+
+
+def _run_cli(monkeypatch, capsys, *args: str) -> dict:
+    from meilibridge_spark.jobs import query as qjob
+
+    monkeypatch.setattr(sys, "argv", ["query.py", *args])
+    qjob.main()
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_distinct_attr_matches_library_path(
+    saved, spark, monkeypatch, capsys
+):
+    k = 10
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "-k", str(k), "--distinct-attr", "role",
+    )
+    cap = saved.cfg.max_total_hits
+    expect = sorted(
+        distinct_hits(
+            search(saved, QUERY, cap), saved.docs, "role", hit_bound=cap
+        ).collect(),
+        key=lambda r: (-round(r["score"], 9), r["doc_id"]),
+    )[:k]
+    assert [h["doc_id"] for h in resp["hits"]] == [
+        r["doc_id"] for r in expect
+    ]
+    # one best hit per attribute value: hit count bounded by the
+    # attribute's cardinality among matching docs
+    n_roles = saved.docs.select("role").distinct().count()
+    assert 0 < len(resp["hits"]) <= n_roles
+
+
+def test_distinct_attr_must_be_filterable(saved, monkeypatch, capsys):
+    with pytest.raises(SystemExit):
+        _run_cli(
+            monkeypatch, capsys,
+            "--index-dir", saved.index_dir, "--query", QUERY,
+            "--distinct-attr", "conv_id",
+        )
+    assert "not a filterable attribute" in capsys.readouterr().err
