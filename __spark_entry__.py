@@ -57,6 +57,16 @@ def _docs_index(spark: SparkSession, sf_dir: str, flavor: str = "plain"):
         # Q11 'attribute' criterion flavor: source is the MORE important
         # searchable attribute (rank 0), text rank 1; attr blocks built
         analyzer = AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN)
+    elif flavor == "septok":
+        # v1.4 tokenizer settings: '-' as nonSeparatorToken keeps the
+        # derived 'table-scan' compounds single terms; '-br-' as
+        # separatorToken splits the derived 'key-br-order' back into
+        # words (separators replace first, so they win over '-')
+        analyzer = AnalyzerConfig.make(
+            token_pattern=ASCII_TOKEN_PATTERN,
+            separator_tokens=("-br-",),
+            non_separator_tokens=("-",),
+        )
     else:  # pragma: no cover
         raise ValueError(flavor)
     cfg = IndexConfig(
@@ -69,6 +79,20 @@ def _docs_index(spark: SparkSession, sf_dir: str, flavor: str = "plain"):
         analyzer=analyzer,
     )
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if flavor == "septok":
+        # derive hyphen compounds / separator-joined words so the v1.4
+        # tokenizer settings are observable on this corpus (the oracle
+        # applies the SAME literal replacements in SQL)
+        from pyspark.sql import functions as F
+
+        src = src.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace("text", "table scan", "table-scan"),
+                "key order",
+                "key-br-order",
+            ),
+        )
     idx = build_index(
         src, cfg, doc_id_col="doc_id", with_attributes=(flavor == "attr")
     )
@@ -125,10 +149,11 @@ def _sql_scores(
     stop: "tuple[str, ...]" = (),
     pattern: str = "[a-z0-9]+",
     term_filter: "str | None" = None,
+    src: str = "documents",
 ) -> str:
     inlist = term_filter or ("(" + ", ".join(f"'{t}'" for t in terms) + ")")
     return f"""
-WITH {_sql_tok(stop, pattern)},
+WITH {_sql_tok(stop, pattern, src)},
 scores AS (
   SELECT tf.doc_id,
          sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -150,9 +175,10 @@ def _sql_topk(
     stop: "tuple[str, ...]" = (),
     pattern: str = "[a-z0-9]+",
     term_filter: "str | None" = None,
+    src: str = "documents",
 ) -> str:
     return (
-        _sql_scores(terms, stop, pattern, term_filter)
+        _sql_scores(terms, stop, pattern, term_filter, src)
         + f"SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "
         f"ORDER BY s DESC, doc_id LIMIT {k}"
     )
@@ -1954,6 +1980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fetch": _q_docs_fetch,
         "stats_fields": _q_field_distribution,
         "scan_count": _q_scan_count,
+        "ft_separator_tokens": _q_topk(
+            "table-scan key order spark", 10, flavor="septok"
+        ),
     }
 
 
@@ -2901,4 +2930,18 @@ FROM frames
     # the star alternation is output-identical to label propagation —
     # one oracle serves both connected-components entries
     out["dd_clusters_star"] = out["dd_clusters"]
+    # v1.4 separator settings: same literal text derivation as the
+    # engine flavor, separator '-br-' modeled as a space replacement
+    # pre-tokenization, '-' spliced into the token class
+    septok_src = (
+        "(SELECT doc_id, replace(replace(replace(text, "
+        "'table scan', 'table-scan'), 'key order', 'key-br-order'), "
+        "'-br-', ' ') AS text FROM documents)"
+    )
+    out["ft_separator_tokens"] = _sql_topk(
+        ["table-scan", "key", "order", "spark"],
+        10,
+        pattern="[a-z0-9-]+",
+        src=septok_src,
+    )
     return out

@@ -81,6 +81,15 @@ class AnalyzerConfig:
       longest-match alternation pre-pended to the pattern (Q2).
     - ``stop_words``: dropped at index and query time (config/type.go:60).
     - ``synonyms``: query-side expansion word -> group (config/type.go:61).
+    - ``separator_tokens`` / ``non_separator_tokens``: the Meilisearch
+      v1.4 settings the reference's YAML also names (and drops):
+      separator strings always split (replaced by a space before
+      matching, so multi-char separators like ``'||'`` work and
+      dictionary compounds must not contain them); non-separator
+      strings are kept INSIDE tokens (spliced into the token
+      alternation, e.g. ``'-'`` keeps ``state-of-the-art`` one term). A
+      run consisting only of non-separator strings is not a term.
+      Requires ``token_pattern`` to end in ``+`` (the default does).
     """
 
     token_pattern: str = DEFAULT_TOKEN_PATTERN
@@ -88,6 +97,8 @@ class AnalyzerConfig:
     stop_words: tuple[str, ...] = ()
     synonyms: tuple[tuple[str, tuple[str, ...]], ...] = ()
     dictionary: tuple[str, ...] = ()
+    separator_tokens: tuple[str, ...] = ()
+    non_separator_tokens: tuple[str, ...] = ()
 
     @staticmethod
     def make(
@@ -96,6 +107,8 @@ class AnalyzerConfig:
         stop_words: "tuple[str, ...] | list[str] | set[str]" = (),
         synonyms: "dict[str, list[str]] | None" = None,
         dictionary: "tuple[str, ...] | list[str]" = (),
+        separator_tokens: "tuple[str, ...] | list[str]" = (),
+        non_separator_tokens: "tuple[str, ...] | list[str]" = (),
     ) -> "AnalyzerConfig":
         syn = tuple(
             sorted((w, tuple(sorted(g))) for w, g in (synonyms or {}).items())
@@ -106,7 +119,41 @@ class AnalyzerConfig:
             stop_words=tuple(sorted(set(stop_words))),
             synonyms=syn,
             dictionary=tuple(dictionary),
+            separator_tokens=tuple(sorted(set(separator_tokens))),
+            non_separator_tokens=tuple(sorted(set(non_separator_tokens))),
         )
+
+    def validate(self) -> None:
+        """Loud analyzer-knob validation (called by IndexConfig.validate;
+        mirrors the endpoint's invalid_settings_* 400s)."""
+        for knob, vals in (
+            ("separator_tokens", self.separator_tokens),
+            ("non_separator_tokens", self.non_separator_tokens),
+        ):
+            for v in vals:
+                if not isinstance(v, str) or not v:
+                    raise ConfigError(
+                        f"{knob} entries must be non-empty strings, "
+                        f"got {v!r}"
+                    )
+        both = set(self.separator_tokens) & set(self.non_separator_tokens)
+        if both:
+            raise ConfigError(
+                "tokens cannot be both separator and non-separator: "
+                f"{sorted(both)}"
+            )
+        if self.non_separator_tokens and not self.token_pattern.endswith("+"):
+            raise ConfigError(
+                "non_separator_tokens requires a token_pattern ending in "
+                f"'+' to splice into, got {self.token_pattern!r}"
+            )
+        for d in self.dictionary:
+            hit = next((s for s in self.separator_tokens if s in d), None)
+            if hit is not None:
+                raise ConfigError(
+                    f"dictionary compound {d!r} contains separator token "
+                    f"{hit!r} and could never match"
+                )
 
     def synonym_map(self) -> dict[str, tuple[str, ...]]:
         return dict(self.synonyms)
@@ -246,6 +293,7 @@ class IndexConfig:
                     raise ConfigError(
                         f"primary key column {pk!r} dropped by fields projection"
                     )
+        self.analyzer.validate()
         if self.block_size < 2:
             raise ConfigError("block_size must be >= 2")
         if self.n_salts < 1:
@@ -301,6 +349,10 @@ class IndexConfig:
                 (w, tuple(g)) for w, g in (an.get("synonyms") or ())
             ),
             dictionary=tuple(an.get("dictionary") or ()),
+            separator_tokens=tuple(an.get("separator_tokens") or ()),
+            non_separator_tokens=tuple(
+                an.get("non_separator_tokens") or ()
+            ),
         )
         typo = TypoToleranceConfig(
             enabled=bool(ty.get("enabled", True)),

@@ -22,13 +22,63 @@ from meilibridge_spark.config import AnalyzerConfig
 
 
 @lru_cache(maxsize=64)
-def _compiled(pattern: str, dictionary: tuple[str, ...]) -> "re.Pattern[str]":
+def _compiled(
+    pattern: str,
+    dictionary: tuple[str, ...],
+    non_separators: tuple[str, ...] = (),
+) -> "re.Pattern[str]":
     """Compile the token regex; dictionary compounds (Q2) are prepended as
-    a longest-first alternation so they match as single terms."""
+    a longest-first alternation so they match as single terms.
+    ``non_separators`` (Meilisearch v1.4 nonSeparatorTokens) are spliced
+    into the token unit so they stay INSIDE tokens — requires a pattern
+    ending in '+' (validated in AnalyzerConfig.validate)."""
+    if non_separators:
+        alts = "|".join(
+            re.escape(t)
+            for t in sorted(non_separators, key=len, reverse=True)
+        )
+        pattern = f"(?:{alts}|{pattern[:-1]})+"
     if dictionary:
-        alts = sorted(dictionary, key=len, reverse=True)
-        pattern = "|".join(re.escape(d) for d in alts) + "|" + pattern
+        dalts = sorted(dictionary, key=len, reverse=True)
+        pattern = "|".join(re.escape(d) for d in dalts) + "|" + pattern
     return re.compile(pattern, re.UNICODE)
+
+
+@lru_cache(maxsize=64)
+def _separator_re(separators: tuple[str, ...]) -> "re.Pattern[str]":
+    """Separator strings (Meilisearch v1.4 separatorTokens) as one
+    longest-first alternation, replaced by a space pre-tokenization."""
+    return re.compile(
+        "|".join(
+            re.escape(s) for s in sorted(separators, key=len, reverse=True)
+        )
+    )
+
+
+def _analyzer_res(cfg: AnalyzerConfig):
+    """(separator_re | None, token_re, pure_nonsep_filter_re | None) for
+    ``cfg``, case-folded to match the folded text when cfg.lowercase."""
+    fold = (lambda t: t.lower()) if cfg.lowercase else (lambda t: t)
+    sep_re = (
+        _separator_re(tuple(fold(s) for s in cfg.separator_tokens))
+        if cfg.separator_tokens
+        else None
+    )
+    nonsep = tuple(fold(t) for t in cfg.non_separator_tokens)
+    tok_re = _compiled(cfg.token_pattern, cfg.dictionary, nonsep)
+    # a run of pure non-separator strings is not a term: keep only
+    # tokens containing at least one base-pattern character
+    base_re = (
+        _compiled(
+            cfg.token_pattern[:-1]
+            if cfg.token_pattern.endswith("+")
+            else cfg.token_pattern,
+            (),
+        )
+        if nonsep
+        else None
+    )
+    return sep_re, tok_re, base_re
 
 
 def tokenize(text: "str | None", cfg: AnalyzerConfig) -> list[str]:
@@ -37,7 +87,12 @@ def tokenize(text: "str | None", cfg: AnalyzerConfig) -> list[str]:
         return []
     if cfg.lowercase:
         text = text.lower()
-    toks = _compiled(cfg.token_pattern, cfg.dictionary).findall(text)
+    sep_re, tok_re, base_re = _analyzer_res(cfg)
+    if sep_re is not None:
+        text = sep_re.sub(" ", text)
+    toks = tok_re.findall(text)
+    if base_re is not None:
+        toks = [t for t in toks if base_re.search(t)]
     if cfg.stop_words:
         stop = set(cfg.stop_words)
         toks = [t for t in toks if t not in stop]
@@ -60,12 +115,16 @@ def tokenize_series(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     Uses a single compiled regex over the batch; this is the body of the
     scalar pandas UDF (Arrow in/out).
     """
-    rx = _compiled(cfg.token_pattern, cfg.dictionary)
+    sep_re, rx, base_re = _analyzer_res(cfg)
     stop = set(cfg.stop_words)
     s = texts.fillna("")
     if cfg.lowercase:
         s = s.str.lower()
+    if sep_re is not None:
+        s = s.str.replace(sep_re, " ", regex=True)
     found = s.str.findall(rx)
+    if base_re is not None:
+        found = found.map(lambda ts: [t for t in ts if base_re.search(t)])
     if stop:
         found = found.map(lambda ts: [t for t in ts if t not in stop])
     return found

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meilibridge_spark.config import AnalyzerConfig, IndexConfig
-from meilibridge_spark.functions.tokenizer import _compiled, parse_query
+from meilibridge_spark.functions.tokenizer import _analyzer_res, parse_query
 from meilibridge_spark.operators.search import search
 from meilibridge_spark.sources.tables import InvertedIndex
 
@@ -42,13 +42,24 @@ POSITIONS_SCHEMA = "term string, doc_id long, positions array<int>"
 
 
 def _make_position_rows(cfg: AnalyzerConfig):
-    rx_pattern = cfg.token_pattern
-    dictionary = tuple(cfg.dictionary)
     stop = frozenset(cfg.stop_words)
     lowercase = cfg.lowercase
 
     def rows(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        rx = _compiled(rx_pattern, dictionary)
+        # same analyzer resolution as the main tokenizer (separator /
+        # non-separator tokens included) so positional postings stay
+        # consistent with the inverted index
+        sep_re, rx, base_re = _analyzer_res(cfg)
+
+        def toks(t):
+            if t is None:
+                return []
+            if lowercase:
+                t = t.lower()
+            if sep_re is not None:
+                t = sep_re.sub(" ", t)
+            return rx.findall(t)
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -57,12 +68,7 @@ def _make_position_rows(cfg: AnalyzerConfig):
             # (doc, raw position, term) batch — same factorize/lexsort
             # pattern as the main postings build (postings.py), no
             # per-token Python loop.
-            tok_lists = [
-                rx.findall(t.lower() if lowercase else t)
-                if t is not None
-                else []
-                for t in pdf["text"]
-            ]
+            tok_lists = [toks(t) for t in pdf["text"]]
             lens = np.fromiter(
                 (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
@@ -77,11 +83,18 @@ def _make_position_rows(cfg: AnalyzerConfig):
                 list(chain.from_iterable(tok_lists)), dtype=object
             )
             codes, uniques = pd.factorize(flat)
-            if stop:
-                # drop stop-word POSTINGS via the (small) unique table —
-                # their slots stay occupied because pos is already fixed
+            if stop or base_re is not None:
+                # drop stop-word / pure-non-separator POSTINGS via the
+                # (small) unique table — their slots stay occupied
+                # because pos is already fixed
                 stop_uniq = np.fromiter(
-                    (u in stop for u in uniques), dtype=bool, count=len(uniques)
+                    (
+                        u in stop
+                        or (base_re is not None and not base_re.search(u))
+                        for u in uniques
+                    ),
+                    dtype=bool,
+                    count=len(uniques),
                 )
                 keep = ~stop_uniq[codes]
                 codes, doc_rep, pos = codes[keep], doc_rep[keep], pos[keep]
@@ -176,9 +189,16 @@ def phrase_steps(
     over@p and lazy@p+2."""
     if cfg.lowercase:
         phrase = phrase.lower()
-    toks = _compiled(cfg.token_pattern, cfg.dictionary).findall(phrase)
+    sep_re, rx, base_re = _analyzer_res(cfg)
+    if sep_re is not None:
+        phrase = sep_re.sub(" ", phrase)
+    toks = rx.findall(phrase)
     stop = set(cfg.stop_words)
-    return [(t, i) for i, t in enumerate(toks) if t not in stop]
+    return [
+        (t, i)
+        for i, t in enumerate(toks)
+        if t not in stop and (base_re is None or base_re.search(t))
+    ]
 
 
 def match_positions(

@@ -677,6 +677,19 @@ def get_settings(
                 )
             },
         },
+        # v1.4 tokenizer settings (endpoint default: empty lists)
+        "separatorTokens": list(
+            ((meta.get("config") or {}).get("analyzer") or {}).get(
+                "separator_tokens"
+            )
+            or []
+        ),
+        "nonSeparatorTokens": list(
+            ((meta.get("config") or {}).get("analyzer") or {}).get(
+                "non_separator_tokens"
+            )
+            or []
+        ),
         "engine": {
             "shardRange": meta.get("shard_range"),
             "blockSize": meta.get("block_size"),

@@ -88,6 +88,21 @@ def test_config_round_trip_defaults():
     assert IndexConfig.from_json_dict(d) == cfg
 
 
+def test_config_round_trip_separator_tokens():
+    import dataclasses
+
+    from meilibridge_spark.config import AnalyzerConfig
+
+    cfg = dataclasses.replace(
+        IndexConfig(index_name="sep"),
+        analyzer=AnalyzerConfig.make(
+            separator_tokens=("||", "-br-"), non_separator_tokens=("-", "@")
+        ),
+    )
+    d = json.loads(json.dumps(cfg.to_json_dict()))
+    assert IndexConfig.from_json_dict(d) == cfg
+
+
 def test_dump_import_rank_identical(spark, dirs, src_index):
     meta = create_dump(src_index, dirs["dump"])
     assert meta["n_docs"] == src_index.n_docs

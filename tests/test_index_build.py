@@ -474,11 +474,16 @@ def test_get_settings_endpoint_shape(spark, tmp_index_dir):
     from meilibridge_spark.sources.tables import get_settings
     from meilibridge_spark.sources.transcripts import generate_transcripts
 
+    from meilibridge_spark.config import AnalyzerConfig
+
     cfg = dataclasses.replace(
         CFG,
         filterable_attributes=("role",),
         sortable_attributes=("ts",),
         geo_attributes=("lat", "lng"),
+        analyzer=AnalyzerConfig.make(
+            separator_tokens=("|",), non_separator_tokens=("-",)
+        ),
     )
     src = generate_transcripts(spark, n_convs=5, seed=3).persist()
     from pyspark.sql import functions as F
@@ -491,6 +496,8 @@ def test_get_settings_endpoint_shape(spark, tmp_index_dir):
     assert s["filterableAttributes"] == ["role", "_geo"]
     assert s["sortableAttributes"] == ["ts", "_geo"]
     assert s["geoAttributes"] == ["lat", "lng"]
+    assert s["separatorTokens"] == ["|"]
+    assert s["nonSeparatorTokens"] == ["-"]
     assert s["engine"]["blockSize"] == cfg.block_size
     # a later save with different settings must not rewrite snapshot 1's
     cfg2 = dataclasses.replace(cfg, filterable_attributes=("tool",))

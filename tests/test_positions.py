@@ -263,3 +263,53 @@ def test_quoted_phrase_edge_inputs(built):
     from meilibridge_spark.operators.positions import phrase_steps
 
     assert phrase_steps("the a", _cfg(stop_words=("the", "a")).analyzer) == []
+
+
+def test_positions_with_separator_settings(spark):
+    """v1.4 separatorTokens/nonSeparatorTokens flow through the
+    positional path: '-' compounds occupy ONE slot, '||' splits, and a
+    pure-hyphen token holds its slot but emits no posting (like a stop
+    word) — phrase matching stays consistent with the main tokenizer."""
+    from meilibridge_spark.operators.positions import (
+        match_positions,
+        search_with_phrases,
+    )
+
+    cfg = IndexConfig(
+        index_name="sep-pos",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        analyzer=AnalyzerConfig.make(
+            token_pattern=ASCII_TOKEN_PATTERN,
+            separator_tokens=("||",),
+            non_separator_tokens=("-",),
+        ),
+    )
+    docs = [
+        (0, "state-of-the-art scan - runs fast"),
+        (1, "state of the art scan runs fast"),
+        (2, "alpha||beta gamma"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    pos = build_positions(idx.docs, cfg, text_col="text")
+    rows = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in pos.collect()
+    }
+    # compound is one slot; the lone '-' occupies slot 2 silently
+    assert rows[("state-of-the-art", 0)] == [0]
+    assert rows[("scan", 0)] == [1]
+    assert rows[("runs", 0)] == [3]
+    assert ("-", 0) not in rows
+    # '||' split into two adjacent slots
+    assert rows[("alpha", 2)] == [0] and rows[("beta", 2)] == [1]
+    idx.positions = pos
+    # phrase across the silent hyphen slot: scan@p, runs@p+2
+    hits = search_with_phrases(idx, '"scan - runs"', 5)
+    assert [r["doc_id"] for r in hits.collect()] == [0]
+    # separator-split words are phrase-adjacent
+    hits2 = search_with_phrases(idx, '"alpha beta"', 5)
+    assert [r["doc_id"] for r in hits2.collect()] == [2]
+    mp = match_positions(idx, "state-of-the-art", positions=pos)
+    assert [(r["doc_id"], r["pos"]) for r in mp.collect()] == [(0, 0)]

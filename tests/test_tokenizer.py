@@ -82,3 +82,68 @@ def test_series_paths_match_scalar():
 def test_ascii_analyzer_matches_duckdb_regex_semantics():
     # ASCII_ANALYZER is the oracle-parity analyzer: lower + [a-z0-9]+
     assert tokenize("The FAST-key 9x", ASCII_ANALYZER) == ["the", "fast", "key", "9x"]
+
+
+# --- separatorTokens / nonSeparatorTokens (Meilisearch v1.4 settings) ---
+
+
+def test_non_separator_keeps_compounds():
+    cfg = AnalyzerConfig.make(non_separator_tokens=("-",))
+    assert tokenize("State-of-the-art scan", cfg) == [
+        "state-of-the-art", "scan",
+    ]
+    # a run of pure non-separator strings is not a term
+    assert tokenize("a - b -- c", cfg) == ["a", "b", "c"]
+
+
+def test_separator_tokens_split():
+    cfg = AnalyzerConfig.make(separator_tokens=("||", "x"))
+    assert tokenize("a||b taxi", cfg) == ["a", "b", "ta", "i"]
+
+
+def test_separator_wins_over_non_separator():
+    # '-br-' replaces first, so it splits even though '-' is kept
+    cfg = AnalyzerConfig.make(
+        separator_tokens=("-br-",), non_separator_tokens=("-",)
+    )
+    assert tokenize("key-br-order table-scan", cfg) == [
+        "key", "order", "table-scan",
+    ]
+
+
+def test_separator_knobs_case_folded_with_lowercase():
+    cfg = AnalyzerConfig.make(
+        separator_tokens=("X",), non_separator_tokens=("@",)
+    )
+    assert tokenize("aXb c@d", cfg) == ["a", "b", "c@d"]
+
+
+def test_separator_series_matches_scalar():
+    cfg = AnalyzerConfig.make(
+        separator_tokens=("-br-",), non_separator_tokens=("-",)
+    )
+    texts = ["key-br-order table-scan", "a - b", None, "plain words"]
+    assert list(tokenize_series(pd.Series(texts), cfg)) == [
+        tokenize(t, cfg) for t in texts
+    ]
+
+
+def test_separator_knob_validation():
+    import pytest
+
+    from meilibridge_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="both separator"):
+        AnalyzerConfig.make(
+            separator_tokens=("-",), non_separator_tokens=("-",)
+        ).validate()
+    with pytest.raises(ConfigError, match="ending in"):
+        AnalyzerConfig.make(
+            token_pattern="[a-z]", non_separator_tokens=("-",)
+        ).validate()
+    with pytest.raises(ConfigError, match="could never match"):
+        AnalyzerConfig.make(
+            dictionary=("t-shirt",), separator_tokens=("-",)
+        ).validate()
+    with pytest.raises(ConfigError, match="non-empty"):
+        AnalyzerConfig.make(separator_tokens=("",)).validate()
