@@ -10,6 +10,8 @@ Usage:
       [--timeout 60]
   python -m meilibridge_spark.jobs.tasks cancel --index-dir DIR \
       --uids 1,2,3
+  python -m meilibridge_spark.jobs.tasks delete --index-dir DIR \
+      --uids 1,2,3
 """
 
 from __future__ import annotations
@@ -47,6 +49,10 @@ def main() -> None:
     cn.add_argument("--index-dir", required=True)
     cn.add_argument("--uids", required=True)
 
+    dl = sub.add_parser("delete")
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--uids", required=True)
+
     bt = sub.add_parser("batches")
     bt.add_argument("--index-dir", required=True)
     bt.add_argument("--from-uid", type=int, default=None)
@@ -72,6 +78,10 @@ def main() -> None:
     elif args.cmd == "batches":
         out = T.get_batches(
             args.index_dir, from_uid=args.from_uid, limit=args.limit
+        )
+    elif args.cmd == "delete":
+        out = T.delete_tasks(
+            args.index_dir, [int(u) for u in args.uids.split(",")]
         )
     else:
         out = T.cancel_tasks(

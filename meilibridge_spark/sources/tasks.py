@@ -50,6 +50,7 @@ TASK_TYPES = (
     "snapshotCompaction",  # custom: OPTIMIZE-style compaction
     "indexSwap",
     "taskCancelation",
+    "taskDeletion",
 )
 
 _TERMINAL = frozenset({"succeeded", "failed", "canceled"})
@@ -97,6 +98,16 @@ def _fold(records: "list[dict]") -> "dict[int, dict]":
     for r in records:
         by_uid[r["uid"]] = r
     return by_uid
+
+
+def _live(index_dir: str) -> "dict[int, dict]":
+    """Folded tasks minus the delete-marked ones (POST /tasks/delete
+    analog: the journal is append-only, deletion is a folded marker)."""
+    return {
+        uid: rec
+        for uid, rec in _fold(_read_raw(index_dir)).items()
+        if not rec.get("deleted")
+    }
 
 
 def _append(index_dir: str, rec: dict) -> None:
@@ -232,7 +243,7 @@ def task_scope(
 
 
 def get_task(index_dir: str, uid: int) -> dict:
-    rec = _fold(_read_raw(index_dir)).get(uid)
+    rec = _live(index_dir).get(uid)
     if rec is None:
         raise KeyError(f"task uid {uid} not in {_path(index_dir)}")
     return rec
@@ -251,7 +262,7 @@ def get_tasks(
     total, limit, from, next} (``from`` = first uid returned, ``next``
     = pass as ``from_uid`` for the following page, None when done)."""
     folded = sorted(
-        _fold(_read_raw(index_dir)).values(),
+        _live(index_dir).values(),
         key=lambda r: r["uid"],
         reverse=True,
     )
@@ -315,7 +326,7 @@ def get_batches(
     grouped by batchUid, newest-first, keyset-paginated like
     get_tasks. Tasks journaled before the batchUid field existed fold
     into singleton batches keyed by their own uid."""
-    folded = _fold(_read_raw(index_dir)).values()
+    folded = _live(index_dir).values()
     groups: "dict[int, list[dict]]" = {}
     for t in folded:
         groups.setdefault(t.get("batchUid", t["uid"]), []).append(t)
@@ -387,3 +398,40 @@ def cancel_tasks(index_dir: str, uids: "list[int]") -> dict:
     _transition(index_dir, cancel_rec["uid"], "processing")
     rec = _transition(index_dir, cancel_rec["uid"], "succeeded")
     return {"task": rec, "canceled_uids": canceled}
+
+
+def delete_tasks(index_dir: str, uids: "list[int]") -> dict:
+    """``POST /tasks/delete`` analog: delete FINISHED tasks (succeeded /
+    failed / canceled) — Meilisearch refuses to delete enqueued or
+    processing tasks (cancel them first), and so does this. The
+    append-only journal gets one delete-marker record per uid (folded
+    out of every read path); the operation itself is journaled as a
+    ``taskDeletion`` task whose details carry matched/deleted counts
+    like the endpoint."""
+    finished = {"succeeded", "failed", "canceled"}
+    deleted: "list[int]" = []
+    with _locked(index_dir):
+        folded = _fold(_read_raw(index_dir))
+        for uid in uids:
+            cur = folded.get(uid)
+            if (
+                cur is not None
+                and not cur.get("deleted")
+                and cur["status"] in finished
+            ):
+                rec = dict(cur)
+                rec["deleted"] = True
+                _append(index_dir, rec)
+                deleted.append(uid)
+    del_task = submit_task(
+        index_dir,
+        "taskDeletion",
+        details={
+            "matchedTasks": len(uids),
+            "deletedTasks": len(deleted),
+            "originalFilter": f"uids={','.join(map(str, uids))}",
+        },
+    )
+    _transition(index_dir, del_task["uid"], "processing")
+    rec = _transition(index_dir, del_task["uid"], "succeeded")
+    return {"task": rec, "deleted_uids": deleted}

@@ -197,3 +197,37 @@ def test_build_and_dump_journal_tasks(spark, tmp_index_dir):
     ib = T.get_batches(dst_dir)
     assert ib["total"] == 1
     assert ib["results"][0]["stats"]["totalNbTasks"] == 2
+
+
+def test_delete_only_finished(tmp_index_dir):
+    """POST /tasks/delete analog: finished tasks delete (folded out of
+    get_task / get_tasks / get_batches), enqueued+processing refuse,
+    the operation journals a taskDeletion with endpoint-shaped
+    details, and a second delete of the same uid is a no-op."""
+    a = T.submit_task(tmp_index_dir, "documentAdditionOrUpdate")
+    T._transition(tmp_index_dir, a["uid"], "processing")
+    T._transition(tmp_index_dir, a["uid"], "succeeded")
+    b = T.submit_task(tmp_index_dir, "settingsUpdate")  # enqueued
+    c = T.submit_task(tmp_index_dir, "documentDeletion")
+    T._transition(tmp_index_dir, c["uid"], "processing")  # processing
+    out = T.delete_tasks(tmp_index_dir, [a["uid"], b["uid"], c["uid"], 42])
+    assert out["deleted_uids"] == [a["uid"]]
+    assert out["task"]["type"] == "taskDeletion"
+    assert out["task"]["details"]["matchedTasks"] == 4
+    assert out["task"]["details"]["deletedTasks"] == 1
+    with pytest.raises(KeyError):
+        T.get_task(tmp_index_dir, a["uid"])
+    listed = {r["uid"] for r in T.get_tasks(tmp_index_dir, limit=50)["results"]}
+    assert a["uid"] not in listed
+    assert {b["uid"], c["uid"], out["task"]["uid"]} <= listed
+    # batches fold the deleted task out of their stats: the only
+    # documentAdditionOrUpdate task was a, so no batch counts that type
+    batches = T.get_batches(tmp_index_dir, limit=50)["results"]
+    assert all(
+        "documentAdditionOrUpdate" not in bt["stats"]["types"]
+        for bt in batches
+    )
+    assert sum(bt["stats"]["totalNbTasks"] for bt in batches) == len(listed)
+    # idempotent: already-deleted uid no longer matches
+    again = T.delete_tasks(tmp_index_dir, [a["uid"]])
+    assert again["deleted_uids"] == []
