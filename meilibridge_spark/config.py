@@ -258,6 +258,13 @@ class IndexConfig:
     #: distribution paths; explicit per-call args still win.
     faceting_max_values: int = 100
     faceting_sort_by: str = "alpha"
+    #: Meilisearch ``embedders`` index setting, userProvided source only
+    #: (the engine is embedder-model-agnostic — query/document vectors
+    #: are inputs, exactly Meilisearch's ``source: "userProvided"``
+    #: mode): (name, dimensions) pairs. Declaring one makes the vector
+    #: paths validate embedding dimensionality loudly (build_vectors /
+    #: the jobs CLI) instead of failing deep inside a numpy reshape.
+    embedders: tuple[tuple[str, int], ...] = ()
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS
@@ -310,6 +317,19 @@ class IndexConfig:
             )
         if self.faceting_max_values < 1:
             raise ConfigError("faceting_max_values must be >= 1")
+        names = [n for n, _ in self.embedders]
+        if len(set(names)) != len(names):
+            raise ConfigError("duplicate embedder name")
+        for n, dim in self.embedders:
+            if not isinstance(n, str) or not n:
+                raise ConfigError(
+                    f"embedder names must be non-empty strings, got {n!r}"
+                )
+            if not isinstance(dim, int) or dim < 1:
+                raise ConfigError(
+                    f"embedder {n!r} dimensions must be an int >= 1, "
+                    f"got {dim!r}"
+                )
         if self.geo_attributes is not None and (
             isinstance(self.geo_attributes, str)
             or len(self.geo_attributes) != 2
@@ -385,6 +405,9 @@ class IndexConfig:
             facet_search=bool(d.get("facet_search", True)),
             faceting_max_values=int(d.get("faceting_max_values", 100)),
             faceting_sort_by=d.get("faceting_sort_by", "alpha"),
+            embedders=tuple(
+                (n, int(dim)) for n, dim in (d.get("embedders") or ())
+            ),
             k1=float(d.get("k1", DEFAULT_K1)),
             b=float(d.get("b", DEFAULT_B)),
             max_total_hits=int(d.get("max_total_hits", DEFAULT_MAX_TOTAL_HITS)),

@@ -36,12 +36,30 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
-    from meilibridge_spark.operators.similarity import build_vector_index
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.operators.similarity import (
+        build_vector_index,
+        validate_embedder_dims,
+    )
     from meilibridge_spark.session import build_session
-    from meilibridge_spark.sources.tables import save_vector_index
+    from meilibridge_spark.sources.tables import (
+        save_vector_index,
+        stored_index_config,
+    )
 
     spark = build_session("build_vectors", cores=args.cores)
     emb = spark.read.parquet(args.embeddings)
+    # enforce the index's declared `embedders` setting (userProvided
+    # dimensions) before training — the invalid_vector_dimensions analog
+    try:
+        stored_cfg = stored_index_config(args.index_dir)
+    except FileNotFoundError:
+        stored_cfg = None
+    if stored_cfg is not None:
+        try:
+            validate_embedder_dims(emb, stored_cfg, vec_col=args.vec_col)
+        except ConfigError as e:
+            ap.error(str(e))
     vec = build_vector_index(
         emb,
         n_centroids=args.n_centroids,

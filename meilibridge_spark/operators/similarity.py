@@ -597,3 +597,46 @@ def similar_documents(
             "rank",
         )
     )
+
+
+def validate_embedder_dims(
+    emb: DataFrame,
+    cfg,
+    vec_col: str = "embedding",
+    embedder: "str | None" = None,
+) -> "int | None":
+    """Meilisearch ``embedders`` setting enforcement (userProvided
+    source: declared ``dimensions`` must match the supplied vectors).
+    When ``cfg.embedders`` declares an embedder (by ``embedder`` name,
+    else the single/first declared one), checks every vector's length
+    against it in ONE column-pruned agg over ``F.size`` (a build-time
+    pass; the assignment scan that follows reads the data anyway) and
+    raises ``ConfigError`` loudly on a mismatch — Meilisearch's
+    invalid_vector_dimensions analog. No declaration -> no-op, returns
+    None; otherwise returns the validated dimension."""
+    from meilibridge_spark.config import ConfigError
+
+    declared = dict(getattr(cfg, "embedders", ()) or ())
+    if not declared:
+        return None
+    if embedder is not None:
+        if embedder not in declared:
+            raise ConfigError(
+                f"unknown embedder {embedder!r}; declared: "
+                f"{sorted(declared)}"
+            )
+        dim = declared[embedder]
+    else:
+        dim = next(iter(declared.values()))
+    row = emb.agg(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+    ).first()
+    if row["lo"] is None:
+        return dim  # empty input: nothing to contradict the setting
+    if row["lo"] != dim or row["hi"] != dim:
+        raise ConfigError(
+            f"embedder dimensions mismatch: setting declares {dim}, "
+            f"supplied vectors have size range [{row['lo']}, {row['hi']}]"
+        )
+    return dim

@@ -677,6 +677,14 @@ def get_settings(
                 )
             },
         },
+        # embedders setting (userProvided source only — vectors are
+        # inputs, the engine is embedder-model-agnostic)
+        "embedders": {
+            n: {"source": "userProvided", "dimensions": int(dim)}
+            for n, dim in (
+                (meta.get("config") or {}).get("embedders") or ()
+            )
+        },
         # v1.4 tokenizer settings (endpoint default: empty lists)
         "separatorTokens": list(
             ((meta.get("config") or {}).get("analyzer") or {}).get(

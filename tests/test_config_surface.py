@@ -287,3 +287,88 @@ def test_faceting_settings_in_get_settings(spark, tmp_index_dir):
     assert st["faceting"] == {
         "maxValuesPerFacet": 7, "sortFacetValuesBy": {"*": "count"},
     }
+
+
+# --- embedders index setting (userProvided source) ---
+
+
+def test_embedders_setting_validation():
+    import dataclasses
+
+    from meilibridge_spark.config import ConfigError, IndexConfig
+
+    base = IndexConfig(index_name="emb")
+    dataclasses.replace(base, embedders=(("default", 4),)).validate()
+    with pytest.raises(ConfigError, match="duplicate embedder"):
+        dataclasses.replace(
+            base, embedders=(("a", 4), ("a", 8))
+        ).validate()
+    with pytest.raises(ConfigError, match="dimensions"):
+        dataclasses.replace(base, embedders=(("a", 0),)).validate()
+    with pytest.raises(ConfigError, match="non-empty"):
+        dataclasses.replace(base, embedders=(("", 4),)).validate()
+
+
+def test_embedders_json_round_trip():
+    import dataclasses
+    import json
+
+    from meilibridge_spark.config import IndexConfig
+
+    cfg = dataclasses.replace(
+        IndexConfig(index_name="emb"),
+        embedders=(("default", 3), ("other", 8)),
+    )
+    d = json.loads(json.dumps(cfg.to_json_dict()))
+    assert IndexConfig.from_json_dict(d) == cfg
+
+
+def test_validate_embedder_dims(spark):
+    import dataclasses
+
+    from meilibridge_spark.config import ConfigError, IndexConfig
+    from meilibridge_spark.operators.similarity import (
+        validate_embedder_dims,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    base = IndexConfig(index_name="emb")
+    # no declaration -> no-op
+    assert validate_embedder_dims(emb, base) is None
+    ok = dataclasses.replace(base, embedders=(("default", 3),))
+    assert validate_embedder_dims(emb, ok) == 3
+    bad = dataclasses.replace(base, embedders=(("default", 8),))
+    with pytest.raises(ConfigError, match="dimensions mismatch"):
+        validate_embedder_dims(emb, bad)
+    with pytest.raises(ConfigError, match="unknown embedder"):
+        validate_embedder_dims(emb, ok, embedder="nope")
+    # ragged vectors contradict any declaration
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ConfigError, match="dimensions mismatch"):
+        validate_embedder_dims(ragged, ok)
+
+
+def test_embedders_in_get_settings(spark, tmp_index_dir):
+    import dataclasses
+
+    from meilibridge_spark.config import IndexConfig
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    cfg = dataclasses.replace(
+        IndexConfig(index_name="embset"),
+        embedders=(("default", 3),),
+    )
+    src = generate_transcripts(spark, n_convs=4, seed=5)
+    build_and_save(spark, src, cfg, tmp_index_dir)
+    s = get_settings(tmp_index_dir)
+    assert s["embedders"] == {
+        "default": {"source": "userProvided", "dimensions": 3}
+    }
