@@ -1418,6 +1418,84 @@ def _q_match_positions(terms_text: str, k: int):
     return run
 
 
+def _q_proximity_rank(terms_text: str, k: int):
+    """Q11 'proximity' ranking criterion (Meilisearch rule #3,
+    operators/positions.proximity_costs): hits ordered by
+    (matched_terms desc, summed adjacent-pair min word distance asc,
+    BM25 desc) — in-order distance, reversed-pair +1 penalty, per-pair
+    cap PROX_MAX=8, missing pair worst."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import build_positions
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        if idx.positions is None:
+            idx.positions = build_positions(idx.docs, idx.cfg, text_col="text")
+        return search(
+            idx, terms_text, k, words_rank=True, proximity_rank=True
+        ).select(
+            "doc_id",
+            "matched_terms",
+            "prox_cost",
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _sql_proximity_rank(terms: "list[str]", k: int) -> str:
+    pairs = [(a, b) for a, b in zip(terms, terms[1:]) if a != b]
+    uniq = list(dict.fromkeys(terms))
+    inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    pair_ctes = ",\n".join(
+        f"""pair{i} AS (
+  SELECT ta.doc_id,
+         min(CASE WHEN tb.pos > ta.pos THEN least(tb.pos - ta.pos, 8)
+                  ELSE least(ta.pos - tb.pos + 1, 8) END) AS c
+  FROM tokpos ta JOIN tokpos tb USING (doc_id)
+  WHERE ta.term = '{a}' AND tb.term = '{b}'
+  GROUP BY ta.doc_id
+)"""
+        for i, (a, b) in enumerate(pairs)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN pair{i} p{i} USING (doc_id)" for i in range(len(pairs))
+    )
+    total = " + ".join(f"coalesce(p{i}.c, 8)" for i in range(len(pairs)))
+    return f"""
+WITH {_sql_tok()},
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos
+  FROM arrs
+),
+{pair_ctes},
+scores AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {inlist}
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, s.matched_terms, ({total})::INT AS prox_cost,
+       round(s.s, 4)::DOUBLE AS score
+FROM scores s
+{joins}
+ORDER BY s.matched_terms DESC, prox_cost ASC, s.s DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _sql_match_positions(terms: "list[str]", k: int) -> str:
     uniq = list(dict.fromkeys(terms))
     inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
@@ -1859,7 +1937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ft_facet_count_order) and ft_crop (display family keeps
     # ft_highlight); ft_negative_batch (the new shard-local
     # forbid-terms path) joins the overflow next to its gate sibling
-    # ft_negative.
+    # ft_negative. Proximity ranking (NEW operator,
+    # positions.proximity_costs): ft_proximity_rank takes the gate
+    # slot of r03-verified ft_match_positions (positions family keeps
+    # ft_quoted_phrase + ft_phrase_stopword in the gate), which moves
+    # to the overflow.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
@@ -1884,7 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fast join", ["fast", "join"], 10
         ),
         "ft_matching_all": _q_matching_all("spark join table", 20),
-        "ft_match_positions": _q_match_positions("spark join", 10),
+        "ft_proximity_rank": _q_proximity_rank("spark join", 10),
         "ft_quoted_phrase": _q_quoted_phrase('table "spark join"', 10),
         "ft_federated": _q_federated("fast join", 10, 1.0, 0.7),
         "ft_bm25_filter_fold": _q_filter_fold(
@@ -1929,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         # ---- entries 51+: secondary variants + the r03-verified
         # rotation outflow (see ORDERING CONTRACT above) ---------------
+        "ft_match_positions": _q_match_positions("spark join", 10),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
@@ -2283,6 +2366,7 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
             [("join", 0), ("table", 2)], 10, stop=_STOP
         ),
         "ft_match_positions": _sql_match_positions(["spark", "join"], 10),
+        "ft_proximity_rank": _sql_proximity_rank(["spark", "join"], 10),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
         "ft_bm25_dictionary": _sql_topk(

@@ -251,6 +251,18 @@ class IndexConfig:
     #: (False disables the POST /facet-search endpoint analog).
     prefix_search: str = "indexingTime"
     facet_search: bool = True
+    #: Meilisearch v1.6 ``proximityPrecision`` index setting: "byWord"
+    #: (default — the proximity ranking criterion uses exact raw-slot
+    #: word distances from the positions table) or "byAttribute"
+    #: (coarser: two query words are "close" iff they co-occur in at
+    #: least one common searchable attribute, read from the attrs
+    #: bitmask blocks — cheaper, no positions table needed). Consumed
+    #: by ``search(proximity_rank=True)`` via
+    #: ``operators/positions.proximity_costs``. The reference documents
+    #: the setting but never maps it (config.example.yml:104-107 vs
+    #: config/type.go:55-68); the Meilisearch semantics are implemented
+    #: natively here.
+    proximity_precision: str = "byWord"
     #: Meilisearch ``faceting`` index settings: ``maxValuesPerFacet``
     #: (default 100) and ``sortFacetValuesBy`` ("alpha" default /
     #: "count" — the endpoint's {"*": ...} form, one rule for all
@@ -309,6 +321,11 @@ class IndexConfig:
             raise ConfigError(
                 "prefix_search must be 'indexingTime' or 'disabled', "
                 f"got {self.prefix_search!r}"
+            )
+        if self.proximity_precision not in ("byWord", "byAttribute"):
+            raise ConfigError(
+                "proximity_precision must be 'byWord' or 'byAttribute', "
+                f"got {self.proximity_precision!r}"
             )
         if self.faceting_sort_by not in ("alpha", "count"):
             raise ConfigError(
@@ -403,6 +420,7 @@ class IndexConfig:
             words_ranking=bool(d.get("words_ranking", False)),
             prefix_search=d.get("prefix_search", "indexingTime"),
             facet_search=bool(d.get("facet_search", True)),
+            proximity_precision=d.get("proximity_precision", "byWord"),
             faceting_max_values=int(d.get("faceting_max_values", 100)),
             faceting_sort_by=d.get("faceting_sort_by", "alpha"),
             embedders=tuple(

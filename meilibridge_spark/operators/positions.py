@@ -1,10 +1,13 @@
 """Positional postings + phrase search (extension beyond SURVEY §2B Q14).
 
 The reference documents ``proximity_precision`` but never maps it
-(config.example.yml:104-107 vs config/type.go:55-68 — a no-op there),
-so proximity RANKING stays a recorded non-goal. Phrase MATCHING is
-still useful on transcripts, and position data is cheap to carry, so
-this module adds it as a self-contained optional table:
+(config.example.yml:104-107 vs config/type.go:55-68 — a no-op there);
+the Meilisearch semantics (the ``proximity`` ranking rule and the
+v1.6 ``proximityPrecision`` setting) are implemented natively here
+instead: ``proximity_costs`` + ``search(proximity_rank=True)``.
+Phrase MATCHING is also useful on transcripts, and position data is
+cheap to carry, so this module adds it as a self-contained optional
+table:
 
   positions(term, doc_id, positions array<int>)
 
@@ -34,7 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meilibridge_spark.config import AnalyzerConfig, IndexConfig
-from meilibridge_spark.functions.tokenizer import _analyzer_res, parse_query
+from meilibridge_spark.functions.tokenizer import (
+    _analyzer_res,
+    parse_query,
+    tokenize,
+)
 from meilibridge_spark.operators.search import search
 from meilibridge_spark.sources.tables import InvertedIndex
 
@@ -230,6 +237,138 @@ def match_positions(
         rows = rows.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     return rows.select(
         "doc_id", "term", F.explode("positions").alias("pos")
+    )
+
+
+#: Per-pair proximity cost cap — Meilisearch's "beyond proximity"
+#: bucket: any two query words further apart than this (or not
+#: co-occurring at all) cost the same maximum.
+PROX_MAX = 8
+
+
+def proximity_pairs(
+    query: str, cfg: IndexConfig
+) -> "list[tuple[str, str]]":
+    """Adjacent query-word pairs for the Q11 'proximity' ranking rule.
+
+    Meilisearch drops stop words from the query and ranks on the
+    proximity of the SURVIVING words in their typed order; repeated
+    adjacent duplicates contribute nothing (their distance to
+    themselves is constant) and are dropped."""
+    toks = tokenize(query, cfg.analyzer)
+    return [(a, b) for a, b in zip(toks, toks[1:]) if a != b]
+
+
+def _pair_cost_sql(map_col: str, a: str, b: str, pos_cap: "int | None") -> str:
+    """SQL expression: min word-pair proximity cost between the
+    position arrays ``map[a]`` and ``map[b]`` (null-safe -> PROX_MAX).
+
+    Cost of one (p in A, q in B) pair: ``q - p`` when the words appear
+    in query order (q after p), ``p - q + 1`` when reversed (the
+    Meilisearch swapped-word +1 penalty), clamped to PROX_MAX. The
+    nested ``aggregate`` runs JVM-side in whole-stage codegen —
+    O(|A|·|B|) compute per doc but zero extra rows (no explode).
+    ``pos_cap`` optionally slices both arrays (a documented scale knob
+    mirroring Meilisearch's per-word position bucketing; None = exact,
+    which is what the DuckDB oracle computes)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    arr_a, arr_b = f"element_at({map_col}, '{qa}')", f"element_at({map_col}, '{qb}')"
+    if pos_cap is not None:
+        arr_a = f"slice({arr_a}, 1, {int(pos_cap)})"
+        arr_b = f"slice({arr_b}, 1, {int(pos_cap)})"
+    inner = (
+        f"aggregate({arr_b}, {PROX_MAX}, (accq, qq) -> least(accq, "
+        f"CASE WHEN qq > pp THEN least(qq - pp, {PROX_MAX}) "
+        f"ELSE least(pp - qq + 1, {PROX_MAX}) END))"
+    )
+    return (
+        f"CASE WHEN element_at({map_col}, '{qa}') IS NULL "
+        f"OR element_at({map_col}, '{qb}') IS NULL THEN {PROX_MAX} "
+        f"ELSE aggregate({arr_a}, {PROX_MAX}, (accp, pp) -> "
+        f"least(accp, {inner})) END"
+    )
+
+
+def _attr_pair_cost_sql(map_col: str, a: str, b: str) -> str:
+    """byAttribute pair cost: 1 when the two words co-occur in at least
+    one common searchable attribute (bitmask intersection), PROX_MAX
+    otherwise — Meilisearch v1.6 proximityPrecision='byAttribute'."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return (
+        f"CASE WHEN element_at({map_col}, '{qa}') IS NULL "
+        f"OR element_at({map_col}, '{qb}') IS NULL THEN {PROX_MAX} "
+        f"WHEN (element_at({map_col}, '{qa}') & element_at({map_col}, '{qb}')) != 0 "
+        f"THEN 1 ELSE {PROX_MAX} END"
+    )
+
+
+def proximity_costs(
+    index: InvertedIndex,
+    query: str,
+    positions: "DataFrame | None" = None,
+    precision: "str | None" = None,
+    pos_cap: "int | None" = None,
+) -> "DataFrame | None":
+    """Per-document proximity cost for the Q11 'proximity' ranking rule
+    -> (doc_id, prox_cost int) rows, or None when the query has fewer
+    than two distinct adjacent words (the criterion is then a no-op).
+
+    prox_cost = sum over adjacent query-word pairs of the minimum
+    word-pair cost (``_pair_cost_sql``); documents that contain NO pair
+    term produce no row — the caller treats absence as the worst cost
+    ``PROX_MAX * n_pairs``. Lower cost ranks higher.
+
+    Plan shape (100 TB): one term-pruned scan of the positions (or
+    attrs) table — the same magnitude as the postings the query already
+    fetches — one groupBy(doc_id) building a term->positions map, then
+    pure codegen arithmetic. The result joins onto the scored
+    candidates by doc_id (posting-sized both sides).
+
+    ``precision`` defaults to the index's ``proximity_precision``
+    setting: 'byWord' (raw-slot distances, needs the positions table)
+    or 'byAttribute' (attribute co-occurrence from the attrs bitmask
+    blocks — no positions table needed)."""
+    cfg = index.cfg
+    precision = precision or cfg.proximity_precision
+    if precision not in ("byWord", "byAttribute"):
+        raise ValueError(
+            f"precision must be 'byWord' or 'byAttribute', got {precision!r}"
+        )
+    pairs = proximity_pairs(query, cfg)
+    if not pairs:
+        return None
+    uniq = list(dict.fromkeys(t for p in pairs for t in p))
+    from meilibridge_spark.operators.search import decode_postings, terms_in
+
+    if precision == "byAttribute":
+        if index.attrs is None:
+            raise ValueError(
+                "proximity_precision='byAttribute' needs an index built "
+                "with with_attributes=True (operators/attrs.py)"
+            )
+        rows = decode_postings(
+            index.attrs.filter(terms_in("term", uniq))
+        ).select("term", "doc_id", F.col("tf").alias("_v"))
+        cost = [_attr_pair_cost_sql("_m", a, b) for a, b in pairs]
+    else:
+        pos = positions if positions is not None else index.positions
+        if pos is None:
+            raise ValueError(
+                "no positions table: pass one or build the snapshot "
+                "with with_positions=True"
+            )
+        rows = pos.filter(terms_in("term", uniq)).select(
+            "term", "doc_id", F.col("positions").alias("_v")
+        )
+        cost = [_pair_cost_sql("_m", a, b, pos_cap) for a, b in pairs]
+    g = rows.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "_v"))
+        ).alias("_m")
+    )
+    total = " + ".join(f"({c})" for c in cost)
+    return g.select(
+        "doc_id", F.expr(total).cast("int").alias("prox_cost")
     )
 
 

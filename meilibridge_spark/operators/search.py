@@ -193,6 +193,7 @@ def search(
     words_rank: "bool | None" = None,
     orig_terms: "list[str] | None" = None,
     typo_rank: bool = False,
+    proximity_rank: bool = False,
     attribute_rank: bool = False,
     exact_terms: "list[str] | None" = None,
     exactness_rank: bool = False,
@@ -238,14 +239,21 @@ def search(
     Ranking criteria — the reference's default ranking_rules list
     [words, typo, proximity, attribute, sort, exactness]
     (config/type.go:56) composes here in exactly that order ahead of
-    the BM25 score (proximity is the verified reference no-op, sort is
-    the separate Q9 operator):
+    the BM25 score (sort is the separate Q9 operator):
 
     - ``words_rank`` (default cfg.words_ranking): docs matching more
       query terms first (matched_terms desc).
     - ``orig_terms`` + ``typo_rank``: docs matching more ORIGINAL
       (pre-typo-expansion) terms above expansion-only matches
       (matched_exact desc) — the documented 'typo' simplification.
+    - ``proximity_rank``: docs where adjacent query words sit closer
+      together (in query order) first — ``prox_cost`` asc, the summed
+      per-pair min raw-slot distance from
+      ``positions.proximity_costs`` (reversed-order pairs +1, capped
+      at PROX_MAX per pair; missing pairs worst). Needs the positions
+      table (``with_positions=True``) under the default
+      ``proximity_precision='byWord'``, or the attrs table under
+      'byAttribute'. Adds a ``prox_cost`` output column.
     - ``attribute_rank``: docs whose matched terms occur in more
       important searchable attributes first (best_attr asc; Q5 order;
       requires an index built with with_attributes=True). Per-doc key =
@@ -421,13 +429,41 @@ def search(
             agg = agg.withColumn(
                 "freq_level", lvl.cast("int")
             ).drop(*wg_cols)
+    if proximity_rank:
+        # Q11 'proximity' criterion (positions.proximity_costs): lower
+        # summed adjacent-pair distance ranks higher; docs containing
+        # none of the pair terms' positions take the worst cost. The
+        # cost frame is posting-sized (term-pruned positions scan), so
+        # the doc_id join stays in the candidates' magnitude; AQE picks
+        # broadcast when the candidate set is actually small.
+        from meilibridge_spark.operators.positions import (
+            PROX_MAX,
+            proximity_costs,
+            proximity_pairs,
+        )
+
+        pairs = proximity_pairs(query, index.cfg)
+        prox = proximity_costs(index, query)
+        if prox is None:
+            # <2 distinct adjacent words: the criterion is a no-op but
+            # the output contract keeps the column
+            agg = agg.withColumn("prox_cost", F.lit(0))
+        else:
+            agg = agg.join(prox, "doc_id", "left").withColumn(
+                "prox_cost",
+                F.coalesce(
+                    F.col("prox_cost"), F.lit(PROX_MAX * len(pairs))
+                ).cast("int"),
+            )
     order = [F.col("score").desc(), F.col("doc_id").asc()]
-    # reference rule order words > typo > attribute > exactness composes
-    # by inserting in REVERSE priority at the head
+    # reference rule order words > typo > proximity > attribute >
+    # exactness composes by inserting in REVERSE priority at the head
     if exactness_rank:
         order.insert(0, F.col("exact_form").desc())
     if attribute_rank:
         order.insert(0, F.col("best_attr").asc())
+    if proximity_rank:
+        order.insert(0, F.col("prox_cost").asc())
     if typo_rank:
         order.insert(0, F.col("matched_exact").desc())
     if words_rank:

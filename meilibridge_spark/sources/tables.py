@@ -667,6 +667,10 @@ def get_settings(
         "facetSearch": bool(
             (meta.get("config") or {}).get("facet_search", True)
         ),
+        # v1.6 proximityPrecision (operators/positions.proximity_costs)
+        "proximityPrecision": (meta.get("config") or {}).get(
+            "proximity_precision", "byWord"
+        ),
         "faceting": {
             "maxValuesPerFacet": int(
                 (meta.get("config") or {}).get("faceting_max_values", 100)

@@ -1,0 +1,226 @@
+"""Q11 'proximity' ranking criterion + v1.6 proximityPrecision
+(operators/positions.proximity_costs, search(proximity_rank=True)).
+
+Covers: per-pair cost goldens (in-order distance, reversed +1 penalty,
+PROX_MAX clamp, missing-term worst), multi-pair summation, stop-word
+slots widening distances, rule-order composition (words outranks
+proximity, proximity outranks BM25), byAttribute precision over the
+attrs bitmask blocks, the single-word no-op, and the missing-table
+errors.
+"""
+
+import pytest
+
+from meilibridge_spark.config import (
+    ASCII_TOKEN_PATTERN,
+    AnalyzerConfig,
+    ConfigError,
+    IndexConfig,
+)
+from meilibridge_spark.operators.positions import (
+    PROX_MAX,
+    build_positions,
+    proximity_costs,
+    proximity_pairs,
+)
+from meilibridge_spark.operators.search import search
+from meilibridge_spark.plans.build import build_index
+
+DOCS = [
+    (0, "alpha beta gamma"),  # (alpha,beta) adjacent in order -> 1
+    (1, "beta alpha end"),  # reversed adjacent -> 2
+    (2, "alpha mid mid beta"),  # in-order distance 3
+    (3, "alpha lonely words"),  # beta missing -> PROX_MAX
+    (4, "alpha f1 f2 f3 f4 f5 f6 f7 f8 f9 beta"),  # distance 10 -> clamp
+    (5, "beta gamma tail"),  # alpha missing
+    (6, "unrelated filler text"),
+]
+
+
+def _cfg(**kw):
+    return IndexConfig(
+        index_name="prox",
+        primary_key=("doc_id",),
+        searchable_attributes=("text",),
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN, **kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    cfg = _cfg()
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    idx.positions = build_positions(idx.docs, cfg, text_col="text").persist()
+    return idx
+
+
+def _costs(idx, query, **kw):
+    df = proximity_costs(idx, query, **kw)
+    return {r["doc_id"]: r["prox_cost"] for r in df.collect()}
+
+
+def test_pair_cost_goldens(built):
+    got = _costs(built, "alpha beta")
+    assert got[0] == 1  # adjacent, query order
+    assert got[1] == 2  # adjacent but reversed: distance 1 + 1 penalty
+    assert got[2] == 3  # two fillers between
+    assert got[3] == PROX_MAX  # beta absent
+    assert got[4] == PROX_MAX  # distance 10, clamped
+    assert got[5] == PROX_MAX  # alpha absent
+    assert 6 not in got  # no pair term at all -> no row
+
+
+def test_multi_pair_sum(built):
+    got = _costs(built, "alpha beta gamma")
+    # doc 0: (alpha,beta)=1 + (beta,gamma)=1
+    assert got[0] == 2
+    # doc 5: alpha missing (8) + (beta,gamma)=1
+    assert got[5] == PROX_MAX + 1
+    # doc 3: alpha only -> both pairs worst
+    assert got[3] == 2 * PROX_MAX
+
+
+def test_repeated_occurrences_take_min(spark):
+    cfg = _cfg()
+    df = spark.createDataFrame(
+        [(0, "alpha far far far beta alpha beta")],
+        "doc_id long, text string",
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    idx.positions = build_positions(idx.docs, cfg, text_col="text")
+    assert _costs(idx, "alpha beta")[0] == 1  # the late adjacent pair wins
+
+
+def test_stop_word_slot_widens_distance(spark):
+    cfg = _cfg(stop_words=("the",))
+    df = spark.createDataFrame(
+        [(0, "alpha the beta"), (1, "alpha beta now")],
+        "doc_id long, text string",
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    idx.positions = build_positions(idx.docs, cfg, text_col="text")
+    got = _costs(idx, "alpha beta")
+    assert got[0] == 2  # 'the' emits no posting but holds its slot
+    assert got[1] == 1
+
+
+def test_search_rule_order(built):
+    # words (matched_terms desc) outranks proximity; proximity outranks
+    # BM25 score; prox_cost is an output column
+    hits = search(
+        built, "alpha beta", 10, words_rank=True, proximity_rank=True
+    ).collect()
+    assert [r["doc_id"] for r in hits[:4]] == [0, 1, 2, 4]
+    by_id = {r["doc_id"]: r for r in hits}
+    assert by_id[0]["prox_cost"] == 1
+    two_term = [r for r in hits if r["matched_terms"] == 2]
+    one_term = [r for r in hits if r["matched_terms"] == 1]
+    assert all(
+        h.prox_cost <= l.prox_cost
+        for h, l in zip(two_term, two_term[1:])
+    )
+    # every 2-term doc ranks above every 1-term doc (words first)
+    assert hits.index(two_term[-1]) < hits.index(one_term[0])
+
+
+def test_single_word_noop(built):
+    hits = search(built, "alpha", 10, proximity_rank=True)
+    rows = hits.collect()
+    assert rows and all(r["prox_cost"] == 0 for r in rows)
+
+
+def test_missing_positions_table_raises(spark):
+    cfg = _cfg()
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, cfg, doc_id_col="doc_id")
+    with pytest.raises(ValueError, match="positions"):
+        search(idx, "alpha beta", 5, proximity_rank=True)
+
+
+def test_by_attribute_precision(spark):
+    cfg = IndexConfig(
+        index_name="proxattr",
+        primary_key=("doc_id",),
+        searchable_attributes=("t1", "t2"),
+        proximity_precision="byAttribute",
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta here", "filler"),  # same attribute -> 1
+            (1, "alpha only", "beta only"),  # split attributes -> worst
+            (2, "alpha solo", "nothing"),  # beta absent -> worst
+        ],
+        "doc_id long, t1 string, t2 string",
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id", with_attributes=True)
+    got = _costs(idx, "alpha beta")
+    assert got[0] == 1
+    assert got[1] == PROX_MAX
+    assert got[2] == PROX_MAX
+    # byWord on the same index (explicit override) needs positions
+    with pytest.raises(ValueError, match="positions"):
+        proximity_costs(idx, "alpha beta", precision="byWord")
+    # byAttribute without attrs blocks
+    bare = build_index(df, cfg, doc_id_col="doc_id")
+    with pytest.raises(ValueError, match="attributes"):
+        proximity_costs(bare, "alpha beta")
+
+
+def test_by_attribute_search_end_to_end(spark):
+    cfg = IndexConfig(
+        index_name="proxattr2",
+        primary_key=("doc_id",),
+        searchable_attributes=("t1", "t2"),
+        proximity_precision="byAttribute",
+        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta", "x"),
+            (1, "alpha", "beta"),
+        ],
+        "doc_id long, t1 string, t2 string",
+    )
+    idx = build_index(df, cfg, doc_id_col="doc_id", with_attributes=True)
+    hits = search(idx, "alpha beta", 5, proximity_rank=True).collect()
+    assert [r["doc_id"] for r in hits] == [0, 1]
+    assert hits[0]["prox_cost"] == 1 and hits[1]["prox_cost"] == PROX_MAX
+
+
+def test_proximity_pairs_shapes(built):
+    cfg = built.cfg
+    assert proximity_pairs("alpha beta gamma", cfg) == [
+        ("alpha", "beta"),
+        ("beta", "gamma"),
+    ]
+    assert proximity_pairs("alpha", cfg) == []
+    assert proximity_pairs("alpha alpha", cfg) == []  # adjacent dup dropped
+    assert proximity_pairs("", cfg) == []
+
+
+def test_pos_cap_still_finds_close_pair(built):
+    # the scale knob: capped arrays may only RAISE the cost; on these
+    # tiny docs a generous cap changes nothing
+    got = _costs(built, "alpha beta", pos_cap=16)
+    assert got[0] == 1 and got[2] == 3
+
+
+def test_precision_setting_validated():
+    with pytest.raises(ConfigError, match="proximity_precision"):
+        IndexConfig(
+            index_name="bad",
+            primary_key=("doc_id",),
+            proximity_precision="nope",
+        ).validate()
+
+
+def test_precision_setting_round_trips():
+    cfg = IndexConfig(
+        index_name="rt",
+        primary_key=("doc_id",),
+        proximity_precision="byAttribute",
+    )
+    back = IndexConfig.from_json_dict(cfg.to_json_dict())
+    assert back.proximity_precision == "byAttribute"
