@@ -417,6 +417,77 @@ def build_vector_index(
     )
 
 
+def apply_cdc_vector_index(
+    vec,
+    deleted_ids: "DataFrame | None" = None,
+    upserts: "DataFrame | None" = None,
+):
+    """CDC maintenance of a stored IVF layout -> (new VectorIndex,
+    delta dict) — the Meilisearch incremental-vector-update analog
+    (its vector DB inserts/removes per document write without
+    retraining).
+
+    - ``deleted_ids`` (one id column named ``vec.id_col``): their rows
+      leave the assignment — deleted documents must never be served as
+      semantic hits (ghost prevention).
+    - ``upserts`` (``id_col`` + ``vec_col`` [+ extra cols matching the
+      assigned schema]): REPLACE any existing row with that id and are
+      assigned to the nearest STORED centroid — one broadcast-centroids
+      pass (``ivf_assign``), zero training jobs. The quantizer stays
+      fixed between retrains (``build_vector_index`` /
+      ``jobs/build_vectors.py``), exactly the IVF serving contract: a
+      drifted corpus re-trains offline, inserts stay cheap.
+
+    The returned delta dict (``vec_touched_ids``: ids whose base rows
+    are dead, ``vec_assigned``: the replacement rows) is what
+    ``save_snapshot_delta`` persists for merge-on-read folding at
+    load; cost O(touched vectors), never corpus size.
+    """
+    import dataclasses
+
+    from meilibridge_spark.sources.tables import VectorIndex  # noqa: F401
+
+    if deleted_ids is None and upserts is None:
+        raise ValueError("apply_cdc_vector_index needs deletes or upserts")
+    spark = vec.assigned.sparkSession
+    idc = vec.id_col
+    touched = None
+    if deleted_ids is not None:
+        touched = deleted_ids.select(F.col(deleted_ids.columns[0]).alias(idc))
+    new_rows = None
+    if upserts is not None:
+        up_ids = upserts.select(F.col(idc))
+        touched = (
+            up_ids if touched is None else touched.unionByName(up_ids)
+        ).distinct()
+        assigned_cols = vec.assigned.columns
+        extra = [
+            c for c in assigned_cols if c not in (idc, "centroid_id")
+        ]
+        missing = [c for c in extra if c not in upserts.columns]
+        if missing:
+            raise ValueError(
+                f"vector upserts missing assigned-schema columns {missing}"
+            )
+        new_rows = (
+            upserts.join(
+                ivf_assign(upserts, vec.centroids, idc, vec.vec_col), idc
+            )
+            .select(*assigned_cols)
+        )
+    else:
+        touched = touched.distinct()
+        # empty-but-schemaed frame so the delta table always exists
+        new_rows = spark.createDataFrame([], vec.assigned.schema)
+    assigned_new = (
+        vec.assigned.join(F.broadcast(touched), idc, "left_anti")
+        .unionByName(new_rows)
+        .select(*vec.assigned.columns)
+    )
+    new_vec = dataclasses.replace(vec, assigned=assigned_new, dirty=True)
+    return new_vec, {"vec_touched_ids": touched, "vec_assigned": new_rows}
+
+
 def similar_documents(
     emb: DataFrame,
     target_ids: "list[int]",

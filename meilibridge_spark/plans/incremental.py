@@ -84,9 +84,24 @@ def apply_cdc(
     index: InvertedIndex,
     cdc: DataFrame,
     cfg: "IndexConfig | None" = None,
+    vectors_cdc: "DataFrame | None" = None,
 ) -> InvertedIndex:
     """MERGE a CDC batch into the index -> new in-memory InvertedIndex
-    (persist/save via sources.tables.save_snapshot)."""
+    (persist/save via sources.tables.save_snapshot).
+
+    When the index carries a stored IVF vector layout
+    (``index.vectors``), the batch maintains it too
+    (operators/similarity.apply_cdc_vector_index): DELETED documents'
+    vectors always leave the assignment (no ghost semantic hits), and
+    ``vectors_cdc`` (optional ``id_col`` + ``vec_col`` rows — the
+    ``_vectors`` document-field analog, supplied separately because
+    the reference's CDC payloads don't carry embeddings) upserts
+    replacement vectors assigned to the nearest STORED centroid with
+    zero training jobs. Documented deviation: a document UPDATE
+    without a matching ``vectors_cdc`` row keeps its old vector (the
+    meilibridge model — vectors come from a pipeline, not the doc
+    payload — where a Meilisearch document REPLACE would drop them).
+    """
     cfg = cfg or index.cfg
     spark = cdc.sparkSession
     docs = index.docs
@@ -295,6 +310,49 @@ def apply_cdc(
         new_nbr = build_typo_table(surviving)
         typos_new = kept_nbr.unionByName(new_nbr)
 
+    # --- stored IVF vector layout MERGE (only when the snapshot
+    # carries one): deleted docs' vectors leave the assignment;
+    # vectors_cdc rows replace/insert against the FIXED stored
+    # centroids (one broadcast pass, no retraining). Cost ∝ touched
+    # vectors.
+    vectors_new = None
+    vec_delta: "dict | None" = None
+    if index.vectors is not None:
+        from meilibridge_spark.operators.similarity import (
+            apply_cdc_vector_index,
+        )
+
+        idc = index.vectors.id_col
+        dead_ids = existing.join(
+            live.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "left_anti",
+        ).select(F.col("doc_id").alias(idc))
+        vcd = vectors_cdc
+        if vcd is not None and idc not in vcd.columns:
+            # primary-key-shaped vector payloads (the `_vectors`
+            # document-field analog rides the same keys as the CDC
+            # events): resolve to doc ids against the MERGED docs, so
+            # both this batch's upserts and vector-only refreshes of
+            # untouched docs work; vectors for deleted/unknown keys
+            # drop here (inner join), matching document semantics
+            vcd = (
+                vcd.join(
+                    docs_new.select("conv_id", "turn_idx", "doc_id"),
+                    ["conv_id", "turn_idx"],
+                )
+                .drop("conv_id", "turn_idx")
+                .withColumnRenamed("doc_id", idc)
+            )
+        vectors_new, vec_delta = apply_cdc_vector_index(
+            index.vectors, deleted_ids=dead_ids, upserts=vcd
+        )
+    elif vectors_cdc is not None:
+        raise ValueError(
+            "vectors_cdc given but the index has no stored vector "
+            "layout (build_vector_index + save_vector_index first)"
+        )
+
     # --- delta components (what changed, keyed for merge-on-read):
     # save_snapshot_delta persists THESE instead of rewriting every
     # table — a micro-batch commit then costs O(touched docs +
@@ -322,6 +380,8 @@ def apply_cdc(
         delta["attrs"] = merged_a
     if typos_new is not None:
         delta["typos"] = new_nbr
+    if vec_delta is not None:
+        delta.update(vec_delta)
     return InvertedIndex(
         cfg=cfg,
         docs=docs_new,
@@ -332,6 +392,7 @@ def apply_cdc(
         positions=positions_new,
         attrs=attrs_new,
         typos=typos_new,
+        vectors=vectors_new,
         delta=delta,
     )
 

@@ -84,6 +84,16 @@ class VectorIndex:
     n_probe: int  # stored serving default (n_probe == n_centroids ≡ exact)
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    #: stored base version this layout was loaded from/saved to
+    #: (``vectors/base-{k}``; None = legacy flat layout or unsaved).
+    #: The vector store is INDEX-GLOBAL (like Meilisearch's vector DB
+    #: living beside the index): snapshot time travel does not apply
+    #: to it, and delta folding at load guards on this name.
+    base: "str | None" = None
+    #: True when ``assigned`` has in-memory CDC folds not yet written
+    #: to a stored base (apply_cdc upserts/deletes, or delta-chain
+    #: folding at load). save_snapshot then rewrites the base.
+    dirty: bool = False
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -278,6 +288,14 @@ def save_snapshot(
             "overwrite"
         ).parquet(os.path.join(base, "typos"))
 
+    # a CDC-folded (or delta-chain-folded) vector layout rewrites its
+    # stored base BEFORE the manifest commit: save_vector_index writes
+    # a NEW versioned base dir (never the files the fold is reading)
+    # and resets the dirty flag — full snapshots (and compaction, which
+    # routes here) are then self-contained for vectors too
+    if index.vectors is not None and index.vectors.dirty:
+        save_vector_index(index.vectors, index_dir)
+
     spark = index.postings.sparkSession
     postings_persisted = spark.read.parquet(os.path.join(base, "postings"))
     metrics = {
@@ -318,6 +336,11 @@ def save_snapshot(
         },
         "lineage": {"postings": partition_lineage(postings_persisted)},
         "metrics": metrics,
+        **(
+            {"vec_base": index.vectors.base}
+            if index.vectors is not None and index.vectors.base
+            else {}
+        ),
     }
     manifest["snapshots"].append(entry)
     manifest["current"] = snap_id
@@ -342,6 +365,10 @@ _DELTA_TABLES = (
     ("affected_attr_terms", "affected_attr_terms", ("term",)),
     ("attrs", "attrs_delta", ("term", "block_id")),
     ("typos", "typos_delta", ("delkey", "term")),
+    # stored-IVF vector maintenance (apply_cdc_vector_index): tiny
+    # per-batch frames, no range layout needed
+    ("vec_touched_ids", "vec_touched_ids", ()),
+    ("vec_assigned", "vec_assigned_delta", ()),
 )
 
 
@@ -451,6 +478,14 @@ def save_snapshot_delta(
         "index": _index_meta(index),
         "tables": tables,
         "metrics": metrics,
+        # the vector base this delta's vec tables were computed
+        # against — load_snapshot folds them ONLY onto that base (a
+        # retrain/compaction supersedes pending deltas)
+        **(
+            {"vec_base": index.vectors.base}
+            if index.vectors is not None and index.vectors.base
+            else {}
+        ),
     }
     manifest["snapshots"].append(entry)
     manifest["current"] = snap_id
@@ -579,6 +614,11 @@ def load_snapshot(
     positions = rd(bt["positions"]) if "positions" in bt else None
     attrs = rd(bt["attrs"]) if "attrs" in bt else None
     typos = rd(bt["typos"]) if "typos" in bt else None
+    # the stored IVF layout (if any) rides along; delta levels with
+    # vector maintenance fold onto it below. The guard on vec_base
+    # skips deltas computed against a SUPERSEDED base (a retrain or
+    # compaction already folded/replaced them).
+    vectors = load_vector_index(spark, index_dir)
     for d in chain[1:]:
         t = d["tables"]
         aff = rd(t["affected_terms"])
@@ -602,6 +642,23 @@ def load_snapshot(
             )
         if typos is not None and "typos_delta" in t:
             typos = fold(typos, aff, rd(t["typos_delta"]), ["term"])
+        if (
+            vectors is not None
+            and "vec_touched_ids" in t
+            and d.get("vec_base") == vectors.base
+        ):
+            import dataclasses as _dc
+
+            vectors = _dc.replace(
+                vectors,
+                assigned=fold(
+                    vectors.assigned,
+                    rd(t["vec_touched_ids"]),
+                    rd(t["vec_assigned_delta"]),
+                    [vectors.id_col],
+                ),
+                dirty=True,
+            )
     return InvertedIndex(
         cfg=cfg,
         docs=docs,
@@ -615,9 +672,8 @@ def load_snapshot(
         positions=positions,
         attrs=attrs,
         typos=typos,
-        # the stored IVF layout (if any) rides along: hybrid /
-        # similar-docs serving then auto-selects the probed path
-        vectors=load_vector_index(spark, index_dir),
+        # hybrid / similar-docs serving auto-selects the probed path
+        vectors=vectors,
     )
 
 
@@ -889,14 +945,34 @@ def _dir_bytes(path: str) -> int:
 VECTORS_DIR = "vectors"
 
 
+def _read_vector_meta(index_dir: str) -> "dict | None":
+    meta_path = os.path.join(index_dir, VECTORS_DIR, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
     """Persist a trained IVF layout: centroids (tiny), assignment
     DIRECTORY-PARTITIONED by centroid_id (one dir per inverted list) —
     the probe-time literal ``centroid_id IN (...)`` filter then prunes
     whole list directories from the scan (plan-tested
     PartitionFilters), so a query reads n_probe/n_centroids of the
-    stored bytes instead of all of them."""
-    base = os.path.join(index_dir, VECTORS_DIR)
+    stored bytes instead of all of them.
+
+    The layout is VERSIONED: each save writes a fresh
+    ``vectors/base-{k}/`` dir and commits it by rewriting meta.json
+    (os.replace) — so a save whose ``assigned`` plan READS the current
+    base (a CDC fold, a compaction) never overwrites the files it is
+    reading, and a crashed save leaves the old base live. Old bases
+    stay on disk until ``expire_vector_bases``."""
+    root = os.path.join(index_dir, VECTORS_DIR)
+    old = _read_vector_meta(index_dir) or {}
+    prev = old.get("base")
+    nxt = int(prev.rsplit("-", 1)[1]) + 1 if prev else 1
+    base_name = f"base-{nxt:06d}"
+    base = os.path.join(root, base_name)
     vec.centroids.repartition(1).sortWithinPartitions(
         "centroid_id"
     ).write.mode("overwrite").parquet(os.path.join(base, "centroids"))
@@ -910,24 +986,51 @@ def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
         "n_probe": vec.n_probe,
         "id_col": vec.id_col,
         "vec_col": vec.vec_col,
+        "base": base_name,
     }
-    tmp = os.path.join(base, "meta.json.tmp")
+    tmp = os.path.join(root, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(base, "meta.json"))  # commit point
+    os.replace(tmp, os.path.join(root, "meta.json"))  # commit point
+    vec.base = base_name
+    vec.dirty = False
+
+
+def expire_vector_bases(index_dir: str) -> "list[str]":
+    """Drop every vector base dir except the committed current one
+    (plus the legacy flat layout's files if a versioned base has
+    superseded them). Same serving-safety contract as
+    ``expire_snapshots``: an in-flight reader of an old base may fail
+    mid-query after expiry — expire from the writer, after serving
+    sessions have reloaded. Returns the removed dir/file names."""
+    import shutil
+
+    root = os.path.join(index_dir, VECTORS_DIR)
+    meta = _read_vector_meta(index_dir)
+    if meta is None or "base" not in meta:
+        return []
+    removed = []
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if name == meta["base"] or name.startswith("meta.json"):
+            continue
+        if name.startswith("base-") or name in ("centroids", "assigned"):
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def load_vector_index(
     spark: SparkSession, index_dir: str
 ) -> "VectorIndex | None":
     """Load the stored IVF layout, or None when the index has none
-    (the meta.json commit marker is the existence check)."""
-    base = os.path.join(index_dir, VECTORS_DIR)
-    meta_path = os.path.join(base, "meta.json")
-    if not os.path.exists(meta_path):
+    (the meta.json commit marker is the existence check). Reads the
+    committed ``base-{k}`` dir; pre-versioning flat layouts (no
+    ``base`` key in meta.json) still load."""
+    meta = _read_vector_meta(index_dir)
+    if meta is None:
         return None
-    with open(meta_path) as f:
-        meta = json.load(f)
+    base = os.path.join(index_dir, VECTORS_DIR, meta.get("base", ""))
     # partition-column inference types centroid_id as int; restore the
     # long the engine uses everywhere (pruning survives the upcast —
     # Catalyst unwraps the cast around the literal IN, plan-tested)
@@ -942,6 +1045,7 @@ def load_vector_index(
         n_probe=int(meta["n_probe"]),
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
+        base=meta.get("base"),
     )
 
 
