@@ -1908,6 +1908,45 @@ def _q_filter_fold(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_tenant_search(terms_text: str, k: int):
+    """Multitenancy tenant-token analog (sources/keys.py): an HS256
+    tenant token signed by a stored API key forces its searchRules
+    filter onto the query, AND-composed with the user filter."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.search import search
+        from meilibridge_spark.sources.keys import (
+            KeyStore,
+            compose_filters,
+            generate_tenant_token,
+            token_search_filter,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        store = KeyStore(
+            os.path.join(tempfile.mkdtemp(prefix="mbkeys_"), "keys.json"),
+            "spark-graft-master-key",
+        )
+        key = store.create_key(["search"], ["doc*"], uid="gate-key")
+        tok = generate_tenant_token(
+            "gate-key", key["key"], {"docs": {"filter": "lang = 'en'"}}
+        )
+        forced = token_search_filter(tok, store, "docs")
+        combined = compose_filters(forced, "n_chars >= 200")
+        filt = filter_doc_ids(idx, combined)
+        return search(idx, terms_text, k, filter_docs=filt).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs the FIRST 50
     # entries in registration order (observed: CORRECTNESS_r02.json ran
@@ -1941,7 +1980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # positions.proximity_costs): ft_proximity_rank takes the gate
     # slot of r03-verified ft_match_positions (positions family keeps
     # ft_quoted_phrase + ft_phrase_stopword in the gate), which moves
-    # to the overflow.
+    # to the overflow. Tenant tokens (NEW operator, sources/keys.py):
+    # ft_tenant_search takes the gate slot of r03-verified
+    # ft_bm25_stopwords (tokenizer family keeps ft_bm25_synonyms +
+    # ft_separator-family siblings; stop-word behavior also rides
+    # ft_phrase_stopword), which moves to the overflow.
     return {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
@@ -1952,7 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_stored": _q_hybrid_stored("spark join table", 10, 0.5, 30, 7),
         "ft_hybrid_rs": _q_hybrid_rs("spark join table", 10, 0.5, 30, 7),
         "ft_multi_search": _q_multi_search,
-        "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
+        "ft_tenant_search": _q_tenant_search("spark join", 10),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_matching_frequency": _q_matching_frequency(
             "scan join spark", 20
@@ -2012,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries 51+: secondary variants + the r03-verified
         # rotation outflow (see ORDERING CONTRACT above) ---------------
         "ft_match_positions": _q_match_positions("spark join", 10),
+        "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
@@ -2367,6 +2411,13 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
         ),
         "ft_match_positions": _sql_match_positions(["spark", "join"], 10),
         "ft_proximity_rank": _sql_proximity_rank(["spark", "join"], 10),
+        "ft_tenant_search": (
+            _sql_scores(["spark", "join"])
+            + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "
+            "FROM scores s JOIN documents d USING (doc_id) "
+            "WHERE d.lang = 'en' AND d.n_chars >= 200 "
+            "ORDER BY s.s DESC, s.doc_id LIMIT 10"
+        ),
         "ft_bm25_stopwords": _sql_topk(["fast", "scan"], 10, stop=_STOP),
         "ft_bm25_synonyms": _sql_topk(_expand(["fast", "join"]), 10),
         "ft_bm25_dictionary": _sql_topk(

@@ -502,6 +502,7 @@ def ranking_scores(
     n_attrs: "int | None" = None,
     threshold: "float | None" = None,
     score_details: bool = False,
+    n_prox_pairs: "int | None" = None,
 ) -> DataFrame:
     """Meilisearch ``showRankingScore`` / ``rankingScoreThreshold``
     analog: a per-hit ``_ranking_score`` in [0, 1], absolute (no
@@ -512,6 +513,10 @@ def ranking_scores(
       the ``matched_terms`` column every search() result has)
     - ``typo``:      matched_exact / matched_terms  (when the hits were
       produced with ``typo_rank`` -> ``matched_exact`` present)
+    - ``proximity``: (max_cost - prox_cost) / max_cost with max_cost =
+      PROX_MAX * n_prox_pairs (when the hits were produced with
+      ``proximity_rank`` -> ``prox_cost`` present AND ``n_prox_pairs``
+      given; pass ``len(positions.proximity_pairs(query, cfg))``)
     - ``attribute``: (n_attrs - best_attr) / n_attrs, sentinel/no-info
       -> 0 (when ``best_attr`` present AND ``n_attrs`` given)
     - ``exactness``: exact_form / matched_terms (when ``exact_form``
@@ -551,6 +556,13 @@ def ranking_scores(
     }
     if "matched_exact" in cols:
         subs["_score_typo"] = F.col("matched_exact") / matched
+    if "prox_cost" in cols and n_prox_pairs:
+        from meilibridge_spark.operators.positions import PROX_MAX
+
+        max_cost = float(PROX_MAX * n_prox_pairs)
+        subs["_score_proximity"] = (
+            F.lit(max_cost) - F.least(F.col("prox_cost"), F.lit(max_cost))
+        ) / F.lit(max_cost)
     if "best_attr" in cols and n_attrs is not None:
         subs["_score_attribute"] = (
             F.greatest(
@@ -587,6 +599,15 @@ def ranking_scores(
                     F.col("matched_terms").alias("maxTypoCount"),
                     F.col("_score_typo").alias("score"),
                 ).alias("typo")
+            )
+        if "_score_proximity" in subs:
+            order += 1
+            details.append(
+                F.struct(
+                    F.lit(order).alias("order"),
+                    F.col("prox_cost").alias("proximityCost"),
+                    F.col("_score_proximity").alias("score"),
+                ).alias("proximity")
             )
         if "_score_attribute" in subs:
             order += 1

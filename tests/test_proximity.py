@@ -207,6 +207,24 @@ def test_pos_cap_still_finds_close_pair(built):
     assert got[0] == 1 and got[2] == 3
 
 
+def test_proximity_ranking_subscore(built):
+    from meilibridge_spark.operators.relational import ranking_scores
+
+    hits = search(built, "alpha beta", 10, proximity_rank=True)
+    out = ranking_scores(
+        hits, n_query_terms=2, n_prox_pairs=1, score_details=True
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["_score_proximity"] == pytest.approx((8 - 1) / 8)
+    assert by_id[3]["_score_proximity"] == 0.0
+    d = by_id[0]["_ranking_score_details"].asDict()
+    assert d["proximity"]["proximityCost"] == 1
+    assert d["proximity"]["order"] == 1  # after words, no typo col here
+    # without n_prox_pairs the subscore stays out (backward compat)
+    plain = ranking_scores(hits, n_query_terms=2).columns
+    assert "_score_proximity" not in plain
+
+
 def test_precision_setting_validated():
     with pytest.raises(ConfigError, match="proximity_precision"):
         IndexConfig(
