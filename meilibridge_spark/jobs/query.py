@@ -122,6 +122,16 @@ def main() -> None:
                          "the index's stored IVF layout when present "
                          "(jobs/build_vectors.py) else brute-force; "
                          "'exact'/'ivf' force a path")
+    ap.add_argument("--tenant-token", default=None,
+                    help="HS256 tenant token (jobs/keys.py token); its "
+                         "searchRules filter is FORCED onto the query, "
+                         "AND-composed with --filter")
+    ap.add_argument("--keys-file", default=None,
+                    help="API key store backing --tenant-token")
+    ap.add_argument("--master-key", default=None)
+    ap.add_argument("--index-uid", default=None,
+                    help="index uid for tenant searchRules resolution "
+                         "(default: the index's configured name)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if not args.query and not args.queries_file:
@@ -175,6 +185,33 @@ def main() -> None:
     if search_on is not None and index.attrs is None:
         ap.error("--search-on requires an index built with attr blocks "
                  "(build_index with_attributes=True)")
+
+    if args.tenant_token:
+        if not (args.keys_file and args.master_key):
+            ap.error("--tenant-token needs --keys-file and --master-key")
+        if args.embeddings:
+            # silently dropping the forced filter on the hybrid path
+            # would be a row-security hole — refuse loudly instead
+            ap.error("--tenant-token does not compose with --embeddings "
+                     "(hybrid ignores keyword filters)")
+        from meilibridge_spark.sources.keys import (
+            AuthError,
+            KeyStore,
+            compose_filters,
+            token_search_filter,
+        )
+
+        try:
+            forced = token_search_filter(
+                args.tenant_token,
+                KeyStore(args.keys_file, args.master_key),
+                args.index_uid or index.cfg.normalized_name(),
+            )
+        except AuthError as e:
+            ap.error(f"tenant token rejected: {e}")
+        if args.filter_role:
+            ap.error("--tenant-token composes with --filter only")
+        args.filter_expr = compose_filters(forced, args.filter_expr)
 
     def make_filter():
         if args.filter_expr:

@@ -157,6 +157,43 @@ def test_compose_filters():
     assert compose_filters(None, None) is None
 
 
+def test_keys_cli_roundtrip(tmp_path, capsys, monkeypatch):
+    """jobs/keys.py: create -> token -> verify resolves the forced
+    filter; delete -> verify rejects. Pure metadata, no Spark."""
+    import json
+
+    from meilibridge_spark.jobs import keys as keys_cli
+
+    kf = os.path.join(str(tmp_path), "keys.json")
+
+    def run(*argv):
+        monkeypatch.setattr(
+            "sys.argv", ["keys", *argv, "--keys-file", kf,
+                         "--master-key", MASTER]
+        )
+        keys_cli.main()
+        return json.loads(capsys.readouterr().out)
+
+    created = run(
+        "create", "--actions", "search", "--indexes", "doc*",
+        "--uid", "cli-1", "--name", "cli key",
+    )
+    assert created["uid"] == "cli-1" and created["key"]
+    assert [k["uid"] for k in run("list")] == ["cli-1"]
+    tok = run(
+        "token", "--uid", "cli-1", "--rules",
+        '{"docs": {"filter": "lang = \'en\'"}}',
+    )["token"]
+    ver = run("verify", "--token", tok, "--index-uid", "docs")
+    assert ver["forcedFilter"] == "lang = 'en'"
+    assert ver["payload"]["apiKeyUid"] == "cli-1"
+    run("delete", "--uid", "cli-1")
+    with pytest.raises(SystemExit):
+        run("verify", "--token", tok)
+    with pytest.raises(SystemExit):  # bad rules JSON -> loud ap.error
+        run("token", "--uid", "cli-1", "--rules", "{not json")
+
+
 def test_forced_filter_search_end_to_end(spark, tmp_path, store):
     """A tenant token scoped to lang='en' narrows a real search exactly
     like writing the conjunction by hand — the multitenancy contract."""

@@ -228,3 +228,19 @@ def test_serving_search_on_has_no_upstream_exchange(spark):
     finally:
         idx.serving.unpersist()
         idx.serving = None
+
+
+def test_proximity_positions_scan_is_term_pruned(spark, tmp_path_factory):
+    """proximity_rank's positions fetch must reach the parquet scan as
+    a term IN filter (posting-sized work), and the cost arithmetic must
+    stay JVM-side — no Python evaluation (BatchEvalPython) in the plan."""
+    d = str(tmp_path_factory.mktemp("proxidx"))
+    src = generate_transcripts(spark, n_convs=30, seed=11)
+    idx = build_and_save(
+        spark, src, IndexConfig(index_name="prox"), d, with_positions=True
+    )
+    hits = search(idx, "baba cedi", 5, proximity_rank=True)
+    plan = _explain(hits)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("term" in p for p in pushed), pushed
+    assert "BatchEvalPython" not in plan
