@@ -114,7 +114,8 @@ def main() -> None:
     from meilibridge_spark.operators.positions import build_positions
 
     t0 = time.time()
-    n_pos_rows = build_positions(idx.docs, cfg).count()
+    positions = build_positions(idx.docs, cfg).persist()
+    n_pos_rows = positions.count()
     timings["build_positions"] = time.time() - t0
 
     # --- index build over the driver's documents table
@@ -240,6 +241,21 @@ def main() -> None:
     timings["query_hybrid_stored"] = time.time() - t0
     didx.vectors = None
 
+    # --- proximity-ranked single search (round 4, Q11 rule #3): the
+    # positional criterion joins a term-pruned positions fetch onto the
+    # scored candidates — timed over 10 two-word queries
+    from meilibridge_spark.operators.search import search
+
+    idx.positions = positions
+    t0 = time.time()
+    prox_hits = 0
+    for _, q in queries[:10]:
+        prox_hits += search(
+            idx, q, 10, words_rank=True, proximity_rank=True
+        ).count()
+    timings["query_proximity"] = time.time() - t0
+    idx.positions = None
+
     # --- driver-side WAND serving path (DriverSearcher: dictionary
     # collected once; cold pass fills the postings cache, warm pass is
     # zero-Spark-job latency)
@@ -290,6 +306,10 @@ def main() -> None:
             len(hy_queries) / timings["query_hybrid_stored"], 2
         ),
         "hybrid_stored_hits": hybrid_stored_hits,
+        "proximity_queries_per_sec": round(
+            10 / timings["query_proximity"], 2
+        ),
+        "proximity_hits": prox_hits,
         "wand_cold_queries_per_sec": round(
             len(queries) / timings["query_wand_cold"], 2
         ),

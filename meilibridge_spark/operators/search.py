@@ -1002,7 +1002,10 @@ def search_many(
 
     Q11 ranking criteria compose in reference rule order ahead of
     (score desc, doc_id asc), each rank-identical to the single-query
-    contract (tested) and free when off:
+    contract (tested) and free when off (``proximity_rank`` is the one
+    single-path-only criterion: its positional pair costs would have to
+    ride the doc-shard exchange as a third block kind to stay
+    shuffle-free here — use ``search(..., proximity_rank=True)``):
 
     - ``words_rank`` (default cfg.words_ranking): matched_terms desc —
       a per-query count array alongside the dense scatter-add.
