@@ -1446,7 +1446,11 @@ def _q_proximity_rank(terms_text: str, k: int):
     return run
 
 
-def _sql_proximity_rank(terms: "list[str]", k: int) -> str:
+def _sql_proximity_rank(
+    terms: "list[str]", k: int, qid: "str | None" = None
+) -> str:
+    """Single-query oracle; with ``qid`` emits the batch shape
+    (query_id + full-precision rank) for _sql_proximity_batch."""
     pairs = [(a, b) for a, b in zip(terms, terms[1:]) if a != b]
     uniq = list(dict.fromkeys(terms))
     inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
@@ -1464,10 +1468,13 @@ def _sql_proximity_rank(terms: "list[str]", k: int) -> str:
     joins = "\n".join(
         f"LEFT JOIN pair{i} p{i} USING (doc_id)" for i in range(len(pairs))
     )
-    total = " + ".join(f"coalesce(p{i}.c, 8)" for i in range(len(pairs)))
-    return f"""
-WITH {_sql_tok()},
-arrs AS (
+    # a query with <2 distinct adjacent words: the criterion is a no-op
+    # (prox_cost 0, matching the engine's output contract)
+    total = (
+        " + ".join(f"coalesce(p{i}.c, 8)" for i in range(len(pairs))) or "0"
+    )
+    pos_ctes = (
+        f"""arrs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
   FROM documents
 ),
@@ -1475,7 +1482,21 @@ tokpos AS (
   SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos
   FROM arrs
 ),
-{pair_ctes},
+{pair_ctes},"""
+        if pairs
+        else ""
+    )
+    qid_col = f"'{qid}' AS query_id, " if qid is not None else ""
+    rank_col = (
+        f""",
+       row_number() OVER (ORDER BY s.matched_terms DESC, ({total}) ASC,
+                          s.s DESC, s.doc_id)::INT AS rank"""
+        if qid is not None
+        else ""
+    )
+    return f"""
+WITH {_sql_tok()},
+{pos_ctes}
 scores AS (
   SELECT tf.doc_id, count(*)::INT AS matched_terms,
          sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -1488,12 +1509,47 @@ scores AS (
   WHERE tf.term IN {inlist}
   GROUP BY tf.doc_id
 )
-SELECT s.doc_id, s.matched_terms, ({total})::INT AS prox_cost,
-       round(s.s, 4)::DOUBLE AS score
+SELECT {qid_col}s.doc_id, s.matched_terms, ({total})::INT AS prox_cost,
+       round(s.s, 4)::DOUBLE AS score{rank_col}
 FROM scores s
 {joins}
 ORDER BY s.matched_terms DESC, prox_cost ASC, s.s DESC, s.doc_id LIMIT {k}
 """
+
+
+def _q_proximity_batch(qs: "list[tuple[str, str]]", k: int):
+    """BATCH proximity ranking: one scatter-gather job, the pair
+    terms' positional rows cogrouped with the blocks by doc-shard
+    (search_many(proximity_rank=True)); rank-identical to the single
+    path."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import build_positions
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir)
+        if idx.positions is None:
+            idx.positions = build_positions(idx.docs, idx.cfg, text_col="text")
+        return search_many(
+            idx, qs, k=k, words_rank=True, proximity_rank=True
+        ).select(
+            "query_id",
+            "doc_id",
+            "matched_terms",
+            "prox_cost",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+
+    return run
+
+
+def _sql_proximity_batch(qs: "list[tuple[str, list[str]]]", k: int) -> str:
+    return " UNION ALL ".join(
+        f"({_sql_proximity_rank(terms, k, qid=qid)})" for qid, terms in qs
+    )
 
 
 def _sql_match_positions(terms: "list[str]", k: int) -> str:
@@ -2055,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries 51+: secondary variants + the r03-verified
         # rotation outflow (see ORDERING CONTRACT above) ---------------
         "ft_match_positions": _q_match_positions("spark join", 10),
+        "ft_proximity_batch": _q_proximity_batch(
+            [("qa", "spark join"), ("qb", "join spark"), ("qc", "table")], 10
+        ),
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
@@ -2411,6 +2470,14 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
         ),
         "ft_match_positions": _sql_match_positions(["spark", "join"], 10),
         "ft_proximity_rank": _sql_proximity_rank(["spark", "join"], 10),
+        "ft_proximity_batch": _sql_proximity_batch(
+            [
+                ("qa", ["spark", "join"]),
+                ("qb", ["join", "spark"]),
+                ("qc", ["table"]),
+            ],
+            10,
+        ),
         "ft_tenant_search": (
             _sql_scores(["spark", "join"])
             + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "

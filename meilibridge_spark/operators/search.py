@@ -42,6 +42,11 @@ DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 #: best_attr, exact_form) in search_many's rank_cols order
 SCORED_SCHEMA = "qkey string, doc_id long, score double"
 
+#: per-pair proximity cost cap for the batch path — MUST equal
+#: operators.positions.PROX_MAX (importing it here would be circular:
+#: positions imports search); equality is asserted by a test.
+PROX_MAX_BATCH = 8
+
 
 def terms_in(col: str, terms: "list") -> "F.Column":
     """IN predicate over a literal list built with ONE py4j call.
@@ -590,6 +595,80 @@ def _restrict_terms_to_attrs(
     return out
 
 
+def _pair_costs_dense(
+    da: np.ndarray,
+    pa: np.ndarray,
+    db: np.ndarray,
+    pb: np.ndarray,
+    shard_range: int,
+) -> np.ndarray:
+    """Dense per-doc min word-pair proximity cost for ONE adjacent
+    query pair (a, b) over one shard — the exact single-path formula
+    (positions._pair_cost_sql: in-order q-p, reversed p-q+1, capped at
+    PROX_MAX_BATCH, absent pair = worst) computed with one merged scan
+    instead of a quadratic cross product.
+
+    Inputs are the pair terms' flattened occurrences (doc offset, raw
+    slot), each sorted by (doc, pos). Encode (doc, pos) into one int64
+    key, sort the union with b-before-a on exact ties, then
+    ``np.maximum.accumulate`` gives every element its latest preceding
+    a-key / b-key: b elements yield in-order candidates (tie order
+    makes the preceding a STRICT), a elements yield reversed
+    candidates (ties allowed -> q==p costs 1, the single-path else
+    branch). Cross-doc / no-predecessor candidates come out >= 2^32-ish
+    and clamp harmlessly to the PROX_MAX_BATCH init. O(n log n), fully
+    vectorized."""
+    cost = np.full(shard_range, PROX_MAX_BATCH, dtype=np.int32)
+    if not da.size or not db.size:
+        return cost
+    big = np.int64(1) << 32
+    keys = np.concatenate((da.astype(np.int64) * big + pa,
+                           db.astype(np.int64) * big + pb))
+    is_a = np.zeros(keys.size, dtype=bool)
+    is_a[: da.size] = True
+    order = np.lexsort((is_a, keys))  # ties: b (False) before a (True)
+    keyo, tago = keys[order], is_a[order]
+    neg = np.int64(-1) << 40
+    last_a = np.maximum.accumulate(np.where(tago, keyo, neg))
+    last_b = np.maximum.accumulate(np.where(~tago, keyo, neg))
+    cap = np.int64(PROX_MAX_BATCH)
+    # in-order (a strictly before b): candidate q - p per b element
+    bsel = ~tago
+    d_in = np.minimum(keyo[bsel] - last_a[bsel], cap)
+    np.minimum.at(
+        cost, (keyo[bsel] // big).astype(np.int64), d_in.astype(np.int32)
+    )
+    # reversed (b at-or-before a): candidate p - q + 1 per a element
+    asel = tago
+    d_rev = np.minimum(keyo[asel] - last_b[asel] + 1, cap)
+    np.minimum.at(
+        cost, (keyo[asel] // big).astype(np.int64), d_rev.astype(np.int32)
+    )
+    return cost
+
+
+def _positions_shard_map(
+    pos_pdf: "pd.DataFrame", base: int
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """One shard's positional rows (term, doc_id, positions[]) ->
+    term -> (flattened doc offsets, raw slots), sorted by (doc, pos)
+    — the _pair_costs_dense input layout. Rows per (term, doc) are
+    unique and position arrays are stored ascending, so a doc sort per
+    term suffices."""
+    out: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    for term, g in pos_pdf.groupby("term", sort=False):
+        g = g.sort_values("doc_id")
+        lens = g["positions"].map(len).to_numpy(dtype=np.int64)
+        if not lens.sum():
+            continue
+        docs = np.repeat(g["doc_id"].to_numpy(dtype=np.int64) - base, lens)
+        slots = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+        )
+        out[term] = (docs, slots)
+    return out
+
+
 def _score_shard(
     per_term: "dict[str, tuple[np.ndarray, np.ndarray]]",
     term_plan: "dict[str, list[tuple[str, float]]]",
@@ -606,6 +685,8 @@ def _score_shard(
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     forbid_terms: "dict[str, list[str]] | None" = None,
     ban_src: "dict[str, np.ndarray] | None" = None,
+    prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
+    pos_of: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -628,6 +709,16 @@ def _score_shard(
     single-query contract (tested). Criteria that are off cost
     nothing.
 
+    ``prox_pairs`` + ``pos_of`` (Q11 'proximity', batch path): per
+    qkey the adjacent query-word pairs, and this shard's flattened
+    positional occurrences per pair term (_positions_shard_map). Each
+    distinct pair's dense per-doc cost (_pair_costs_dense) is computed
+    ONCE per shard and memoized across queries; a query's prox_cost =
+    sum over its pairs, composed prox asc between 'words' and
+    'attribute' in the rule order — rank-identical to the single-query
+    ``search(proximity_rank=True)`` contract (tested). Queries with no
+    pairs rank with prox_cost 0.
+
     ``freq_groups`` (matching_strategy='frequency'): per qkey the
     query's word groups as (drop_rank, alternates) in df-descending
     drop order; a doc's level = max drop_rank over groups it does NOT
@@ -640,10 +731,24 @@ def _score_shard(
         extras["freq_level"] = []
     if track_matched:
         extras["matched"] = []
+    if prox_pairs is not None:
+        extras["prox"] = []
     if attr_rank:
         extras["best_attr"] = []
     if exact_sets is not None:
         extras["exact_form"] = []
+    pair_cache: "dict[tuple[str, str], np.ndarray]" = {}
+    _empty_pos = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+    def _pair_cost(a: str, b: str) -> np.ndarray:
+        got = pair_cache.get((a, b))
+        if got is None:
+            da, pa = (pos_of or {}).get(a, _empty_pos)
+            db, pb = (pos_of or {}).get(b, _empty_pos)
+            got = _pair_costs_dense(da, pa, db, pb, shard_range)
+            pair_cache[(a, b)] = got
+        return got
+
     for c0 in range(0, len(qkeys), query_chunk):
         chunk = qkeys[c0 : c0 + query_chunk]
         scores = np.zeros((len(chunk), shard_range), dtype=np.float64)
@@ -691,6 +796,7 @@ def _score_shard(
             and best is None
             and exc is None
             and freq_groups is None
+            and prox_pairs is None
         )
         for qi, qkey in enumerate(chunk):
             if not touched[qi]:
@@ -741,6 +847,13 @@ def _score_shard(
                             pres[hit[0]] = True
                     gsat += pres
                 row = np.where(gsat >= len(groups), row, 0.0)
+            prox_row = None
+            if prox_pairs is not None:
+                pairs = prox_pairs.get(qkey)
+                if pairs:
+                    prox_row = _pair_cost(*pairs[0]).copy()
+                    for pr in pairs[1:]:
+                        prox_row += _pair_cost(*pr)
             pos = np.flatnonzero(row)
             vals = row[pos]
             if extras_only_score:
@@ -752,13 +865,17 @@ def _score_shard(
                 pos, vals = pos[order], vals[order]
             else:
                 # lexsort: LAST key is primary. Priority (first to
-                # last): freq_level asc, matched desc, best_attr asc,
-                # exact_form desc, score desc, doc_id asc.
+                # last): freq_level asc, matched desc, prox asc,
+                # best_attr asc, exact_form desc, score desc,
+                # doc_id asc (reference rule order words > typo >
+                # proximity > attribute > exactness).
                 keys: "list[np.ndarray]" = [pos, -vals]
                 if exc is not None:
                     keys.append(-exc[qi][pos])
                 if best is not None:
                     keys.append(best[qi][pos])
+                if prox_pairs is not None and prox_row is not None:
+                    keys.append(prox_row[pos])
                 if counts is not None:
                     keys.append(-counts[qi][pos])
                 if lvl is not None:
@@ -768,6 +885,12 @@ def _score_shard(
                     extras["freq_level"].append(lvl[pos][order])
                 if counts is not None:
                     extras["matched"].append(counts[qi][pos][order])
+                if prox_pairs is not None:
+                    extras["prox"].append(
+                        prox_row[pos][order]
+                        if prox_row is not None
+                        else np.zeros(order.size, dtype=np.int32)
+                    )
                 if best is not None:
                     extras["best_attr"].append(best[qi][pos][order])
                 if exc is not None:
@@ -899,17 +1022,24 @@ def _make_filtered_shard_scorer(
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
     forbid_terms: "dict[str, list[str]] | None" = None,
+    prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
+    has_filter: bool = True,
 ):
-    """Cogrouped variant of the shard scorer for filtered batch search
-    (Q7 semantics in the batch path): key = doc-shard; left = the
-    shard's compressed posting blocks, right = the shard's allowed
-    doc_ids from ``filter_docs``. The allowed set becomes a shard-local
-    boolean mask applied at decode time; BM25 stats stay corpus-global
-    (Meilisearch filter semantics). A shard with blocks but no allowed
-    docs emits nothing; a shard with allowed docs but no blocks has no
-    candidates by construction. With ``attr_rank`` the left side also
-    carries attribute-rank blocks marked bkind=1 (attr ranks of docs
-    the mask later drops are harmless: their scores stay 0)."""
+    """Cogrouped variant of the shard scorer for filtered and/or
+    proximity-ranked batch search: key = doc-shard; left = the shard's
+    compressed posting blocks, right = the shard's allowed doc_ids
+    from ``filter_docs`` and/or (rows flagged ``_ispos``) the pair
+    terms' positional postings for the Q11 'proximity' criterion. The
+    allowed set becomes a shard-local boolean mask applied at decode
+    time; BM25 stats stay corpus-global (Meilisearch filter
+    semantics). With ``has_filter``, a shard with blocks but no
+    allowed docs emits nothing; a shard with allowed docs but no
+    blocks has no candidates by construction; positions-only right
+    sides (``has_filter=False``) score unmasked — a shard with no
+    positional rows just ranks every pair at the worst cost. With
+    ``attr_rank`` the left side also carries attribute-rank blocks
+    marked bkind=1 (attr ranks of docs the mask later drops are
+    harmless: their scores stay 0)."""
     term_plan: dict[str, list[tuple[int, float]]] = dict(plan)
     idf_of = {t: i for terms in term_plan.values() for t, i in terms}
     if forbid_terms:
@@ -927,18 +1057,36 @@ def _make_filtered_shard_scorer(
         empty_cols["freq_level"] = []
     if track_matched:
         empty_cols["matched"] = []
+    if prox_pairs is not None:
+        empty_cols["prox"] = []
     if attr_rank:
         empty_cols["best_attr"] = []
     if exact_sets is not None:
         empty_cols["exact_form"] = []
     empty = pd.DataFrame(empty_cols)
 
-    def scorer(key, blocks_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
-        if blocks_pdf.empty or filt_pdf.empty:
+    def scorer(key, blocks_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blocks_pdf.empty:
             return empty
         base = int(key[0]) * shard_range
-        mask = np.zeros(shard_range, dtype=bool)
-        mask[filt_pdf["doc_id"].to_numpy(dtype=np.int64) - base] = True
+        if prox_pairs is not None and "_ispos" in right_pdf.columns:
+            ispos = right_pdf["_ispos"].to_numpy(dtype=bool)
+            pos_pdf = right_pdf[ispos]
+            filt_pdf = right_pdf[~ispos]
+        else:
+            pos_pdf = None
+            filt_pdf = right_pdf
+        pos_of = (
+            _positions_shard_map(pos_pdf, base)
+            if pos_pdf is not None and not pos_pdf.empty
+            else ({} if prox_pairs is not None else None)
+        )
+        mask = None
+        if has_filter:
+            if filt_pdf.empty:
+                return empty
+            mask = np.zeros(shard_range, dtype=bool)
+            mask[filt_pdf["doc_id"].to_numpy(dtype=np.int64) - base] = True
         if "bkind" in blocks_pdf.columns:
             attr_pdf = blocks_pdf[blocks_pdf["bkind"] == 1]
             blocks_pdf = blocks_pdf[blocks_pdf["bkind"] == 0]
@@ -970,6 +1118,7 @@ def _make_filtered_shard_scorer(
             track_matched, per_attr if attr_rank else None, attr_rank,
             exact_sets, require_groups, freq_groups,
             forbid_terms=forbid_terms, ban_src=ban_src,
+            prox_pairs=prox_pairs, pos_of=pos_of,
         )
         if not out_q:
             return empty
@@ -988,6 +1137,7 @@ def search_many(
     typo_cfg=None,
     words_rank: "bool | None" = None,
     attribute_rank: bool = False,
+    proximity_rank: bool = False,
     exactness_rank: bool = False,
     exact_terms: "dict[str, list[str]] | None" = None,
     matching_strategy: str = "last",
@@ -997,15 +1147,12 @@ def search_many(
     prefix_max_expansions: int = 10,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
-    (query_id, doc_id, score[, matched_terms][, best_attr]
-    [, exact_form], rank<=k).
+    (query_id, doc_id, score[, matched_terms][, prox_cost]
+    [, best_attr][, exact_form], rank<=k).
 
     Q11 ranking criteria compose in reference rule order ahead of
     (score desc, doc_id asc), each rank-identical to the single-query
-    contract (tested) and free when off (``proximity_rank`` is the one
-    single-path-only criterion: its positional pair costs would have to
-    ride the doc-shard exchange as a third block kind to stay
-    shuffle-free here — use ``search(..., proximity_rank=True)``):
+    contract (tested) and free when off:
 
     - ``words_rank`` (default cfg.words_ranking): matched_terms desc —
       a per-query count array alongside the dense scatter-add.
@@ -1014,6 +1161,20 @@ def search_many(
       doc-shard exchange as the score blocks marked ``bkind``, decoded
       into a per-shard running-min array. Shuffle-free in serving mode
       when prepare_serving co-resided the attr blocks.
+    - ``proximity_rank``: prox_cost asc — the Q11 'proximity'
+      criterion (rule #3, between words and attribute) in the batch
+      path. Per query, adjacent-word pairs come from its positive
+      text; the pair terms' POSITIONAL postings ride a cogrouped
+      per-doc-shard side next to the block exchange (the same pattern
+      the filter bitmap uses — in serving mode the resident blocks
+      stay put and only the term-pruned positional rows shuffle), each
+      distinct pair's dense per-doc cost is computed once per shard
+      and memoized across queries (_pair_costs_dense: one merged
+      O(n log n) scan, not a cross product), and the composed
+      shard-local top-k stays exact. Rank-identical to
+      ``search(..., proximity_rank=True)`` (tested); requires the
+      positions table and ``proximityPrecision='byWord'`` (the
+      'byAttribute' setting is single-path only).
     - ``exactness_rank``: exact_form desc — count of matched terms in
       the query's exact user-typed form (default: its pre-expansion
       tokens; override per query via ``exact_terms[qid]``).
@@ -1124,6 +1285,18 @@ def search_many(
             "attribute_rank requires an index built with "
             "with_attributes=True (operators/attrs.py)"
         )
+    if proximity_rank:
+        if index.cfg.proximity_precision != "byWord":
+            raise ValueError(
+                "proximity_rank in search_many supports "
+                "proximityPrecision='byWord' only — route 'byAttribute' "
+                "queries through the single-path search()"
+            )
+        if index.positions is None:
+            raise ValueError(
+                "proximity_rank requires a positions table (build the "
+                "snapshot with with_positions=True)"
+            )
     search_on_mask: "int | None" = None
     if attributes_to_search_on is not None:
         if index.attrs is None:
@@ -1227,6 +1400,11 @@ def search_many(
     key_terms: dict[str, tuple[str, ...]] = {}
     forbid_of: "dict[str, list[str]]" = {}
     exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
+    prox_sets: "dict[str, list[tuple[str, str]]] | None" = (
+        {} if proximity_rank else None
+    )
+    if proximity_rank:
+        from meilibridge_spark.operators.positions import proximity_pairs
     group_sets: "dict[str, list[list[str]]]" = {}
     if matching_strategy in ("all", "frequency"):
         from meilibridge_spark.functions.tokenizer import query_word_groups
@@ -1273,12 +1451,21 @@ def search_many(
         if nts:
             # same positives but different negatives must not dedup
             key += "\x04" + ",".join(nts)
+        pp = None
+        if proximity_rank:
+            # same term SET but different word ORDER ranks differently
+            # under proximity (the pairs differ) — suffix the key
+            pp = proximity_pairs(qtext, index.cfg)
+            if pp:
+                key += "\x05" + "|".join(f"{a},{b}" for a, b in pp)
         # key-indexed side tables register only once the dedup key is
         # FULLY built — registering exact_sets before the '\x02' group
         # suffix made exactness silently inert under
         # matching_strategy='all' (the scorer looks up the final key)
         if exactness_rank:
             exact_sets[key] = exact_of[qid]
+        if pp is not None:
+            prox_sets[key] = pp
         if gq is not None:
             group_sets[key] = gq
         if nts:
@@ -1335,13 +1522,16 @@ def search_many(
         }
     )
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
-    # rule order words > (typo: single-path only) > attribute > exactness
+    # rule order words > (typo: single-path only) > proximity >
+    # attribute > exactness
     rank_cols: "list[tuple[str, str, bool]]" = []
     if freq_groups is not None:
         # the frequency words criterion outranks every other rule
         rank_cols.append(("freq_level", "freq_level", True))
     if words_rank:
         rank_cols.append(("matched", "matched_terms", False))
+    if proximity_rank:
+        rank_cols.append(("prox", "prox_cost", True))
     if attribute_rank:
         rank_cols.append(("best_attr", "best_attr", True))
     if exactness_rank:
@@ -1367,7 +1557,7 @@ def search_many(
         forbid_terms=forbid_live,
     )
 
-    if filter_docs is not None:
+    if filter_docs is not None or proximity_rank:
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
         blocks, _ = _batch_blocks(
             index, fetch_terms, need_attr_blocks, keep_shard=True
@@ -1376,14 +1566,49 @@ def search_many(
             blocks = blocks.withColumn("_shard", shard_of(F.col("first_doc")))
         # else: the serving layout carries a materialized _shard column
         # and is hash-partitioned on it, so the cogroup only shuffles
-        # the (cheap) allowed-id side — the resident blocks are sorted
-        # in place, no block re-shuffle per filtered batch (plan-tested)
-        fids = filter_docs.select(
-            F.col("doc_id").cast("long").alias("doc_id")
-        ).withColumn("_shard", shard_of(F.col("doc_id")))
+        # the (cheap) right side — allowed doc-ids and/or term-pruned
+        # positional rows — while the resident blocks are sorted in
+        # place, no block re-shuffle per batch (plan-tested)
+        right = None
+        if filter_docs is not None:
+            right = filter_docs.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ).withColumn("_shard", shard_of(F.col("doc_id")))
+        if proximity_rank:
+            # the 'proximity' criterion's data: the pair terms'
+            # positional rows, pruned at the scan and cogrouped by the
+            # SAME doc-shard key as the blocks (tagged _ispos so one
+            # right side carries both kinds)
+            pair_terms = sorted(
+                {t for pp in prox_sets.values() for ab in pp for t in ab}
+            )
+            pos_rows = (
+                index.positions.filter(terms_in("term", pair_terms))
+                if pair_terms
+                else index.positions.filter(F.lit(False))
+            )
+            pos_rows = pos_rows.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "term",
+                "positions",
+                F.lit(True).alias("_ispos"),
+            ).withColumn("_shard", shard_of(F.col("doc_id")))
+            if right is not None:
+                right = pos_rows.unionByName(
+                    right.select(
+                        "doc_id",
+                        F.lit(None).cast("string").alias("term"),
+                        F.lit(None).cast("array<int>").alias("positions"),
+                        F.lit(False).alias("_ispos"),
+                        "_shard",
+                    )
+                )
+            else:
+                right = pos_rows
+            scorer_kw["prox_pairs"] = prox_sets
         per_key = (
             blocks.groupBy("_shard")
-            .cogroup(fids.groupBy("_shard"))
+            .cogroup(right.groupBy("_shard"))
             .applyInPandas(
                 _make_filtered_shard_scorer(
                     plan,
@@ -1393,6 +1618,7 @@ def search_many(
                     index.cfg.k1,
                     index.cfg.b,
                     k_all,
+                    has_filter=filter_docs is not None,
                     **scorer_kw,
                 ),
                 schema=scored_schema,

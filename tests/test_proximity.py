@@ -225,6 +225,134 @@ def test_proximity_ranking_subscore(built):
     assert "_score_proximity" not in plain
 
 
+def _single_ranks(idx, q, k=10, **kw):
+    hits = search(idx, q, k, words_rank=True, proximity_rank=True, **kw)
+    return [(r["doc_id"], r["prox_cost"]) for r in hits.collect()]
+
+
+def _batch_ranks(idx, queries, k=10, **kw):
+    from meilibridge_spark.operators.search import search_many
+
+    res = search_many(
+        idx, queries, k=k, words_rank=True, proximity_rank=True, **kw
+    ).collect()
+    out = {qid: [] for qid, _ in queries}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        out[r["query_id"]].append((r["doc_id"], r["prox_cost"]))
+    return out
+
+
+BATCH_QUERIES = [
+    ("q0", "alpha beta"),
+    ("q1", "beta alpha"),  # same terms, swapped order: different pairs
+    ("q2", "alpha"),  # no pairs -> prox_cost 0
+    ("q3", "alpha beta gamma"),
+]
+
+
+def test_batch_matches_single_path(built):
+    got = _batch_ranks(built, BATCH_QUERIES)
+    for qid, q in BATCH_QUERIES:
+        assert got[qid] == _single_ranks(built, q), (qid, q)
+    assert all(c == 0 for _, c in got["q2"])
+
+
+def test_batch_prox_with_filter(built):
+    filt = built.docs.filter("doc_id < 5").select("doc_id")
+    got = _batch_ranks(built, BATCH_QUERIES[:2], filter_docs=filt)
+    for qid, q in BATCH_QUERIES[:2]:
+        assert got[qid] == _single_ranks(built, q, filter_docs=filt)
+
+
+def test_batch_prox_with_matching_all(built):
+    got = _batch_ranks(
+        built, BATCH_QUERIES[:2], matching_strategy="all"
+    )
+    for qid, q in BATCH_QUERIES[:2]:
+        assert got[qid] == _single_ranks(
+            built, q, matching_strategy="all"
+        )
+        # 'all' really constrains: only docs with both words remain
+        assert got[qid] and all(c < 2 * PROX_MAX for _, c in got[qid])
+
+
+def test_batch_prox_serving_mode(built):
+    from meilibridge_spark.operators.search import prepare_serving
+
+    prepare_serving(built)
+    try:
+        got = _batch_ranks(built, BATCH_QUERIES)
+        for qid, q in BATCH_QUERIES:
+            assert got[qid] == _single_ranks(built, q)
+    finally:
+        built.serving.unpersist()
+        built.serving = None
+
+
+def test_batch_prox_validation(built, spark):
+    from meilibridge_spark.operators.search import search_many
+
+    import dataclasses
+
+    bare = dataclasses.replace(built, positions=None)
+    with pytest.raises(ValueError, match="positions"):
+        search_many(bare, BATCH_QUERIES[:1], k=5, proximity_rank=True)
+    byattr = dataclasses.replace(
+        built,
+        cfg=dataclasses.replace(built.cfg, proximity_precision="byAttribute"),
+    )
+    with pytest.raises(ValueError, match="byWord"):
+        search_many(byattr, BATCH_QUERIES[:1], k=5, proximity_rank=True)
+
+
+def test_prox_max_constants_agree():
+    from meilibridge_spark.operators.search import PROX_MAX_BATCH
+
+    assert PROX_MAX_BATCH == PROX_MAX
+
+
+def test_pair_costs_dense_kernel():
+    import numpy as np
+
+    from meilibridge_spark.operators.search import _pair_costs_dense
+
+    def brute(da, pa, db, pb, n):
+        cost = np.full(n, 8, np.int32)
+        for d in range(n):
+            best = 8
+            for x, p in zip(da, pa):
+                if x != d:
+                    continue
+                for y, q in zip(db, pb):
+                    if y != d:
+                        continue
+                    c = q - p if q > p else p - q + 1
+                    best = min(best, c, 8)
+            cost[d] = min(best, 8)
+        return cost
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        n = 6
+        na, nb = rng.randint(0, 12, size=2)
+        da = np.sort(rng.randint(0, n, size=na)).astype(np.int64)
+        db = np.sort(rng.randint(0, n, size=nb)).astype(np.int64)
+        # unique ascending positions per doc (the positions-table shape)
+        def mkpos(docs):
+            out = np.empty(docs.size, dtype=np.int64)
+            for d in np.unique(docs):
+                m = docs == d
+                out[m] = np.sort(
+                    rng.choice(np.arange(40), size=m.sum(), replace=False)
+                )
+            return out
+
+        pa, pb = mkpos(da), mkpos(db)
+        got = _pair_costs_dense(da, pa, db, pb, n)
+        want = brute(da, pa, db, pb, n)
+        assert np.array_equal(got, want), (trial, da, pa, db, pb, got, want)
+
+
 def test_precision_setting_validated():
     with pytest.raises(ConfigError, match="proximity_precision"):
         IndexConfig(
