@@ -251,6 +251,7 @@ def main() -> None:
     ).count()
     timings["query_proximity"] = time.time() - t0
     idx.positions = None
+    positions.unpersist()
 
     # --- driver-side WAND serving path (DriverSearcher: dictionary
     # collected once; cold pass fills the postings cache, warm pass is

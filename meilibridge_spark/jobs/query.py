@@ -6,7 +6,8 @@ Usage:
       --index-dir /path/to/index --query "spark join" [-k 10] \
       [--mode df|wand] [--filter-role user] [--offset N] \
       [--search-on attr1,attr2] [--facets attr1,attr2] \
-      [--sort attr:asc,attr2:desc] [--distinct]
+      [--sort attr:asc,attr2:desc] [--distinct] [--proximity] \
+      [--tenant-token JWT --keys-file keys.json --master-key K]
 
 Batch mode (one scatter-gather Spark job for the whole file, postings
 served from the doc-shard cached layout):
@@ -90,6 +91,11 @@ def main() -> None:
                          "attributes, e.g. \"role = 'user' AND tool EXISTS\"")
     ap.add_argument("--typo", action="store_true",
                     help="typo-tolerant term expansion (Q12)")
+    ap.add_argument("--proximity", action="store_true",
+                    help="Q11 'proximity' ranking criterion (rule #3): "
+                         "rank docs whose adjacent query words sit "
+                         "closer together first; needs a positions "
+                         "table (build with --positions)")
     ap.add_argument("--prefix", action="store_true",
                     help="Meilisearch last-word prefix search: the final "
                          "query word also matches dictionary terms it "
@@ -185,6 +191,17 @@ def main() -> None:
     if search_on is not None and index.attrs is None:
         ap.error("--search-on requires an index built with attr blocks "
                  "(build_index with_attributes=True)")
+    if args.proximity:
+        if args.embeddings:
+            ap.error("--proximity applies to keyword search only")
+        if args.sort or args.distinct or args.distinct_attr:
+            # the CLI's sort/distinct post-passes re-order the hit set
+            # wholesale and would silently discard the proximity
+            # ordering — refuse instead
+            ap.error("--proximity does not compose with --sort/--distinct")
+        if index.positions is None:
+            ap.error("--proximity requires an index built with a "
+                     "positions table (build with --positions)")
 
     if args.tenant_token:
         if not (args.keys_file and args.master_key):
@@ -313,12 +330,20 @@ def main() -> None:
             index, batch, k=args.k, filter_docs=filt, typo=args.typo,
             matching_strategy=args.matching_strategy,
             attributes_to_search_on=search_on, offset=args.offset,
-            prefix=args.prefix,
+            prefix=args.prefix, proximity_rank=args.proximity,
         ).collect()
         hits: "dict[str, list]" = {qid: [] for qid, _ in batch}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             hits[r["query_id"]].append(
-                {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+                {
+                    "doc_id": r["doc_id"],
+                    "score": round(r["score"], 6),
+                    **(
+                        {"prox_cost": r["prox_cost"]}
+                        if args.proximity
+                        else {}
+                    ),
+                }
             )
         for qid, text in batch:
             print(json.dumps({"query_id": qid, "query": text, "hits": hits[qid]}))
@@ -453,7 +478,7 @@ def main() -> None:
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
-        and not geo_sort and distinct_attr is None
+        and not geo_sort and distinct_attr is None and not args.proximity
     ):
         hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
@@ -476,11 +501,13 @@ def main() -> None:
             hits_df = search_with_phrases(
                 index, query_text, cap, filter_docs=make_filter(),
                 attributes_to_search_on=search_on, offset=off,
+                proximity_rank=args.proximity,
             )
         else:
             hits_df = search(
                 index, query_text, cap, filter_docs=make_filter(),
                 attributes_to_search_on=search_on, offset=off,
+                proximity_rank=args.proximity,
             )
         if distinct_attr:
             from meilibridge_spark.operators.relational import distinct_hits
@@ -517,6 +544,9 @@ def main() -> None:
                 "score": round(r["score"], 6),
                 **{a: (str(r[a]) if r[a] is not None else None)
                    for a in sort_attrs},
+                **(
+                    {"prox_cost": r["prox_cost"]} if args.proximity else {}
+                ),
                 **(
                     {"_geoDistance": r["_geoDistance"]} if geo_sort else {}
                 ),
