@@ -32,11 +32,19 @@ def main() -> None:
     ex.add_argument("--index-dir", required=True)
     ex.add_argument("--dump-dir", required=True)
     ex.add_argument("--snapshot-id", type=int, default=None)
+    ex.add_argument("--keys-file", default=None,
+                    help="KeyStore file whose key METADATA rides the "
+                         "dump (Meilisearch dumps carry instance keys; "
+                         "no secrets — values derive from the master "
+                         "key)")
     ex.add_argument("--cores", type=int, default=None)
 
     im = sub.add_parser("import", help="re-index a dump into a fresh dir")
     im.add_argument("--dump-dir", required=True)
     im.add_argument("--index-dir", required=True)
+    im.add_argument("--keys-file", default=None,
+                    help="restore the dump's key metadata to this NEW "
+                         "key store file")
     im.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args()
@@ -47,7 +55,8 @@ def main() -> None:
     spark = build_session(f"dump-{args.cmd}", cores=args.cores)
     if args.cmd == "export":
         meta = create_dump_from_dir(
-            spark, args.index_dir, args.dump_dir, snapshot_id=args.snapshot_id
+            spark, args.index_dir, args.dump_dir,
+            snapshot_id=args.snapshot_id, keys_path=args.keys_file,
         )
         print(
             json.dumps(
@@ -62,7 +71,9 @@ def main() -> None:
             )
         )
     else:
-        idx = import_dump(spark, args.dump_dir, args.index_dir)
+        idx = import_dump(
+            spark, args.dump_dir, args.index_dir, keys_path=args.keys_file
+        )
         print(
             json.dumps(
                 {

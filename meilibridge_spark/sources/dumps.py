@@ -15,6 +15,13 @@ Layout (one directory per dump, commit-marked like the manifest):
 
     {dump_dir}/documents/          original-shaped doc rows (parquet)
     {dump_dir}/vectors/            (optional) raw (id, embedding) rows
+    {dump_dir}/keys.json           (optional) API-key METADATA — a
+                                   Meilisearch dump carries the
+                                   instance keys; key VALUES are never
+                                   stored (they derive from the
+                                   importing instance's master key,
+                                   sources/keys.derive_key — exactly
+                                   Meilisearch's regenerate-on-import)
     {dump_dir}/dump.json           config + features + counts marker
 
 ``dump.json`` is written last via os.replace — a reader either sees a
@@ -45,7 +52,9 @@ DUMP_META = "dump.json"
 _INTERNAL_DOC_COLS = ("doc_id", "dl", "terms", "_shard")
 
 
-def create_dump(index: InvertedIndex, dump_dir: str) -> dict:
+def create_dump(
+    index: InvertedIndex, dump_dir: str, keys_path: "str | None" = None
+) -> dict:
     """Export ``index`` as a portable dump -> the committed meta dict.
 
     Documents are written in primary-key order (deterministic bytes for
@@ -54,6 +63,11 @@ def create_dump(index: InvertedIndex, dump_dir: str) -> dict:
     (operators/similarity.ivf_train_kmeans; same init, float-sum order
     may differ across partitionings) rather than shipping centroid
     bytes that a different engine version may lay out differently.
+
+    ``keys_path``: a KeyStore file (sources/keys.py) whose key METADATA
+    rides the dump — the Meilisearch-dumps-carry-keys behavior. No
+    secrets move: values re-derive from the importing instance's
+    master key.
     """
     docs_out = index.docs.drop(
         *[c for c in _INTERNAL_DOC_COLS if c in index.docs.columns]
@@ -79,6 +93,18 @@ def create_dump(index: InvertedIndex, dump_dir: str) -> dict:
             "n_probe": vec.n_probe,
         }
 
+    n_keys = None
+    if keys_path is not None:
+        if not os.path.exists(keys_path):
+            raise FileNotFoundError(f"no key store at {keys_path}")
+        with open(keys_path) as f:
+            keys_data = json.load(f)
+        n_keys = len(keys_data.get("keys", []))
+        ktmp = os.path.join(dump_dir, "keys.json.tmp")
+        with open(ktmp, "w") as f:
+            json.dump(keys_data, f, indent=1, sort_keys=True)
+        os.replace(ktmp, os.path.join(dump_dir, "keys.json"))
+
     meta = {
         "dump_version": 1,
         "config": index.cfg.to_json_dict(),
@@ -87,6 +113,7 @@ def create_dump(index: InvertedIndex, dump_dir: str) -> dict:
             "attributes": index.attrs is not None,
             "typos": index.typos is not None,
             "vectors": vectors_meta,
+            "keys": n_keys,
         },
         "n_docs": index.n_docs,
         "source_snapshot_id": index.snapshot_id,
@@ -114,6 +141,7 @@ def create_dump_from_dir(
     dump_dir: str,
     cfg: "IndexConfig | None" = None,
     snapshot_id: "int | None" = None,
+    keys_path: "str | None" = None,
 ) -> dict:
     """``POST /dumps`` analog: dump a STORED index by directory. The
     dump records the snapshot's own stored configuration (full-config
@@ -127,7 +155,7 @@ def create_dump_from_dir(
         or IndexConfig(index_name="dump"),
         snapshot_id=snapshot_id,
     )
-    return create_dump(idx, dump_dir)
+    return create_dump(idx, dump_dir, keys_path=keys_path)
 
 
 def read_dump_meta(dump_dir: str) -> dict:
@@ -142,14 +170,22 @@ def read_dump_meta(dump_dir: str) -> dict:
 
 
 def import_dump(
-    spark: SparkSession, dump_dir: str, index_dir: str
+    spark: SparkSession,
+    dump_dir: str,
+    index_dir: str,
+    keys_path: "str | None" = None,
 ) -> InvertedIndex:
     """``--import-dump`` analog: re-index the dumped documents with the
     dumped configuration into ``index_dir`` (a fresh index — refuses to
     clobber an existing one, like Meilisearch refusing to import into a
     non-empty instance), rebuilding every dumped feature table
     (positions/attrs/typos, and the IVF vector layout when the dump
-    carries vectors)."""
+    carries vectors).
+
+    ``keys_path``: restore the dump's API-key metadata to a NEW key
+    store file there (refuses to clobber an existing store); key
+    values re-derive from whatever master key the new instance's
+    KeyStore is opened with — Meilisearch's regenerate-on-import."""
     from meilibridge_spark.sources.tables import index_exists
     from meilibridge_spark.sources.tasks import task_batch
 
@@ -159,6 +195,24 @@ def import_dump(
             f"{index_dir} already holds an index; import targets a "
             "fresh directory"
         )
+    if keys_path is not None:
+        dumped = os.path.join(dump_dir, "keys.json")
+        if not os.path.exists(dumped):
+            raise FileNotFoundError(
+                f"dump at {dump_dir} carries no keys.json "
+                "(exported without keys_path)"
+            )
+        if os.path.exists(keys_path):
+            raise FileExistsError(
+                f"{keys_path} already holds a key store; key import "
+                "targets a fresh file"
+            )
+        with open(dumped) as f:
+            keys_data = json.load(f)
+        ktmp = keys_path + ".tmp"
+        with open(ktmp, "w") as f:
+            json.dump(keys_data, f, indent=1, sort_keys=True)
+        os.replace(ktmp, keys_path)
     cfg = IndexConfig.from_json_dict(meta["config"])
     # the import's build task + dumpImport task are ONE batch
     # (/batches analog)

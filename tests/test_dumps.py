@@ -204,3 +204,68 @@ def test_uncommitted_dump_is_not_a_dump(spark, tmp_index_dir):
     os.makedirs(os.path.join(d, "documents"))
     with pytest.raises(FileNotFoundError):
         read_dump_meta(d)
+
+
+def test_keys_ride_the_dump(spark, tmp_index_dir):
+    """Meilisearch dumps carry the instance API keys: export with a
+    KeyStore -> keys.json metadata in the dump (no secrets) -> import
+    restores a fresh store whose key VALUES derive from the NEW
+    instance's master key (regenerate-on-import)."""
+    from meilibridge_spark.sources.keys import (
+        AuthError,
+        KeyStore,
+        derive_key,
+        generate_tenant_token,
+        verify_tenant_token,
+    )
+
+    base = tempfile.mkdtemp(prefix="mbdumpkeys_")
+    src_dir = os.path.join(base, "src")
+    dump_dir = os.path.join(base, "dump")
+    dst_dir = os.path.join(base, "dst")
+    old_keys = os.path.join(base, "keys_old.json")
+    new_keys = os.path.join(base, "keys_new.json")
+    sdf = generate_transcripts(spark, n_convs=8, seed=11)
+    cfg = IndexConfig(index_name="dumpkeys")
+    idx = build_and_save(spark, sdf, cfg, src_dir)
+    store = KeyStore(old_keys, "old-master-key-0123456")
+    store.create_key(["search"], ["*"], uid="k1", name="search key")
+    meta = create_dump(idx, dump_dir, keys_path=old_keys)
+    assert meta["features"]["keys"] == 1
+    assert os.path.exists(os.path.join(dump_dir, "keys.json"))
+    # no secrets in the dump: the raw file carries metadata only
+    dumped = json.load(open(os.path.join(dump_dir, "keys.json")))
+    assert all("key" not in k for k in dumped["keys"])
+    import_dump(spark, dump_dir, dst_dir, keys_path=new_keys)
+    new_store = KeyStore(new_keys, "new-master-key-6543210")
+    got = new_store.get_key("k1")
+    assert got["name"] == "search key"
+    assert got["key"] == derive_key("new-master-key-6543210", "k1")
+    assert got["key"] != derive_key("old-master-key-0123456", "k1")
+    # tokens signed against the NEW instance verify; OLD-instance
+    # tokens do not (the key value rotated with the master key)
+    tok = generate_tenant_token("k1", got["key"], {"*": None})
+    assert verify_tenant_token(tok, new_store)["apiKeyUid"] == "k1"
+    old_tok = generate_tenant_token(
+        "k1", derive_key("old-master-key-0123456", "k1"), {"*": None}
+    )
+    with pytest.raises(AuthError, match="signature"):
+        verify_tenant_token(old_tok, new_store)
+    # refusal paths
+    with pytest.raises(FileExistsError, match="fresh file"):
+        import_dump(spark, dump_dir, dst_dir + "2", keys_path=new_keys)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_import_keys_from_keyless_dump_raises(spark, tmp_index_dir):
+    from meilibridge_spark.sources.dumps import import_dump as _imp
+
+    base = tempfile.mkdtemp(prefix="mbdumpnokeys_")
+    src_dir, dump_dir = os.path.join(base, "s"), os.path.join(base, "d")
+    sdf = generate_transcripts(spark, n_convs=5, seed=3)
+    idx = build_and_save(spark, sdf, IndexConfig(index_name="nk"), src_dir)
+    create_dump(idx, dump_dir)
+    with pytest.raises(FileNotFoundError, match="no keys.json"):
+        _imp(spark, dump_dir, os.path.join(base, "x"),
+             keys_path=os.path.join(base, "k.json"))
+    shutil.rmtree(base, ignore_errors=True)

@@ -197,6 +197,27 @@ def test_superseded_base_guard_skips_fold(spark, tmp_index_dir):
     assert _assigned_ids(loaded.vectors) == set(ids)
 
 
+def test_compaction_rewrites_vector_base(spark, tmp_index_dir):
+    """compact_snapshot collapses a delta chain THAT CARRIES vector
+    deltas: load folds them (dirty), the full save inside compaction
+    writes a fresh base, and the compacted snapshot serves the folded
+    assignment with zero delta tables."""
+    from meilibridge_spark.sources.tables import compact_snapshot
+
+    src, idx = _build(spark, tmp_index_dir)
+    cdc = generate_cdc_batch(spark, src, seed=7)
+    merged = apply_cdc(idx, cdc)
+    want = _assigned_ids(merged.vectors)
+    save_snapshot_delta(merged, tmp_index_dir)
+    compact_snapshot(spark, tmp_index_dir, CFG)
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    assert loaded.vectors.base == "base-000002"
+    assert not loaded.vectors.dirty
+    assert _assigned_ids(loaded.vectors) == want
+    entry = snapshot_log(tmp_index_dir)[-1]
+    assert not entry.get("delta") and "vec_touched_ids" not in entry["tables"]
+
+
 def test_vectors_cdc_without_layout_raises(spark, tmp_index_dir):
     src = generate_transcripts(spark, n_convs=10, seed=42)
     idx = build_and_save(spark, src, CFG, tmp_index_dir)
