@@ -34,6 +34,7 @@ _ALLOWED_KEYS = {
     "matching_strategy",
     "attributes_to_search_on",
     "prefix",
+    "proximity",
 }
 
 MULTI_SEARCH_SCHEMA = (
@@ -49,15 +50,17 @@ def multi_search(
     """Answer ``requests`` (each a dict with ``index_uid`` + ``q`` and
     optional ``k``/``offset``/``filter`` (Meilisearch filter string)/
     ``typo``/``matching_strategy``/``attributes_to_search_on``/
-    ``prefix`` (Meilisearch last-word prefix search)) ->
+    ``prefix`` (Meilisearch last-word prefix search)/``proximity``
+    (the Q11 proximity ranking criterion; the index needs a positions
+    table)) ->
     (request_no, index_uid, doc_id, score, rank) with rank the ABSOLUTE
     1-based position in that request's ranking (offset semantics
     identical to ``search_many``). request_no is the 0-based position
     in ``requests`` — the per-request hit lists of the endpoint's
     ``results`` array, flattened with their request index.
 
-    Each (index, filter, typo, matching_strategy, search_on, prefix)
-    group is
+    Each (index, filter, typo, matching_strategy, search_on, prefix,
+    proximity) group is
     ONE search_many job; identical-option requests batch regardless of
     their k/offset. Unknown request keys and unknown index uids raise
     (the endpoint 400s)."""
@@ -92,12 +95,13 @@ def multi_search(
             req.get("matching_strategy", "last"),
             tuple(son) if son is not None else None,
             bool(req.get("prefix")),
+            bool(req.get("proximity")),
         )
         groups.setdefault(key, []).append(i)
 
     spark = next(iter(indexes.values())).postings.sparkSession
     out: "DataFrame | None" = None
-    for (uid, fexpr, typo, mstrat, son, pfx), req_nos in groups.items():
+    for (uid, fexpr, typo, mstrat, son, pfx, prox), req_nos in groups.items():
         index = indexes[uid]
         filter_docs = None
         if fexpr:
@@ -118,6 +122,7 @@ def multi_search(
             matching_strategy=mstrat,
             attributes_to_search_on=son,
             prefix=pfx,
+            proximity_rank=prox,
         )
         bounds = spark.createDataFrame(
             [

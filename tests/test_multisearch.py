@@ -247,3 +247,36 @@ def test_federated_facets_merge_cap_after_sum(spark):
         r["count"] for r in per.collect() if r["value"] == "de"
     )
     assert rows[0]["count"] == want
+
+
+def test_multi_search_proximity_option(spark, idxs):
+    """The 'proximity' request option groups separately and matches the
+    single search_many(proximity_rank=True) contract."""
+    from meilibridge_spark.operators.positions import build_positions
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = idxs["a"]
+    if a.positions is None:
+        a.positions = build_positions(
+            df, _cfg("a"), text_col="text"
+        ).persist()
+    reqs = [
+        {"index_uid": "a", "q": "spark join", "k": 5, "proximity": True},
+        {"index_uid": "a", "q": "join spark", "k": 5, "proximity": True},
+        {"index_uid": "a", "q": "spark join", "k": 5},  # plain sibling
+    ]
+    got = _by_req(multi_search(idxs, reqs).collect())
+    for i in (0, 1):
+        single = search_many(
+            a, [(f"r{i}", reqs[i]["q"])], k=5, proximity_rank=True
+        ).collect()
+        want = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9), "a")
+            for r in single
+        )
+        assert got[i] == want, f"request {i}"
+    # the plain request is NOT proximity-ranked (groups split)
+    plain = search_many(a, [("r2", "spark join")], k=5).collect()
+    assert got[2] == sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9), "a") for r in plain
+    )
