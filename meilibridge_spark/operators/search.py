@@ -647,6 +647,56 @@ def _pair_costs_dense(
     return cost
 
 
+def _attr_pair_costs_dense(
+    oa: np.ndarray,
+    ma: np.ndarray,
+    ob: np.ndarray,
+    mb: np.ndarray,
+    shard_range: int,
+) -> np.ndarray:
+    """proximityPrecision='byAttribute' pair cost for one shard: 1
+    when the two words co-occur in at least one common searchable
+    attribute (bitmask intersection), PROX_MAX_BATCH otherwise — the
+    exact single-path formula (positions._attr_pair_cost_sql). Inputs:
+    each term's (doc offsets, attr bitmasks) from the attr blocks
+    already riding the exchange."""
+    cost = np.full(shard_range, PROX_MAX_BATCH, dtype=np.int32)
+    if not oa.size or not ob.size:
+        return cost
+    da = np.zeros(shard_range, dtype=np.int64)
+    db = np.zeros(shard_range, dtype=np.int64)
+    da[oa] = ma
+    db[ob] = mb
+    cost[(da & db) != 0] = 1
+    return cost
+
+
+def _decode_shard_attr_masks(
+    rows, base: int
+) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
+    """Decode one shard's attribute-mask blocks keeping the RAW masks:
+    term -> (doc offsets, attr bitmasks) — the byAttribute proximity
+    input (_attr_pair_costs_dense). Masks stay corpus-wide (no
+    attributesToSearchOn intersection): the restriction narrows what
+    MATCHES, never which attributes the words live in — single-path
+    parity (positions.proximity_costs reads the full attrs table)."""
+    out: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+    for r in rows:
+        d, t, _ = decode_block(
+            r.first_doc, bytes(r.docs_bin), bytes(r.tfs_bin), bytes(r.dls_bin)
+        )
+        o = d - base
+        prev = out.get(r.term)
+        if prev is None:
+            out[r.term] = (o, t)
+        else:
+            out[r.term] = (
+                np.concatenate((prev[0], o)),
+                np.concatenate((prev[1], t)),
+            )
+    return out
+
+
 def _positions_shard_map(
     pos_pdf: "pd.DataFrame", base: int
 ) -> "dict[str, tuple[np.ndarray, np.ndarray]]":
@@ -687,6 +737,7 @@ def _score_shard(
     ban_src: "dict[str, np.ndarray] | None" = None,
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
     pos_of: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
+    prox_attr: bool = False,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -745,7 +796,8 @@ def _score_shard(
         if got is None:
             da, pa = (pos_of or {}).get(a, _empty_pos)
             db, pb = (pos_of or {}).get(b, _empty_pos)
-            got = _pair_costs_dense(da, pa, db, pb, shard_range)
+            fn = _attr_pair_costs_dense if prox_attr else _pair_costs_dense
+            got = fn(da, pa, db, pb, shard_range)
             pair_cache[(a, b)] = got
         return got
 
@@ -929,9 +981,16 @@ def _make_shard_scorer(
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None,
     search_on_mask: "int | None" = None,
     forbid_terms: "dict[str, list[str]] | None" = None,
+    prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
+    prox_attr: bool = False,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
+
+    ``prox_pairs`` on THIS (no-right-side) path implies
+    ``prox_attr=True``: byAttribute proximity needs only the attr
+    blocks already riding the exchange; byWord proximity needs the
+    cogrouped positional side (_make_filtered_shard_scorer).
 
     Input rows: compressed posting blocks of the batch's query terms,
     shuffled so one doc-shard's blocks land in one partition. For each
@@ -985,6 +1044,13 @@ def _make_shard_scorer(
                 if attr_rank or search_on_mask is not None
                 else None
             )
+            pos_of = None
+            if prox_pairs is not None:
+                # byAttribute proximity: raw masks from the co-shuffled
+                # attr blocks, no extra exchange
+                pos_of = _decode_shard_attr_masks(
+                    attr_by_shard.get(shard, ()), base
+                )
             ban_src = None
             if forbid_all is not None:
                 ban_src = {
@@ -999,6 +1065,7 @@ def _make_shard_scorer(
                 track_matched, per_attr if attr_rank else None, attr_rank,
                 exact_sets, require_groups, freq_groups,
                 forbid_terms=forbid_terms, ban_src=ban_src,
+                prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -1023,6 +1090,7 @@ def _make_filtered_shard_scorer(
     search_on_mask: "int | None" = None,
     forbid_terms: "dict[str, list[str]] | None" = None,
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
+    prox_attr: bool = False,
     has_filter: bool = True,
 ):
     """Cogrouped variant of the shard scorer for filtered and/or
@@ -1069,7 +1137,11 @@ def _make_filtered_shard_scorer(
         if blocks_pdf.empty:
             return empty
         base = int(key[0]) * shard_range
-        if prox_pairs is not None and "_ispos" in right_pdf.columns:
+        if (
+            prox_pairs is not None
+            and not prox_attr
+            and "_ispos" in right_pdf.columns
+        ):
             ispos = right_pdf["_ispos"].to_numpy(dtype=bool)
             pos_pdf = right_pdf[ispos]
             filt_pdf = right_pdf[~ispos]
@@ -1104,6 +1176,13 @@ def _make_filtered_shard_scorer(
             and attr_pdf is not None
             else None
         )
+        if prox_pairs is not None and prox_attr:
+            pos_of = _decode_shard_attr_masks(
+                attr_pdf.itertuples(index=False)
+                if attr_pdf is not None
+                else (),
+                base,
+            )
         ban_src = None
         if forbid_all is not None:
             ban_src = {
@@ -1118,7 +1197,7 @@ def _make_filtered_shard_scorer(
             track_matched, per_attr if attr_rank else None, attr_rank,
             exact_sets, require_groups, freq_groups,
             forbid_terms=forbid_terms, ban_src=ban_src,
-            prox_pairs=prox_pairs, pos_of=pos_of,
+            prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
         )
         if not out_q:
             return empty
@@ -1172,9 +1251,11 @@ def search_many(
       and memoized across queries (_pair_costs_dense: one merged
       O(n log n) scan, not a cross product), and the composed
       shard-local top-k stays exact. Rank-identical to
-      ``search(..., proximity_rank=True)`` (tested); requires the
-      positions table and ``proximityPrecision='byWord'`` (the
-      'byAttribute' setting is single-path only).
+      ``search(..., proximity_rank=True)`` (tested). Under
+      ``proximityPrecision='byWord'`` (default) it needs the positions
+      table; under 'byAttribute' the pair cost is attr-bitmask
+      co-occurrence read from the attr blocks ALREADY riding the
+      exchange — no positional side, no extra shuffle at all.
     - ``exactness_rank``: exact_form desc — count of matched terms in
       the query's exact user-typed form (default: its pre-expansion
       tokens; override per query via ``exact_terms[qid]``).
@@ -1285,14 +1366,19 @@ def search_many(
             "attribute_rank requires an index built with "
             "with_attributes=True (operators/attrs.py)"
         )
+    prox_attr = False
     if proximity_rank:
-        if index.cfg.proximity_precision != "byWord":
-            raise ValueError(
-                "proximity_rank in search_many supports "
-                "proximityPrecision='byWord' only — route 'byAttribute' "
-                "queries through the single-path search()"
-            )
-        if index.positions is None:
+        if index.cfg.proximity_precision == "byAttribute":
+            # byAttribute proximity reads the attr blocks that already
+            # ride the exchange — no positional side needed
+            prox_attr = True
+            if index.attrs is None:
+                raise ValueError(
+                    "proximity_rank with proximityPrecision="
+                    "'byAttribute' requires an index built with "
+                    "with_attributes=True (operators/attrs.py)"
+                )
+        elif index.positions is None:
             raise ValueError(
                 "proximity_rank requires a positions table (build the "
                 "snapshot with with_positions=True)"
@@ -1307,7 +1393,9 @@ def search_many(
         from meilibridge_spark.operators.attrs import attrs_search_mask
 
         search_on_mask = attrs_search_mask(index.cfg, attributes_to_search_on)
-    need_attr_blocks = attribute_rank or search_on_mask is not None
+    need_attr_blocks = (
+        attribute_rank or search_on_mask is not None or prox_attr
+    )
     spark = index.postings.sparkSession
     # Meilisearch v1.8 negative keywords are query SYNTAX: strip
     # '-word' segments per query BEFORE tokenization — the tokenizer
@@ -1556,8 +1644,11 @@ def search_many(
         search_on_mask=search_on_mask,
         forbid_terms=forbid_live,
     )
+    if proximity_rank:
+        scorer_kw["prox_pairs"] = prox_sets
+        scorer_kw["prox_attr"] = prox_attr
 
-    if filter_docs is not None or proximity_rank:
+    if filter_docs is not None or (proximity_rank and not prox_attr):
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
         blocks, _ = _batch_blocks(
             index, fetch_terms, need_attr_blocks, keep_shard=True
@@ -1574,8 +1665,8 @@ def search_many(
             right = filter_docs.select(
                 F.col("doc_id").cast("long").alias("doc_id")
             ).withColumn("_shard", shard_of(F.col("doc_id")))
-        if proximity_rank:
-            # the 'proximity' criterion's data: the pair terms'
+        if proximity_rank and not prox_attr:
+            # the byWord 'proximity' criterion's data: the pair terms'
             # positional rows, pruned at the scan and cogrouped by the
             # SAME doc-shard key as the blocks (tagged _ispos so one
             # right side carries both kinds)
@@ -1605,7 +1696,6 @@ def search_many(
                 )
             else:
                 right = pos_rows
-            scorer_kw["prox_pairs"] = prox_sets
         per_key = (
             blocks.groupBy("_shard")
             .cogroup(right.groupBy("_shard"))

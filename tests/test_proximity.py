@@ -290,19 +290,71 @@ def test_batch_prox_serving_mode(built):
 
 
 def test_batch_prox_validation(built, spark):
-    from meilibridge_spark.operators.search import search_many
-
     import dataclasses
+
+    from meilibridge_spark.operators.search import search_many
 
     bare = dataclasses.replace(built, positions=None)
     with pytest.raises(ValueError, match="positions"):
         search_many(bare, BATCH_QUERIES[:1], k=5, proximity_rank=True)
     byattr = dataclasses.replace(
-        built,
-        cfg=dataclasses.replace(built.cfg, proximity_precision="byAttribute"),
+        bare,
+        cfg=dataclasses.replace(bare.cfg, proximity_precision="byAttribute"),
     )
-    with pytest.raises(ValueError, match="byWord"):
+    with pytest.raises(ValueError, match="attributes"):
         search_many(byattr, BATCH_QUERIES[:1], k=5, proximity_rank=True)
+
+
+@pytest.fixture(scope="module")
+def built_attr(spark):
+    """Two-attribute corpus for byAttribute proximity: batch must match
+    the single path, with and without filters."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        IndexConfig(
+            index_name="proxattr_batch",
+            primary_key=("doc_id",),
+            searchable_attributes=("t1", "t2"),
+            analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+        ),
+        proximity_precision="byAttribute",
+    )
+    rows = [
+        (0, "alpha beta here", "filler words"),  # same attr -> 1
+        (1, "alpha only text", "beta only text"),  # split attrs -> 8
+        (2, "alpha solo", "nothing special"),  # beta absent -> 8
+        (3, "filler", "beta alpha together"),  # same attr (t2) -> 1
+        (4, "gamma beta", "alpha gamma"),  # split -> 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    idx = build_index(df, cfg, doc_id_col="doc_id", with_attributes=True)
+    idx.postings = idx.postings.persist()
+    return idx
+
+
+def test_batch_prox_by_attribute_matches_single(built_attr):
+    from meilibridge_spark.operators.search import search_many
+
+    qs = [("q0", "alpha beta"), ("q1", "alpha gamma"), ("q2", "alpha")]
+    got = _batch_ranks(built_attr, qs)
+    for qid, q in qs:
+        assert got[qid] == _single_ranks(built_attr, q), (qid, q)
+    by0 = dict(got["q0"])
+    assert by0[0] == 1 and by0[3] == 1 and by0[1] == PROX_MAX
+    # with a filter (cogroup path, attr blocks still provide the cost)
+    filt = built_attr.docs.filter("doc_id < 4").select("doc_id")
+    gotf = _batch_ranks(built_attr, qs[:1], filter_docs=filt)
+    assert gotf["q0"] == _single_ranks(
+        built_attr, "alpha beta", filter_docs=filt
+    )
+    # no positional side in the plan: search_many never touched a
+    # positions table (the index has none)
+    assert built_attr.positions is None
+    res = search_many(
+        built_attr, qs[:1], k=10, proximity_rank=True
+    )
+    assert "prox_cost" in res.columns
 
 
 def test_prox_max_constants_agree():
