@@ -236,3 +236,36 @@ def test_upsert_missing_vec_col_raises(spark, tmp_index_dir):
         apply_cdc_vector_index(idx.vectors, upserts=bad)
     with pytest.raises(ValueError, match="deletes or upserts"):
         apply_cdc_vector_index(idx.vectors)
+
+
+def test_streaming_delta_commits_maintain_vectors(spark, tmp_index_dir, tmp_path):
+    """start_cdc_sync(delta_commits=True) over an index with a stored
+    vector layout: every micro-batch's vector maintenance rides its
+    delta commit, and the reloaded tip's assignment has the deleted
+    docs' vectors gone."""
+    from meilibridge_spark.streaming.cdc_stream import start_cdc_sync
+
+    src, idx = _build(spark, tmp_index_dir)
+    before = _assigned_ids(idx.vectors)
+    cdc = generate_cdc_batch(spark, src, seed=7)
+    cdc_dir = str(tmp_path / "cdc")
+    cdc.write.mode("overwrite").parquet(cdc_dir)
+    q = start_cdc_sync(
+        spark,
+        cdc_path=cdc_dir,
+        index_dir=tmp_index_dir,
+        cfg=CFG,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        delta_commits=True,
+    )
+    q.awaitTermination(120)
+    entry = snapshot_log(tmp_index_dir)[-1]
+    assert entry["delta"] is True and "vec_touched_ids" in entry["tables"]
+    loaded = load_snapshot(spark, tmp_index_dir, CFG)
+    want = apply_cdc(
+        load_snapshot(spark, tmp_index_dir, CFG, snapshot_id=1),
+        spark.read.parquet(cdc_dir),
+    )
+    got = _assigned_ids(loaded.vectors)
+    assert got == _assigned_ids(want.vectors)
+    assert got < before  # deletes really dropped vectors
