@@ -1552,6 +1552,92 @@ def _sql_proximity_batch(qs: "list[tuple[str, list[str]]]", k: int) -> str:
     )
 
 
+def _q_proximity_attr(terms_text: str, k: int):
+    """proximityPrecision='byAttribute' (v1.6): pair cost = 1 when the
+    two query words co-occur in a common searchable attribute, else
+    PROX_MAX — read from the attr-bitmask blocks, no positions table."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        base = _docs_index(spark, sf_dir, "attr")
+        idx = dataclasses.replace(
+            base,
+            cfg=dataclasses.replace(
+                base.cfg, proximity_precision="byAttribute"
+            ),
+        )
+        return search(
+            idx, terms_text, k, words_rank=True, proximity_rank=True
+        ).select(
+            "doc_id",
+            "matched_terms",
+            "prox_cost",
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _sql_proximity_attr(terms: "list[str]", k: int) -> str:
+    pairs = [(a, b) for a, b in zip(terms, terms[1:]) if a != b]
+    uniq = list(dict.fromkeys(terms))
+    inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    pair_ctes = ",\n".join(
+        f"""pair{i} AS (
+  SELECT a.doc_id, min(CASE WHEN (a.mask & b.mask) != 0 THEN 1 ELSE 8 END) AS c
+  FROM attrm a JOIN attrm b USING (doc_id)
+  WHERE a.term = '{a}' AND b.term = '{b}'
+  GROUP BY a.doc_id
+)"""
+        for i, (a, b) in enumerate(pairs)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN pair{i} p{i} USING (doc_id)" for i in range(len(pairs))
+    )
+    total = " + ".join(f"coalesce(p{i}.c, 8)" for i in range(len(pairs)))
+    return f"""
+WITH attrdocs AS (
+  SELECT doc_id, source || ' ' || text AS text FROM documents
+),
+{_sql_tok(src="attrdocs")},
+attrm AS (
+  SELECT doc_id, term, bit_or(m)::INT AS mask FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term,
+           1 AS m
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')), 2
+    FROM documents
+  ) t GROUP BY 1, 2
+),
+{pair_ctes},
+scores AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN {inlist}
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, s.matched_terms, ({total})::INT AS prox_cost,
+       round(s.s, 4)::DOUBLE AS score
+FROM scores s
+{joins}
+ORDER BY s.matched_terms DESC, prox_cost ASC, s.s DESC, s.doc_id LIMIT {k}
+"""
+
+
 def _sql_match_positions(terms: "list[str]", k: int) -> str:
     uniq = list(dict.fromkeys(terms))
     inlist = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
@@ -2114,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity_batch": _q_proximity_batch(
             [("qa", "spark join"), ("qb", "join spark"), ("qc", "table")], 10
         ),
+        "ft_proximity_attr": _q_proximity_attr("src3 spark", 10),
         "ft_bm25_stopwords": _q_topk("the fast scan", 10, flavor="stop"),
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
@@ -2470,6 +2557,7 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
         ),
         "ft_match_positions": _sql_match_positions(["spark", "join"], 10),
         "ft_proximity_rank": _sql_proximity_rank(["spark", "join"], 10),
+        "ft_proximity_attr": _sql_proximity_attr(["src3", "spark"], 10),
         "ft_proximity_batch": _sql_proximity_batch(
             [
                 ("qa", ["spark", "join"]),
