@@ -2014,6 +2014,67 @@ def _q_attribute_rank(terms_text: str, k: int):
     return run
 
 
+def _q_custom_rules(terms_text: str, k: int):
+    """Configurable rankingRules (reference config/type.go:56,
+    config.example.yml:108-116; operators/ranking.py): a NON-default
+    rule order — 'attribute' promoted first, a CUSTOM ``n_chars:desc``
+    rule in the middle, 'words' demoted last — on the attr-flavor
+    index. The custom field joins in from docs and is returned."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir, "attr")
+        return search(
+            idx,
+            terms_text,
+            k,
+            ranking_rules=["attribute", "n_chars:desc", "words"],
+        ).select(
+            "doc_id",
+            "best_attr",
+            "n_chars",
+            "matched_terms",
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _q_rules_sort_batch(qs: "list[tuple[str, str]]", k: int):
+    """rankingRules with the ``sort`` rule at an explicit position,
+    BATCH path: rules ['words', 'sort'], sort_params lang asc —
+    the query-time sort composes AT its rule slot (after words,
+    before the BM25 tie-break), not as a post-hoc override; the
+    doc-field gather ranks every candidate (search_many docstring)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir)
+        res = search_many(
+            idx,
+            qs,
+            k=k,
+            ranking_rules=["words", "sort"],
+            sort_params=[("lang", True)],
+        )
+        return res.select(
+            "query_id",
+            "doc_id",
+            "matched_terms",
+            "lang",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+
+    return run
+
+
 def _q_exactness_rank(terms_text: str, exact: "list[str]", k: int):
     """Q11 'exactness' criterion: docs matching the user-typed form rank
     above synonym-derived matches (exact_form desc, then BM25)."""
@@ -2147,6 +2208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "spakr jion window", 10, disable_on_words=("spakr",)
         ),
         "ft_attribute_rank": _q_attribute_rank("src3 spark join", 15),
+        "ft_custom_rules": _q_custom_rules("src3 spark join", 15),
+        "ft_rules_sort": _q_rules_sort_batch(
+            [("q1", "spark join"), ("q2", "group hash")], 12
+        ),
         "ft_exactness_rank": _q_exactness_rank(
             "fast join", ["fast", "join"], 10
         ),
@@ -2633,6 +2698,83 @@ ORDER BY matched_exact DESC, s DESC, doc_id LIMIT 10
                 "UNION SELECT 'spakr' UNION SELECT 'jion' UNION SELECT 'window')"
             ),
         ),
+        "ft_custom_rules": f"""
+WITH attrdocs AS (
+  SELECT doc_id, source || ' ' || text AS text FROM documents
+),
+{_sql_tok(src="attrdocs")},
+scores AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('src3', 'spark', 'join')
+  GROUP BY tf.doc_id
+),
+attr AS (
+  SELECT doc_id, term, min(rank) AS ar FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term,
+           0 AS rank
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')), 1
+    FROM documents
+  ) t GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, min(ar)::INT AS best_attr FROM attr
+  WHERE term IN ('src3', 'spark', 'join') GROUP BY 1
+)
+SELECT s.doc_id, b.best_attr, d.n_chars, s.matched_terms,
+       round(s.s, 4)::DOUBLE AS score
+FROM scores s JOIN best b USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY b.best_attr ASC, d.n_chars DESC, s.matched_terms DESC,
+         s.s DESC, s.doc_id LIMIT 15
+""",
+        "ft_rules_sort": f"""
+WITH {_sql_tok()},
+s_q1 AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('spark', 'join') GROUP BY tf.doc_id
+),
+s_q2 AS (
+  SELECT tf.doc_id, count(*)::INT AS matched_terms,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * alldl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN alldl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('group', 'hash') GROUP BY tf.doc_id
+)
+SELECT * FROM (
+  SELECT 'q1' AS query_id, s.doc_id, s.matched_terms, d.lang,
+         round(s.s, 4)::DOUBLE AS score,
+         row_number() OVER (
+           ORDER BY s.matched_terms DESC, d.lang ASC, s.s DESC, s.doc_id
+         )::INT AS rank
+  FROM s_q1 s JOIN documents d USING (doc_id)
+) a WHERE rank <= 12
+UNION ALL
+SELECT * FROM (
+  SELECT 'q2' AS query_id, s.doc_id, s.matched_terms, d.lang,
+         round(s.s, 4)::DOUBLE AS score,
+         row_number() OVER (
+           ORDER BY s.matched_terms DESC, d.lang ASC, s.s DESC, s.doc_id
+         )::INT AS rank
+  FROM s_q2 s JOIN documents d USING (doc_id)
+) b WHERE rank <= 12
+""",
         "ft_attribute_rank": f"""
 WITH attrdocs AS (
   SELECT doc_id, source || ' ' || text AS text FROM documents

@@ -245,6 +245,18 @@ class IndexConfig:
     #: by (matched_terms desc, score desc, doc_id asc) instead of pure
     #: BM25. Off by default — the north_rule contract is BM25 ordering.
     words_ranking: bool = False
+    #: Meilisearch ``rankingRules`` setting — the reference carries it
+    #: verbatim from user YAML (config/type.go:56,
+    #: config.example.yml:108-116): an ordered list of the six built-in
+    #: rules (any subset, any order) plus custom ``field:asc`` /
+    #: ``field:desc`` rules at any position, with the query-time
+    #: ``sort`` parameter composed AT the ``sort`` rule's position.
+    #: None (default) = the Meilisearch default order with the engine's
+    #: legacy flag-driven criterion activation (search()'s *_rank
+    #: arguments decide which criteria run); a non-None list switches
+    #: search/search_many into rules-list mode where the LIST decides
+    #: both activation and order (operators/ranking.py).
+    ranking_rules: "tuple[str, ...] | None" = None
     #: Meilisearch v1.12 index settings: ``prefixSearch`` ("indexingTime"
     #: = last-word prefix matching available, the default; "disabled" =
     #: prefix requests match exact words only) and ``facetSearch``
@@ -327,6 +339,15 @@ class IndexConfig:
                 "proximity_precision must be 'byWord' or 'byAttribute', "
                 f"got {self.proximity_precision!r}"
             )
+        if self.ranking_rules is not None:
+            from meilibridge_spark.operators.ranking import (
+                parse_ranking_rules,
+            )
+
+            try:
+                parse_ranking_rules(self.ranking_rules)
+            except ValueError as e:
+                raise ConfigError(str(e)) from None
         if self.faceting_sort_by not in ("alpha", "count"):
             raise ConfigError(
                 "faceting_sort_by must be 'alpha' or 'count', got "
@@ -418,6 +439,11 @@ class IndexConfig:
             analyzer=analyzer,
             typo=typo,
             words_ranking=bool(d.get("words_ranking", False)),
+            ranking_rules=(
+                tuple(d["ranking_rules"])
+                if d.get("ranking_rules")
+                else None
+            ),
             prefix_search=d.get("prefix_search", "indexingTime"),
             facet_search=bool(d.get("facet_search", True)),
             proximity_precision=d.get("proximity_precision", "byWord"),

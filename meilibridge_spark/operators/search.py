@@ -34,6 +34,12 @@ from meilibridge_spark.functions.bm25 import impact_upper_bound
 from meilibridge_spark.functions.codec import decode_block
 from meilibridge_spark.functions.tokenizer import parse_query
 from meilibridge_spark.functions.wand import TermPostings, dense_topk, wand_topk
+from meilibridge_spark.operators.ranking import (
+    DEFAULT_RANKING_RULES,
+    compose_order,
+    parse_ranking_rules,
+    rules_doc_fields,
+)
 from meilibridge_spark.sources.tables import InvertedIndex
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
@@ -206,9 +212,30 @@ def search(
     word_groups: "list[list[str]] | None" = None,
     attributes_to_search_on: "tuple[str, ...] | None" = None,
     offset: int = 0,
+    ranking_rules: "list[str] | tuple[str, ...] | None" = None,
+    sort_params: "list[tuple[str, bool]] | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
-    [, matched_exact][, best_attr][, exact_form]).
+    [, matched_exact][, best_attr][, exact_form][, rule fields...]).
+
+    ``ranking_rules`` (Meilisearch rankingRules, reference
+    config/type.go:56 / config.example.yml:108-116; parsed by
+    operators/ranking.py): a user-supplied ordered list of the six
+    built-in rules (any subset, any order) plus custom ``field:asc`` /
+    ``field:desc`` rules at any position. When given (here or on
+    ``index.cfg.ranking_rules``), the LIST decides both which criteria
+    participate and their order — the ``*_rank`` flags then only supply
+    side data (``orig_terms`` for typo, ``exact_terms`` for exactness);
+    a listed rule whose data is absent is skipped (see
+    operators/ranking.py's activation contract). Custom-rule fields are
+    joined from the docs table and returned as output columns.
+
+    ``sort_params`` ([(field, ascending)], Q9/Meilisearch ``sort``
+    search parameter): composed AT the position of the ``sort`` rule in
+    the effective rule list (the Meilisearch semantics) — NOT a
+    post-hoc relevancy override; for that legacy behavior use
+    ``relational.sort_hits``. Without an explicit rule list the default
+    order applies, i.e. sort slots between attribute and exactness.
 
     ``offset`` (Q13, Meilisearch's offset/limit pagination): skip the
     first ``offset`` ranked hits and return the next ``k`` — one
@@ -274,6 +301,32 @@ def search(
         raise ValueError(f"offset must be >= 0, got {offset}")
     if words_rank is None:
         words_rank = index.cfg.words_ranking
+    rules = (
+        ranking_rules
+        if ranking_rules is not None
+        else index.cfg.ranking_rules
+    )
+    if rules is not None:
+        # rules-list mode: the list decides activation AND order
+        # (operators/ranking.py activation contract)
+        listed = {
+            t[1] for t in parse_ranking_rules(rules) if t[0] == "builtin"
+        }
+        words_rank = "words" in listed
+        typo_rank = "typo" in listed and orig_terms is not None
+        proximity_rank = "proximity" in listed and (
+            index.positions is not None
+            or (
+                index.cfg.proximity_precision == "byAttribute"
+                and index.attrs is not None
+            )
+        )
+        attribute_rank = "attribute" in listed and index.attrs is not None
+        exactness_rank = "exactness" in listed and exact_terms is not None
+    elif sort_params:
+        # no explicit list: compose sort at its DEFAULT rule position
+        rules = DEFAULT_RANKING_RULES
+    rule_tokens = parse_ranking_rules(rules) if rules is not None else None
     if typo_rank and orig_terms is None:
         raise ValueError("typo_rank requires orig_terms")
     if exactness_rank and exact_terms is None:
@@ -460,19 +513,48 @@ def search(
                     F.col("prox_cost"), F.lit(PROX_MAX * len(pairs))
                 ).cast("int"),
             )
-    order = [F.col("score").desc(), F.col("doc_id").asc()]
-    # reference rule order words > typo > proximity > attribute >
-    # exactness composes by inserting in REVERSE priority at the head
-    if exactness_rank:
-        order.insert(0, F.col("exact_form").desc())
-    if attribute_rank:
-        order.insert(0, F.col("best_attr").asc())
-    if proximity_rank:
-        order.insert(0, F.col("prox_cost").asc())
-    if typo_rank:
-        order.insert(0, F.col("matched_exact").desc())
-    if words_rank:
-        order.insert(0, F.col("matched_terms").desc())
+    if rule_tokens is not None:
+        # rules-list mode (or legacy + sort_params): the user list is
+        # the composed order; custom-rule / sort fields join in from
+        # docs (one doc_id equi-join, AQE-sized — candidates are
+        # posting-sized)
+        need_fields = rules_doc_fields(rule_tokens, sort_params)
+        if need_fields:
+            missing = set(need_fields) - set(index.docs.columns)
+            if missing:
+                raise ValueError(
+                    "ranking rule / sort fields not in docs: "
+                    f"{sorted(missing)}"
+                )
+            agg = agg.join(
+                index.docs.select("doc_id", *need_fields), "doc_id", "left"
+            )
+        active = {
+            "words": words_rank,
+            "typo": typo_rank,
+            "proximity": proximity_rank,
+            "attribute": attribute_rank,
+            "sort": bool(sort_params),
+            "exactness": exactness_rank,
+        }
+        order = compose_order(rule_tokens, active, sort_params) + [
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+        ]
+    else:
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        # reference rule order words > typo > proximity > attribute >
+        # exactness composes by inserting in REVERSE priority at the head
+        if exactness_rank:
+            order.insert(0, F.col("exact_form").desc())
+        if attribute_rank:
+            order.insert(0, F.col("best_attr").asc())
+        if proximity_rank:
+            order.insert(0, F.col("prox_cost").asc())
+        if typo_rank:
+            order.insert(0, F.col("matched_exact").desc())
+        if words_rank:
+            order.insert(0, F.col("matched_terms").desc())
     if matching_strategy == "frequency" and groups is not None:
         # the frequency words criterion outranks every other rule
         order.insert(0, F.col("freq_level").asc())
@@ -738,6 +820,7 @@ def _score_shard(
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
     pos_of: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
     prox_attr: bool = False,
+    crit_order: "list[str] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -917,21 +1000,46 @@ def _score_shard(
                 pos, vals = pos[order], vals[order]
             else:
                 # lexsort: LAST key is primary. Priority (first to
-                # last): freq_level asc, matched desc, prox asc,
-                # best_attr asc, exact_form desc, score desc,
-                # doc_id asc (reference rule order words > typo >
-                # proximity > attribute > exactness).
+                # last): the composed criteria order — the reference
+                # default (freq_level asc, matched desc, prox asc,
+                # best_attr asc, exact_form desc) or a user
+                # ``crit_order`` (configurable rankingRules) — then
+                # score desc, doc_id asc.
+                crit_arrays = {
+                    "freq_level": (lvl[pos], 1) if lvl is not None else None,
+                    "matched": (
+                        (counts[qi][pos], -1) if counts is not None else None
+                    ),
+                    "prox": (
+                        (
+                            prox_row[pos]
+                            if prox_row is not None
+                            else np.zeros(pos.size, dtype=np.int32),
+                            1,
+                        )
+                        if prox_pairs is not None
+                        else None
+                    ),
+                    "best_attr": (
+                        (best[qi][pos], 1) if best is not None else None
+                    ),
+                    "exact_form": (
+                        (exc[qi][pos], -1) if exc is not None else None
+                    ),
+                }
+                prio = crit_order or [
+                    "freq_level",
+                    "matched",
+                    "prox",
+                    "best_attr",
+                    "exact_form",
+                ]
                 keys: "list[np.ndarray]" = [pos, -vals]
-                if exc is not None:
-                    keys.append(-exc[qi][pos])
-                if best is not None:
-                    keys.append(best[qi][pos])
-                if prox_pairs is not None and prox_row is not None:
-                    keys.append(prox_row[pos])
-                if counts is not None:
-                    keys.append(-counts[qi][pos])
-                if lvl is not None:
-                    keys.append(lvl[pos])
+                for name in reversed(prio):
+                    got = crit_arrays.get(name)
+                    if got is not None:
+                        arr, sign = got
+                        keys.append(arr if sign > 0 else -arr)
                 order = np.lexsort(tuple(keys))[:k]
                 if lvl is not None:
                     extras["freq_level"].append(lvl[pos][order])
@@ -983,6 +1091,7 @@ def _make_shard_scorer(
     forbid_terms: "dict[str, list[str]] | None" = None,
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
     prox_attr: bool = False,
+    crit_order: "list[str] | None" = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -1066,6 +1175,7 @@ def _make_shard_scorer(
                 exact_sets, require_groups, freq_groups,
                 forbid_terms=forbid_terms, ban_src=ban_src,
                 prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
+                crit_order=crit_order,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -1092,6 +1202,7 @@ def _make_filtered_shard_scorer(
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
     prox_attr: bool = False,
     has_filter: bool = True,
+    crit_order: "list[str] | None" = None,
 ):
     """Cogrouped variant of the shard scorer for filtered and/or
     proximity-ranked batch search: key = doc-shard; left = the shard's
@@ -1198,6 +1309,7 @@ def _make_filtered_shard_scorer(
             exact_sets, require_groups, freq_groups,
             forbid_terms=forbid_terms, ban_src=ban_src,
             prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
+            crit_order=crit_order,
         )
         if not out_q:
             return empty
@@ -1224,10 +1336,30 @@ def search_many(
     offset: int = 0,
     prefix: bool = False,
     prefix_max_expansions: int = 10,
+    ranking_rules: "list[str] | tuple[str, ...] | None" = None,
+    sort_params: "list[tuple[str, bool]] | None" = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, prox_cost]
-    [, best_attr][, exact_form], rank<=k).
+    [, best_attr][, exact_form][, rule fields...], rank<=k).
+
+    ``ranking_rules`` / ``sort_params``: configurable rankingRules
+    (reference config/type.go:56; operators/ranking.py), same contract
+    as the single-query ``search`` — the list decides criterion
+    activation AND order, custom ``field:asc|desc`` rules join the
+    field from docs, and ``sort_params`` composes AT the ``sort``
+    rule's position. The composed order is threaded into the
+    shard-local top-k (``crit_order``) so the scatter-gather stays
+    exact under any rule permutation. Batch-path deviations: the
+    'typo' criterion is single-path only (a listed 'typo' is skipped,
+    matching the pre-existing batch contract), and a rule list with
+    doc-field rules (custom or an active ``sort``) disables
+    shard-local truncation — every candidate row reaches the global
+    ranking stage, because a doc-attribute can reorder across any
+    local cut. That is the same cost class as Meilisearch's own sort
+    criterion (it walks the full candidate bitmap) and as exhaustive
+    facetDistribution here: one doc-granular window per batch, only
+    candidate rows move. Rank-identical to the single path (tested).
 
     Q11 ranking criteria compose in reference rule order ahead of
     (score desc, doc_id asc), each rank-identical to the single-query
@@ -1361,6 +1493,43 @@ def search_many(
         )
     if words_rank is None:
         words_rank = index.cfg.words_ranking
+    rules = (
+        ranking_rules
+        if ranking_rules is not None
+        else index.cfg.ranking_rules
+    )
+    if rules is not None:
+        # rules-list mode: the list decides activation and order (see
+        # operators/ranking.py); 'typo' is skipped — the typo
+        # CRITERION is single-path only (documented above)
+        listed = {
+            t[1] for t in parse_ranking_rules(rules) if t[0] == "builtin"
+        }
+        words_rank = "words" in listed
+        proximity_rank = "proximity" in listed and (
+            index.positions is not None
+            or (
+                index.cfg.proximity_precision == "byAttribute"
+                and index.attrs is not None
+            )
+        )
+        attribute_rank = "attribute" in listed and index.attrs is not None
+        exactness_rank = "exactness" in listed
+    elif sort_params:
+        # no explicit list: compose sort at its DEFAULT rule position
+        rules = DEFAULT_RANKING_RULES
+    rule_tokens = parse_ranking_rules(rules) if rules is not None else None
+    need_fields = (
+        rules_doc_fields(rule_tokens, sort_params)
+        if rule_tokens is not None
+        else []
+    )
+    if need_fields:
+        missing = set(need_fields) - set(index.docs.columns)
+        if missing:
+            raise ValueError(
+                f"ranking rule / sort fields not in docs: {sorted(missing)}"
+            )
     if attribute_rank and index.attrs is None:
         raise ValueError(
             "attribute_rank requires an index built with "
@@ -1611,19 +1780,32 @@ def search_many(
     )
     # ordered Q11 criteria ahead of (score desc, doc_id asc): reference
     # rule order words > (typo: single-path only) > proximity >
-    # attribute > exactness
+    # attribute > exactness, or the user rule list's order
     rank_cols: "list[tuple[str, str, bool]]" = []
     if freq_groups is not None:
         # the frequency words criterion outranks every other rule
         rank_cols.append(("freq_level", "freq_level", True))
-    if words_rank:
-        rank_cols.append(("matched", "matched_terms", False))
-    if proximity_rank:
-        rank_cols.append(("prox", "prox_cost", True))
-    if attribute_rank:
-        rank_cols.append(("best_attr", "best_attr", True))
-    if exactness_rank:
-        rank_cols.append(("exact_form", "exact_form", False))
+    if rule_tokens is not None:
+        for tok in rule_tokens:
+            if tok[0] != "builtin":
+                continue
+            if tok[1] == "words" and words_rank:
+                rank_cols.append(("matched", "matched_terms", False))
+            elif tok[1] == "proximity" and proximity_rank:
+                rank_cols.append(("prox", "prox_cost", True))
+            elif tok[1] == "attribute" and attribute_rank:
+                rank_cols.append(("best_attr", "best_attr", True))
+            elif tok[1] == "exactness" and exactness_rank:
+                rank_cols.append(("exact_form", "exact_form", False))
+    else:
+        if words_rank:
+            rank_cols.append(("matched", "matched_terms", False))
+        if proximity_rank:
+            rank_cols.append(("prox", "prox_cost", True))
+        if attribute_rank:
+            rank_cols.append(("best_attr", "best_attr", True))
+        if exactness_rank:
+            rank_cols.append(("exact_form", "exact_form", False))
     scored_schema = SCORED_SCHEMA + "".join(
         f", {c} int" for c, _, _ in rank_cols
     )
@@ -1631,10 +1813,17 @@ def search_many(
         out_schema = (
             "query_id string, doc_id long, score double"
             + "".join(f", {o} int" for _, o, _ in rank_cols)
+            + "".join(
+                f", {f} {dict(index.docs.dtypes)[f]}" for f in need_fields
+            )
             + ", rank int"
         )
         return spark.createDataFrame([], out_schema)
     qkeys = sorted(key for key, _ in plan)
+    # doc-field rules (custom / active sort): every candidate reaches
+    # the global ranking stage — a doc attribute can reorder across
+    # any shard-local cut, so local truncation is off (see docstring)
+    k_local = (1 << 31) - 1 if need_fields else k_all
     scorer_kw = dict(
         track_matched=words_rank,
         attr_rank=attribute_rank,
@@ -1643,6 +1832,7 @@ def search_many(
         freq_groups=freq_groups,
         search_on_mask=search_on_mask,
         forbid_terms=forbid_live,
+        crit_order=[c for c, _, _ in rank_cols],
     )
     if proximity_rank:
         scorer_kw["prox_pairs"] = prox_sets
@@ -1707,16 +1897,22 @@ def search_many(
                     index.avgdl,
                     index.cfg.k1,
                     index.cfg.b,
-                    k_all,
+                    k_local,
                     has_filter=filter_docs is not None,
                     **scorer_kw,
                 ),
                 schema=scored_schema,
             )
         )
-        res = _gather_hits(
-            index, per_key, key_of, qkeys, k_all, gather, rank_cols
-        )
+        if need_fields:
+            res = _gather_hits_rules(
+                index, per_key, key_of, qkeys, k_all, rank_cols,
+                rule_tokens, sort_params, need_fields,
+            )
+        else:
+            res = _gather_hits(
+                index, per_key, key_of, qkeys, k_all, gather, rank_cols
+            )
         return res.filter(F.col("rank") > offset) if offset else res
 
     sharded, needs_shuffle = _batch_blocks(
@@ -1743,12 +1939,20 @@ def search_many(
             index.avgdl,
             index.cfg.k1,
             index.cfg.b,
-            k_all,
+            k_local,
             **scorer_kw,
         ),
         schema=scored_schema,
     )
-    res = _gather_hits(index, per_key, key_of, qkeys, k_all, gather, rank_cols)
+    if need_fields:
+        res = _gather_hits_rules(
+            index, per_key, key_of, qkeys, k_all, rank_cols,
+            rule_tokens, sort_params, need_fields,
+        )
+    else:
+        res = _gather_hits(
+            index, per_key, key_of, qkeys, k_all, gather, rank_cols
+        )
     return res.filter(F.col("rank") > offset) if offset else res
 
 
@@ -1924,6 +2128,67 @@ def _gather_hits(
             joined = joined.withColumnRenamed(in_c, out_c)
         out_cols.append(out_c)
     return joined.select(*out_cols, "rank")
+
+
+def _gather_hits_rules(
+    index: InvertedIndex,
+    per_key: DataFrame,
+    key_of: "dict[str, str]",
+    qkeys: "list[str]",
+    k: int,
+    rank_cols: "list[tuple[str, str, bool]]",
+    rule_tokens: "list[tuple]",
+    sort_params: "list[tuple[str, bool]] | None",
+    need_fields: "list[str]",
+) -> DataFrame:
+    """Global ranking stage for rules-list batches with doc-field rules
+    (custom ``field:asc|desc`` or an active ``sort`` slot): the shard
+    scorers emitted ALL candidate rows (truncation off — a doc field
+    can reorder across any local cut), the fields join in from docs
+    here (one doc_id equi-join), and a per-qkey window applies the
+    composed order. Candidate-sized, like Meilisearch's own sort
+    criterion walking the full candidate bitmap; only candidate rows
+    (not the corpus) reach the window."""
+    from pyspark.sql.window import Window
+
+    spark = per_key.sparkSession
+    for in_c, out_c, _ in rank_cols:
+        if in_c != out_c:
+            per_key = per_key.withColumnRenamed(in_c, out_c)
+    per_key = per_key.join(
+        index.docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), *need_fields
+        ),
+        "doc_id",
+        "left",
+    )
+    order: "list" = []
+    if rank_cols and rank_cols[0][0] == "freq_level":
+        order.append(F.col("freq_level").asc())
+    active = {
+        "words": any(o == "matched_terms" for _, o, _ in rank_cols),
+        "typo": False,
+        "proximity": any(o == "prox_cost" for _, o, _ in rank_cols),
+        "attribute": any(o == "best_attr" for _, o, _ in rank_cols),
+        "sort": bool(sort_params),
+        "exactness": any(o == "exact_form" for _, o, _ in rank_cols),
+    }
+    order += compose_order(rule_tokens, active, sort_params)
+    order += [F.col("score").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy("qkey").orderBy(*order)
+    ranked = per_key.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    mapping = spark.createDataFrame(
+        list(key_of.items()), "query_id string, qkey string"
+    )
+    out_cols = (
+        ["query_id", "doc_id", "score"]
+        + [o for _, o, _ in rank_cols]
+        + need_fields
+        + ["rank"]
+    )
+    return ranked.join(F.broadcast(mapping), "qkey").select(*out_cols)
 
 
 #: prepare_serving prefetches the term -> df map to the driver only

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meilibridge_spark.config import ConfigError, IndexConfig
+from meilibridge_spark.operators.ranking import DEFAULT_RANKING_RULES
 
 MANIFEST = "manifest.json"
 
@@ -715,6 +716,13 @@ def get_settings(
         + (["_geo"] if geo else []),
         "distinctAttribute": meta.get("distinct_attribute"),
         "geoAttributes": list(geo) if geo else None,
+        # rankingRules (reference config/type.go:56): the stored
+        # user-supplied list, or — exactly like the endpoint — the
+        # Meilisearch default order when the index never set one
+        "rankingRules": list(
+            (meta.get("config") or {}).get("ranking_rules")
+            or DEFAULT_RANKING_RULES
+        ),
         # v1.12 settings, present when the snapshot stores its full
         # config (post-round-4 manifests); endpoint defaults otherwise
         "prefixSearch": (meta.get("config") or {}).get(
