@@ -703,10 +703,13 @@ ORDER BY geo_m ASC, round(s.s, 9) DESC, s.doc_id LIMIT {k}"""
 
 
 def _q_negative_batch(specs: "list[tuple[str, str, str]]", k: int):
-    """Batched negative keywords: search_many parses '-word' per query
-    and bans shard-locally via the forbid-terms pass riding the block
-    exchange (operators/search.py) — a different execution path from
-    the single-query exclude_docs anti-join (ft_negative)."""
+    """Batched negative keywords AND phrases: search_many parses
+    '-word' / -"a phrase" per query; words ban shard-locally via the
+    forbid-terms pass riding the block exchange, phrases ban from the
+    phrase terms' positional rows riding the cogrouped doc-shard side
+    (operators/search.py) — a different execution path from the
+    single-query exclude_docs anti-join (ft_negative). A negative of
+    the form '"a b"' is a quoted phrase; plain strings are words."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -714,6 +717,15 @@ def _q_negative_batch(specs: "list[tuple[str, str, str]]", k: int):
         from meilibridge_spark.operators.search import search_many
 
         idx = _docs_index(spark, sf_dir, "plain")
+        if any(neg.startswith('"') for _, _, neg in specs):
+            from meilibridge_spark.operators.positions import (
+                build_positions,
+            )
+
+            if idx.positions is None:
+                idx.positions = build_positions(
+                    idx.docs, idx.cfg, text_col="text"
+                )
         batch = [(qid, f"{pos} -{neg}") for qid, pos, neg in specs]
         out = search_many(idx, batch, k=k)
         return out.select(
@@ -729,22 +741,57 @@ def _q_negative_batch(specs: "list[tuple[str, str, str]]", k: int):
 def _sql_negative_batch(
     specs: "list[tuple[str, list[str], str]]", k: int
 ) -> str:
+    """Oracle: per query, BM25 over the positive terms minus docs
+    carrying the negated word (NOT EXISTS on tf) or the negated
+    quoted phrase (NOT EXISTS on tokpos adjacency — neg values
+    starting with '\"' are phrases, split on whitespace)."""
     ctes = ",\n".join(
         _sql_score_cte(f"s_{qid}", terms) for qid, terms, _ in specs
     )
+    need_pos = any(neg.startswith('"') for _, _, neg in specs)
+    pos_ctes = (
+        """arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+  FROM arrs
+),
+"""
+        if need_pos
+        else ""
+    )
+
+    def ban(neg: str) -> str:
+        if not neg.startswith('"'):
+            return (
+                "NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id "
+                f"AND tf.term = '{neg}')"
+            )
+        words = neg.strip('"').split()
+        joins = " ".join(
+            f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        return (
+            "NOT EXISTS (SELECT 1 FROM tokpos t0 "
+            + joins
+            + f" WHERE t0.doc_id = s.doc_id AND t0.term = '{words[0]}')"
+        )
+
     selects = "\nUNION ALL\n".join(
         f"""SELECT * FROM (
   SELECT '{qid}' AS query_id, s.doc_id,
          round(s.s, 4)::DOUBLE AS score,
          row_number() OVER (ORDER BY s.s DESC, s.doc_id)::INT AS rank
   FROM s_{qid} s
-  WHERE NOT EXISTS (
-    SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = '{neg}'
-  )
+  WHERE {ban(neg)}
 ) t_{qid} WHERE rank <= {k}"""
         for qid, _, neg in specs
     )
-    return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
+    return f"WITH {_sql_tok()},\n{pos_ctes}{ctes}\n{selects}"
 
 
 def _view_index(spark: SparkSession, sf_dir: str):
@@ -2293,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("qa", "spark join", "table"),
                 ("qb", "group hash", "vector"),
                 ("qc", "spark join", "zzznothing"),
+                ("qd", "table", '"spark join"'),
             ],
             10,
         ),
@@ -2584,6 +2632,7 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
                 ("qa", ["spark", "join"], "table"),
                 ("qb", ["group", "hash"], "vector"),
                 ("qc", ["spark", "join"], "zzznothing"),
+                ("qd", ["table"], '"spark join"'),
             ],
             10,
         ),

@@ -307,21 +307,22 @@ def main() -> None:
                 for i, line in enumerate(f)
                 if line.strip()
             ]
-        # '-word' negatives are handled natively by search_many (per
-        # query, any strategy); '-"..."' negative phrases need the
-        # positional single-query path and would raise mid-job. The
-        # check uses the quote-aware parser itself, so a dash inside a
-        # positive quoted phrase never false-positives.
+        # '-word' negatives and '-"..."' negative phrases are both
+        # handled natively by search_many; phrases additionally need
+        # the positions table — fail the whole batch up front instead
+        # of raising mid-job. The check uses the quote-aware parser
+        # itself, so a dash inside a positive quoted phrase never
+        # false-positives.
         from meilibridge_spark.operators.positions import parse_negative
 
         bad = next(
             (t for _, t in batch if parse_negative(t)[2]), None
         )
-        if bad is not None:
+        if bad is not None and index.positions is None:
             ap.error(
-                f'negative phrases (-"...") are not supported in '
-                f"--queries-file batches (offending query: {bad!r}); "
-                "run them singly (they need the positional path)"
+                f'negative phrases (-"...") need a positions table '
+                f"(offending query: {bad!r}); rebuild the snapshot "
+                "with --with-positions"
             )
         filt = make_filter()
         if filt is None:

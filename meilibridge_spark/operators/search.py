@@ -801,6 +801,41 @@ def _positions_shard_map(
     return out
 
 
+def _phrase_doc_offsets(
+    steps: "tuple[tuple[str, int], ...]",
+    pos_map: "dict[str, tuple[np.ndarray, np.ndarray]]",
+) -> "np.ndarray":
+    """Shard-local doc offsets containing the phrase ``steps``
+    ([(term, raw_slot)...], from positions.phrase_steps) as a
+    contiguous raw-slot sequence — the numpy analog of
+    positions.phrase_candidates' iterative adjacency join, used for
+    negative-phrase bans in the batch scorer. Anchor = a position p
+    such that term_i occurs at p + slot_i for every step: per step,
+    pack (doc offset, occurrence position - slot) into one int64 key
+    and intersect across steps; surviving keys' doc halves are the
+    banned docs. Each step's keys are unique ((term, doc) rows are
+    unique with ascending position arrays), so assume_unique holds
+    throughout the intersection chain."""
+    _empty = np.empty(0, dtype=np.int64)
+    cur: "np.ndarray | None" = None
+    for t, slot in steps:
+        d, p = pos_map.get(t, (_empty, _empty))
+        if slot:
+            keep = p >= slot
+            d, p = d[keep], p[keep]
+        if not d.size:
+            return _empty
+        keys = (d << 32) | (p - slot)
+        cur = (
+            keys
+            if cur is None
+            else np.intersect1d(cur, keys, assume_unique=True)
+        )
+        if not cur.size:
+            return _empty
+    return np.unique(cur >> 32) if cur is not None else _empty
+
+
 def _score_shard(
     per_term: "dict[str, tuple[np.ndarray, np.ndarray]]",
     term_plan: "dict[str, list[tuple[str, float]]]",
@@ -821,6 +856,10 @@ def _score_shard(
     pos_of: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
     prox_attr: bool = False,
     crit_order: "list[str] | None" = None,
+    forbid_phrases: (
+        "dict[str, list[tuple[tuple[str, int], ...]]] | None"
+    ) = None,
+    phrase_pos: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -872,6 +911,9 @@ def _score_shard(
     if exact_sets is not None:
         extras["exact_form"] = []
     pair_cache: "dict[tuple[str, str], np.ndarray]" = {}
+    # negative-phrase bans: each distinct phrase's banned-doc offsets
+    # computed ONCE per shard and memoized across the batch's queries
+    phrase_cache: "dict[tuple, np.ndarray]" = {}
     _empty_pos = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
 
     def _pair_cost(a: str, b: str) -> np.ndarray:
@@ -953,6 +995,17 @@ def _score_shard(
                         o = hit[0] if hit is not None else None
                     if o is not None and o.size:
                         row[o] = 0.0
+            if forbid_phrases is not None:
+                # negative phrases (-"..."): docs containing the
+                # phrase as a contiguous raw-slot sequence are banned,
+                # from positional rows riding the cogrouped side
+                for steps in forbid_phrases.get(qkey, ()):
+                    off = phrase_cache.get(steps)
+                    if off is None:
+                        off = _phrase_doc_offsets(steps, phrase_pos or {})
+                        phrase_cache[steps] = off
+                    if off.size:
+                        row[off] = 0.0
             lvl = None
             if freq_groups is not None:
                 # matching_strategy='frequency': level = max drop_rank
@@ -1092,6 +1145,9 @@ def _make_shard_scorer(
     prox_pairs: "dict[str, list[tuple[str, str]]] | None" = None,
     prox_attr: bool = False,
     crit_order: "list[str] | None" = None,
+    forbid_phrases: (
+        "dict[str, list[tuple[tuple[str, int], ...]]] | None"
+    ) = None,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -1175,7 +1231,7 @@ def _make_shard_scorer(
                 exact_sets, require_groups, freq_groups,
                 forbid_terms=forbid_terms, ban_src=ban_src,
                 prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
-                crit_order=crit_order,
+                crit_order=crit_order, forbid_phrases=forbid_phrases,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -1203,6 +1259,9 @@ def _make_filtered_shard_scorer(
     prox_attr: bool = False,
     has_filter: bool = True,
     crit_order: "list[str] | None" = None,
+    forbid_phrases: (
+        "dict[str, list[tuple[tuple[str, int], ...]]] | None"
+    ) = None,
 ):
     """Cogrouped variant of the shard scorer for filtered and/or
     proximity-ranked batch search: key = doc-shard; left = the shard's
@@ -1249,21 +1308,25 @@ def _make_filtered_shard_scorer(
             return empty
         base = int(key[0]) * shard_range
         if (
-            prox_pairs is not None
-            and not prox_attr
-            and "_ispos" in right_pdf.columns
-        ):
+            (prox_pairs is not None and not prox_attr)
+            or forbid_phrases is not None
+        ) and "_ispos" in right_pdf.columns:
             ispos = right_pdf["_ispos"].to_numpy(dtype=bool)
             pos_pdf = right_pdf[ispos]
             filt_pdf = right_pdf[~ispos]
         else:
             pos_pdf = None
             filt_pdf = right_pdf
-        pos_of = (
+        pos_map = (
             _positions_shard_map(pos_pdf, base)
             if pos_pdf is not None and not pos_pdf.empty
-            else ({} if prox_pairs is not None else None)
+            else {}
         )
+        # byWord proximity and negative-phrase bans share the same
+        # positional rows; byAttribute proximity overwrites pos_of
+        # below with attr masks while phrase bans keep the real slots
+        phrase_pos = pos_map if forbid_phrases is not None else None
+        pos_of = pos_map if prox_pairs is not None else None
         mask = None
         if has_filter:
             if filt_pdf.empty:
@@ -1309,7 +1372,8 @@ def _make_filtered_shard_scorer(
             exact_sets, require_groups, freq_groups,
             forbid_terms=forbid_terms, ban_src=ban_src,
             prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
-            crit_order=crit_order,
+            crit_order=crit_order, forbid_phrases=forbid_phrases,
+            phrase_pos=phrase_pos,
         )
         if not out_q:
             return empty
@@ -1573,22 +1637,43 @@ def search_many(
     # words stay literal (no synonym/typo expansion, matching
     # negative_exclusion_docs) and ban shard-locally through the same
     # block exchange (forbid_terms in the scorer). Negative PHRASES
-    # need positional adjacency and doc-granular candidate sets: the
-    # single-query path (positions.search_with_phrases) owns those.
+    # ban shard-locally too: their terms' positional rows ride the
+    # cogrouped doc-shard side (the byWord proximity machinery) and
+    # each phrase's banned-doc offsets are computed once per shard.
     neg_of: "dict[str, list[str]]" = {}
+    neg_phrase_of: "dict[str, list[tuple[tuple[str, int], ...]]]" = {}
     if any("-" in text for _, text in queries):
         from meilibridge_spark.functions.tokenizer import tokenize
-        from meilibridge_spark.operators.positions import parse_negative
+        from meilibridge_spark.operators.positions import (
+            parse_negative,
+            phrase_steps,
+        )
 
         stripped: "list[tuple[str, str]]" = []
         for qid, text in queries:
             pos_text, neg_words, neg_phrases = parse_negative(text)
             if neg_phrases:
-                raise ValueError(
-                    'negative phrases (-"...") are not supported in '
-                    "batched search_many — route the query through "
-                    "positions.search_with_phrases"
-                )
+                # negative PHRASES (-"...") ban shard-locally from the
+                # phrase terms' positional rows riding the cogrouped
+                # exchange (same side the byWord proximity criterion
+                # uses) — a stop-word-only phrase constrains nothing,
+                # exactly like negative_exclusion_docs
+                steps_list = [
+                    tuple(s)
+                    for s in (
+                        phrase_steps(p, index.cfg.analyzer)
+                        for p in neg_phrases
+                    )
+                    if s
+                ]
+                if steps_list:
+                    if index.positions is None:
+                        raise ValueError(
+                            "negative phrases need a positions table "
+                            "(build the snapshot with "
+                            "with_positions=True)"
+                        )
+                    neg_phrase_of[qid] = steps_list
             if neg_words:
                 nts = sorted(
                     {
@@ -1599,9 +1684,9 @@ def search_many(
                 )
                 if nts:
                     neg_of[qid] = nts
-                stripped.append((qid, pos_text))
-            else:
-                stripped.append((qid, text))
+            stripped.append(
+                (qid, pos_text if (neg_words or neg_phrases) else text)
+            )
         queries = stripped
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
@@ -1656,6 +1741,7 @@ def search_many(
     key_of: dict[str, str] = {}
     key_terms: dict[str, tuple[str, ...]] = {}
     forbid_of: "dict[str, list[str]]" = {}
+    forbid_phrases_of: "dict[str, list[tuple[tuple[str, int], ...]]]" = {}
     exact_sets: "dict[str, frozenset] | None" = {} if exactness_rank else None
     prox_sets: "dict[str, list[tuple[str, str]]] | None" = (
         {} if proximity_rank else None
@@ -1708,6 +1794,13 @@ def search_many(
         if nts:
             # same positives but different negatives must not dedup
             key += "\x04" + ",".join(nts)
+        nps = neg_phrase_of.get(qid)
+        if nps:
+            # same positives but different negative phrases must not
+            # dedup either (canonical term@slot dump)
+            key += "\x06" + "|".join(
+                ",".join(f"{t}@{s}" for t, s in steps) for steps in nps
+            )
         pp = None
         if proximity_rank:
             # same term SET but different word ORDER ranks differently
@@ -1727,6 +1820,8 @@ def search_many(
             group_sets[key] = gq
         if nts:
             forbid_of[key] = nts
+        if nps:
+            forbid_phrases_of[key] = nps
         key_of[qid] = key
         key_terms[key] = terms
     all_terms = sorted({t for ts in key_terms.values() for t in ts})
@@ -1769,6 +1864,11 @@ def search_many(
     live_keys = {key for key, _ in plan}
     forbid_live = {
         key: ts for key, ts in forbid_of.items() if key in live_keys
+    } or None
+    phrase_live = {
+        key: sl
+        for key, sl in forbid_phrases_of.items()
+        if key in live_keys
     } or None
     fetch_terms = sorted(
         {t for _, terms in plan for t, _ in terms}
@@ -1832,13 +1932,18 @@ def search_many(
         freq_groups=freq_groups,
         search_on_mask=search_on_mask,
         forbid_terms=forbid_live,
+        forbid_phrases=phrase_live,
         crit_order=[c for c, _, _ in rank_cols],
     )
     if proximity_rank:
         scorer_kw["prox_pairs"] = prox_sets
         scorer_kw["prox_attr"] = prox_attr
 
-    if filter_docs is not None or (proximity_rank and not prox_attr):
+    if (
+        filter_docs is not None
+        or (proximity_rank and not prox_attr)
+        or phrase_live
+    ):
         shard_of = lambda c: F.floor(c / F.lit(index.cfg.shard_range)).cast("long")  # noqa: E731
         blocks, _ = _batch_blocks(
             index, fetch_terms, need_attr_blocks, keep_shard=True
@@ -1855,14 +1960,25 @@ def search_many(
             right = filter_docs.select(
                 F.col("doc_id").cast("long").alias("doc_id")
             ).withColumn("_shard", shard_of(F.col("doc_id")))
-        if proximity_rank and not prox_attr:
-            # the byWord 'proximity' criterion's data: the pair terms'
-            # positional rows, pruned at the scan and cogrouped by the
-            # SAME doc-shard key as the blocks (tagged _ispos so one
-            # right side carries both kinds)
-            pair_terms = sorted(
-                {t for pp in prox_sets.values() for ab in pp for t in ab}
-            )
+        if (proximity_rank and not prox_attr) or phrase_live:
+            # positional rows riding the cogrouped side: the byWord
+            # 'proximity' pair terms and/or the negative-phrase terms,
+            # pruned at the scan and cogrouped by the SAME doc-shard
+            # key as the blocks (tagged _ispos so one right side
+            # carries both kinds)
+            pos_term_set: set = set()
+            if proximity_rank and not prox_attr:
+                pos_term_set |= {
+                    t for pp in prox_sets.values() for ab in pp for t in ab
+                }
+            if phrase_live:
+                pos_term_set |= {
+                    t
+                    for sl in phrase_live.values()
+                    for steps in sl
+                    for t, _ in steps
+                }
+            pair_terms = sorted(pos_term_set)
             pos_rows = (
                 index.positions.filter(terms_in("term", pair_terms))
                 if pair_terms

@@ -214,11 +214,124 @@ def test_batch_negative_composes_with_filter(built):
     assert {r["doc_id"] for r in rows} == {0}
 
 
-def test_batch_negative_phrase_raises(built):
+def test_batch_negative_phrase_matches_single_path(built):
+    # -"rare gem" bans contiguous-adjacency docs only: doc 3 has
+    # 'rare gem' (banned); doc 4 has 'rare the gem' (stop-word slot
+    # between them -> NOT banned) — single-path parity
     from meilibridge_spark.operators.search import search_many
 
-    with pytest.raises(ValueError, match="negative phrases"):
-        search_many(built, [("a", 'join -"rare gem"')], k=10)
+    rows = search_many(
+        built, [("a", 'join -"rare gem"'), ("b", "join")], k=10
+    ).collect()
+    hits = {}
+    for r in rows:
+        hits.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert set(hits["a"]) == {0, 2, 4}
+    # exclusion, not re-ranking
+    for d, s in hits["a"].items():
+        assert s == pytest.approx(hits["b"][d])
+    single = {
+        r["doc_id"]: r["score"]
+        for r in search_with_phrases(
+            built, 'join -"rare gem"', k=10
+        ).collect()
+    }
+    assert hits["a"] == pytest.approx(single)
+
+
+def test_batch_negative_phrase_stopword_slot_widens_gap(built):
+    # -"rare the gem": 'the' is a stop word -> steps [(rare,0),(gem,2)]
+    # bans doc 4 ('rare the gem join') but NOT doc 3 ('rare gem' at
+    # gap 1) — raw-slot offsets, single-path parity
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built, [("a", 'join -"rare the gem"')], k=10
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {0, 2, 3}
+    single = search_with_phrases(
+        built, 'join -"rare the gem"', k=10
+    ).collect()
+    assert {r["doc_id"] for r in single} == {0, 2, 3}
+
+
+def test_batch_negative_phrase_dedup_keys_stay_separate(built):
+    # same positive term set, different negative phrases: no dedup
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [
+            ("a", 'join -"rare gem"'),
+            ("b", 'join -"spark shuffle"'),
+            ("c", "join"),
+        ],
+        k=10,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q["a"] == {0, 2, 4}
+    assert by_q["b"] == {2, 3, 4}
+    assert by_q["c"] == {0, 2, 3, 4}
+
+
+def test_batch_negative_phrase_composes(built):
+    # phrase bans compose with word bans, filters and strategies in
+    # one batch
+    from meilibridge_spark.operators.search import search_many
+
+    filt = built.docs.filter(F.col("lang") == "en").select("doc_id")
+    rows = search_many(
+        built,
+        [("a", 'join -"rare gem" -statistics')],
+        k=10,
+        filter_docs=filt,
+    ).collect()
+    # join∩en = {0, 4}; -"rare gem" bans {3}; -statistics bans {2} -> {0, 4}
+    assert {r["doc_id"] for r in rows} == {0, 4}
+    rows = search_many(
+        built,
+        [("a", 'spark join -"rare gem"')],
+        k=10,
+        matching_strategy="all",
+    ).collect()
+    # spark AND join = {0, 3}; minus phrase docs {3} -> {0}
+    assert {r["doc_id"] for r in rows} == {0}
+
+
+def test_batch_negative_phrase_with_proximity_rank(built):
+    # phrase bans and the byWord proximity criterion share the same
+    # cogrouped positional side — both active in one batch
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [("a", 'spark join -"rare gem"'), ("b", "spark join")],
+        k=10,
+        proximity_rank=True,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q["a"] == by_q["b"] - {3}
+    # proximity criterion still ranks: doc 3 ('spark join' adjacent)
+    # wins query b; with it banned in query a, doc 0 ('spark shuffle
+    # join', gap 2) takes the top slot
+    ranks = {
+        (r["query_id"], r["doc_id"]): r["rank"] for r in rows
+    }
+    assert ranks[("b", 3)] == 1 and ranks[("a", 0)] == 1
+
+
+def test_batch_negative_phrase_needs_positions(spark):
+    from meilibridge_spark.operators.search import search_many
+    from meilibridge_spark.plans.build import build_index
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    idx = build_index(df, CFG, doc_id_col="doc_id")  # no positions
+    with pytest.raises(ValueError, match="positions table"):
+        search_many(idx, [("a", 'join -"rare gem"')], k=10)
 
 
 def test_batch_negative_stays_literal_under_typo(built):
