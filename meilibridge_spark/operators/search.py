@@ -564,6 +564,76 @@ def search(
     return ordered.limit(k)
 
 
+def placeholder_search(
+    index: InvertedIndex,
+    k: "int | None" = None,
+    filter_docs: "DataFrame | None" = None,
+    exclude_docs: "DataFrame | None" = None,
+    offset: int = 0,
+    ranking_rules: "list[str] | tuple[str, ...] | None" = None,
+    sort_params: "list[tuple[str, bool]] | None" = None,
+) -> DataFrame:
+    """Meilisearch placeholder search: a query with no positive terms
+    matches ALL documents (the negative-only / empty-``q`` semantics —
+    v1.8 negative keywords over a placeholder candidate set). Every
+    matching criterion is vacuously inactive (nothing matched), so the
+    effective order is just the DOC-FIELD rules — custom
+    ``field:asc|desc`` rules and the ``sort`` parameter at its rule
+    position — then ``doc_id`` asc; ``score`` is 0.0 and
+    ``matched_terms`` 0 for every hit (same output contract as
+    :func:`search`, custom-rule/sort fields as output columns).
+
+    Plan shape: one column-pruned docs scan + optional left-semi
+    (``filter_docs``) / left-anti (``exclude_docs``) joins + a bounded
+    TakeOrdered of ``offset + k`` rows — no postings work at all.
+    """
+    k = k or index.cfg.max_total_hits
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    rules = (
+        ranking_rules
+        if ranking_rules is not None
+        else index.cfg.ranking_rules
+    )
+    if rules is None and sort_params:
+        rules = DEFAULT_RANKING_RULES
+    rule_tokens = parse_ranking_rules(rules) if rules is not None else None
+    need_fields = (
+        rules_doc_fields(rule_tokens, sort_params)
+        if rule_tokens is not None
+        else []
+    )
+    if need_fields:
+        missing = set(need_fields) - set(index.docs.columns)
+        if missing:
+            raise ValueError(
+                f"ranking rule / sort fields not in docs: {sorted(missing)}"
+            )
+    cand = index.docs.select("doc_id", *need_fields)
+    if filter_docs is not None:
+        cand = cand.join(
+            filter_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+    if exclude_docs is not None:
+        cand = cand.join(
+            exclude_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    order = (
+        compose_order(rule_tokens, {}, sort_params)
+        if rule_tokens is not None
+        else []
+    ) + [F.col("doc_id").asc()]
+    out = (
+        cand.withColumn("score", F.lit(0.0))
+        .withColumn("matched_terms", F.lit(0))
+        .select("doc_id", "score", "matched_terms", *need_fields)
+        .orderBy(*order)
+    )
+    if offset:
+        return out.offset(offset).limit(k)
+    return out.limit(k)
+
+
 def _decode_shard_terms(
     rows,
     base: int,
@@ -1382,6 +1452,70 @@ def _make_filtered_shard_scorer(
     return scorer
 
 
+def _neg_only_hits(
+    index: InvertedIndex,
+    res: DataFrame,
+    neg_only: "dict[str, tuple[list[str], list[str]]]",
+    k_all: int,
+    filter_docs: "DataFrame | None",
+    rule_tokens: "list[tuple] | None",
+    sort_params: "list[tuple[str, bool]] | None",
+    need_fields: "list[str]",
+) -> DataFrame:
+    """Union placeholder hits for negative-ONLY batch queries onto the
+    scored result: per query, ALL documents minus its exclusion set
+    (Meilisearch v1.8 negative-keyword semantics over the placeholder
+    candidate set) — one column-pruned docs scan shared across the
+    queries, a per-query anti-join, and a bounded TakeOrdered(k_all).
+    Matching criteria are vacuously inactive (nothing matched), so the
+    order is the doc-field rules then doc_id asc; criteria columns take
+    their no-match values typed to the result schema."""
+    from pyspark.sql.window import Window
+
+    from meilibridge_spark.operators.positions import (
+        negative_exclusion_docs,
+    )
+
+    order = (
+        compose_order(rule_tokens, {}, sort_params)
+        if rule_tokens is not None
+        else []
+    ) + [F.col("doc_id").asc()]
+    base = index.docs.select("doc_id", *need_fields)
+    if filter_docs is not None:
+        base = base.join(
+            filter_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+    dtypes = dict(res.dtypes)
+    out = res
+    for qid, (nw, nph) in sorted(neg_only.items()):
+        excl = negative_exclusion_docs(index, nw, nph)
+        cand = (
+            base.join(excl.select("doc_id"), "doc_id", "left_anti")
+            if excl is not None
+            else base
+        )
+        # TakeOrdered bounds the scan; the rank window then runs over
+        # <= k_all rows (single-task by construction, not a bottleneck)
+        top = (
+            cand.orderBy(*order)
+            .limit(k_all)
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        )
+        cols = []
+        for c in res.columns:
+            if c == "query_id":
+                cols.append(F.lit(qid).alias(c))
+            elif c in ("doc_id", "rank") or c in need_fields:
+                cols.append(F.col(c))
+            elif c == "score":
+                cols.append(F.lit(0.0).alias(c))
+            else:
+                cols.append(F.lit(0).cast(dtypes[c]).alias(c))
+        out = out.unionByName(top.select(*cols))
+    return out
+
+
 def search_many(
     index: InvertedIndex,
     queries: "list[tuple[str, str]]",
@@ -1642,6 +1776,7 @@ def search_many(
     # each phrase's banned-doc offsets are computed once per shard.
     neg_of: "dict[str, list[str]]" = {}
     neg_phrase_of: "dict[str, list[tuple[tuple[str, int], ...]]]" = {}
+    neg_only: "dict[str, tuple[list[str], list[str]]]" = {}
     if any("-" in text for _, text in queries):
         from meilibridge_spark.functions.tokenizer import tokenize
         from meilibridge_spark.operators.positions import (
@@ -1652,6 +1787,15 @@ def search_many(
         stripped: "list[tuple[str, str]]" = []
         for qid, text in queries:
             pos_text, neg_words, neg_phrases = parse_negative(text)
+            if (neg_words or neg_phrases) and not parse_query(
+                pos_text, index.cfg.analyzer
+            ):
+                # negative-ONLY query (no indexable positive tokens):
+                # Meilisearch searches ALL documents and applies the
+                # exclusion — routed through the placeholder candidate
+                # path (docs scan, no postings) and unioned back in
+                neg_only[qid] = (neg_words, neg_phrases)
+                continue
             if neg_phrases:
                 # negative PHRASES (-"...") ban shard-locally from the
                 # phrase terms' positional rows riding the cogrouped
@@ -1909,6 +2053,18 @@ def search_many(
     scored_schema = SCORED_SCHEMA + "".join(
         f", {c} int" for c, _, _ in rank_cols
     )
+
+    def _finish(res: DataFrame) -> DataFrame:
+        # negative-only queries union in via the placeholder path;
+        # ranks are absolute in both paths so the offset skip applies
+        # uniformly at the end
+        if neg_only:
+            res = _neg_only_hits(
+                index, res, neg_only, k_all, filter_docs,
+                rule_tokens, sort_params, need_fields,
+            )
+        return res.filter(F.col("rank") > offset) if offset else res
+
     if not plan:
         out_schema = (
             "query_id string, doc_id long, score double"
@@ -1918,7 +2074,7 @@ def search_many(
             )
             + ", rank int"
         )
-        return spark.createDataFrame([], out_schema)
+        return _finish(spark.createDataFrame([], out_schema))
     qkeys = sorted(key for key, _ in plan)
     # doc-field rules (custom / active sort): every candidate reaches
     # the global ranking stage — a doc attribute can reorder across
@@ -2029,7 +2185,7 @@ def search_many(
             res = _gather_hits(
                 index, per_key, key_of, qkeys, k_all, gather, rank_cols
             )
-        return res.filter(F.col("rank") > offset) if offset else res
+        return _finish(res)
 
     sharded, needs_shuffle = _batch_blocks(
         index, fetch_terms, need_attr_blocks
@@ -2069,7 +2225,7 @@ def search_many(
         res = _gather_hits(
             index, per_key, key_of, qkeys, k_all, gather, rank_cols
         )
-    return res.filter(F.col("rank") > offset) if offset else res
+    return _finish(res)
 
 
 def _batch_blocks(

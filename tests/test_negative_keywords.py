@@ -5,9 +5,11 @@ Parsed by positions.parse_negative, executed as an exclusion doc set
 anti-joined inside search (exclude_docs). Checks the parser (mid-word
 hyphens, unbalanced quotes), word and phrase exclusion vs brute force,
 composition with positive phrases and filters, and the
-stop-word/unknown-word no-ops. Documented deviation: a negative-only
-query has an empty positive part and returns no hits (the engine has
-no all-documents placeholder search)."""
+stop-word/unknown-word no-ops. A negative-only query (no indexable
+positive tokens) searches ALL documents and applies the exclusion —
+Meilisearch's placeholder-search semantics, routed through
+search.placeholder_search (docs scan, doc_id order, score 0.0), in
+both the single and the batch path."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -110,8 +112,65 @@ def test_negative_stopword_and_unknown_are_noops(built):
     )
 
 
-def test_negative_only_query_returns_empty(built):
-    assert search_with_phrases(built, "-rare", k=10).collect() == []
+def test_negative_only_query_is_placeholder_minus_exclusion(built):
+    # Meilisearch v1.8: a query of only negatives searches ALL
+    # documents and applies the exclusion (placeholder semantics)
+    hits = search_with_phrases(built, "-rare", k=10).collect()
+    assert [r["doc_id"] for r in hits] == [0, 1, 2, 5]
+    assert all(r["score"] == 0.0 and r["matched_terms"] == 0 for r in hits)
+    # negative PHRASE only: adjacency ban (doc 4's stop-word slot
+    # keeps it unbanned)
+    hits = search_with_phrases(built, '-"rare gem"', k=10).collect()
+    assert [r["doc_id"] for r in hits] == [0, 1, 2, 4, 5]
+    # stop-word-only positive part is still negative-only
+    hits = search_with_phrases(built, "the -rare", k=10).collect()
+    assert [r["doc_id"] for r in hits] == [0, 1, 2, 5]
+
+
+def test_negative_only_composes_with_filter_offset_k(built):
+    filt = built.docs.filter(F.col("lang") == "en").select("doc_id")
+    hits = search_with_phrases(
+        built, "-rare", k=10, filter_docs=filt
+    ).collect()
+    # en docs {0, 1, 5} minus rare docs {3, 4}
+    assert [r["doc_id"] for r in hits] == [0, 1, 5]
+    hits = search_with_phrases(built, "-rare", k=2, offset=1).collect()
+    assert [r["doc_id"] for r in hits] == [1, 2]
+
+
+def test_batch_negative_only_unions_with_scored_queries(built):
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [("a", "-rare"), ("b", "join"), ("c", '-"rare gem"')],
+        k=10,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    a = sorted(by_q["a"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in a] == [0, 1, 2, 5]
+    assert [r["rank"] for r in a] == [1, 2, 3, 4]
+    assert all(r["score"] == 0.0 for r in a)
+    assert {r["doc_id"] for r in by_q["b"]} == {0, 2, 3, 4}
+    c = sorted(by_q["c"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in c] == [0, 1, 2, 4, 5]
+
+
+def test_batch_all_negative_only(built):
+    # every query negative-only: the scored plan is empty, the
+    # placeholder path alone produces the result
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built, [("a", "-rare"), ("b", "-join")], k=10
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q["a"] == {0, 1, 2, 5}
+    assert by_q["b"] == {1, 5}
 
 
 def test_explicit_exclude_docs_composes(built, spark):
