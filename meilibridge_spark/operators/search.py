@@ -3049,8 +3049,74 @@ class DriverSearcher:
     #: stops being driver-friendly and WAND's pruning wins
     DENSE_MAX_DOCS = 50_000_000
 
+    #: allowed-id sets above this don't belong on the driver (8 B/id —
+    #: 40 MB at the cap); larger filters go through the distributed
+    #: path (search(filter_docs=...)), which this bound points to
+    FILTER_MAX_DOCS = 5_000_000
+
+    def prepare_filter(self, filter_docs: DataFrame) -> "np.ndarray":
+        """Materialize a bounded allowed-id set for repeated filtered
+        serving — e.g. a tenant token's forced filter resolved once
+        (sources/keys.token_search_filter -> filter_doc_ids) and reused
+        across that tenant's queries. Returns a sorted int64 array for
+        ``search(filter_docs=...)``; raises when the set exceeds
+        FILTER_MAX_DOCS (route those through the distributed path)."""
+        rows = (
+            filter_docs.select("doc_id")
+            .limit(self.FILTER_MAX_DOCS + 1)
+            .collect()
+        )
+        if len(rows) > self.FILTER_MAX_DOCS:
+            raise ValueError(
+                f"filter set exceeds FILTER_MAX_DOCS="
+                f"{self.FILTER_MAX_DOCS}; use the distributed path "
+                "(operators.search.search(filter_docs=...))"
+            )
+        return np.unique(
+            np.fromiter(
+                (r[0] for r in rows), dtype=np.int64, count=len(rows)
+            )
+        )
+
+    def _restrict(
+        self, tp: "TermPostings", allowed: "np.ndarray"
+    ) -> "TermPostings":
+        """Drop postings outside the allowed-id set (sorted-merge
+        membership) and rebuild block metadata — the upper bounds stay
+        exact for the surviving run. BM25 stats stay corpus-global
+        (idf/avgdl unchanged), matching the distributed filter
+        semantics (pre-score semi-join; Meilisearch filters never
+        change term statistics)."""
+        if not tp.doc_ids.size:
+            return tp
+        pos = np.searchsorted(allowed, tp.doc_ids)
+        pos_c = np.minimum(pos, allowed.size - 1) if allowed.size else pos
+        keep = (
+            (pos < allowed.size) & (allowed[pos_c] == tp.doc_ids)
+            if allowed.size
+            else np.zeros(tp.doc_ids.size, dtype=bool)
+        )
+        if keep.all():
+            return tp
+        cfg = self.index.cfg
+        return TermPostings.from_arrays(
+            tp.term,
+            tp.idf,
+            tp.doc_ids[keep],
+            tp.tfs[keep],
+            tp.dls[keep],
+            cfg.block_size,
+            self.index.avgdl,
+            cfg.k1,
+            cfg.b,
+        )
+
     def search(
-        self, query: str, k: "int | None" = None, strategy: str = "auto"
+        self,
+        query: str,
+        k: "int | None" = None,
+        strategy: str = "auto",
+        filter_docs: "DataFrame | np.ndarray | None" = None,
     ) -> "list[tuple[int, float]]":
         """strategy: 'auto' (dense scatter-add when the query's doc-id
         extent fits a driver-side score array, else WAND), 'dense', or
@@ -3060,6 +3126,15 @@ class DriverSearcher:
         not n_docs — so sparse external doc-id spaces (doc_id_col
         indexes) route to WAND instead of allocating a huge array;
         negative ids always route to WAND (dense would reject them).
+
+        ``filter_docs``: an allowed-id restriction (Q7 filters / tenant
+        tokens' forced searchRules filter) — a sorted int64 array from
+        :meth:`prepare_filter` (preferred for repeated serving: resolve
+        the tenant filter ONCE, reuse per query at zero jobs) or a
+        DataFrame with a doc_id column (resolved on the spot, bounded
+        by FILTER_MAX_DOCS). Postings are restricted BEFORE scoring
+        with corpus-global BM25 stats — rank-identical to
+        ``search(filter_docs=...)`` on the distributed path (tested).
         """
         k = k or self.index.cfg.max_total_hits
         dfs = self._dfs(parse_query(query, self.index.cfg.analyzer))
@@ -3069,6 +3144,13 @@ class DriverSearcher:
             _to_term_postings(t, raw, float(idf_fn(n, dfs[t])), self.index)
             for t, raw in raws.items()
         ]
+        if filter_docs is not None:
+            allowed = (
+                filter_docs
+                if isinstance(filter_docs, np.ndarray)
+                else self.prepare_filter(filter_docs)
+            )
+            tps = [self._restrict(tp, allowed) for tp in tps]
         cfg = self.index.cfg
         live = [t for t in tps if t.doc_ids.size]
         extent = max(

@@ -168,6 +168,49 @@ def test_driver_searcher_large_vocab_guard(built, oracle):
     assert s._df_memo.get("zzznotaterm", "absent") is None
 
 
+def test_driver_searcher_filter_matches_distributed(built):
+    """DriverSearcher.search(filter_docs=...) (the tenant-token
+    forced-filter serving case) is rank-identical to the distributed
+    search(filter_docs=...): postings restricted before scoring,
+    BM25 stats corpus-global."""
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    filt = built.docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    s = DriverSearcher(built)
+    allowed = s.prepare_filter(filt)
+    assert allowed.dtype == np.int64 and (np.diff(allowed) > 0).all()
+    for q in QUERIES:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search(built, q, 10, filter_docs=filt).collect()
+        ]
+        for fd in (allowed, filt):  # prepared array AND DataFrame form
+            got = s.search(q, 10, filter_docs=fd)
+            assert [d for d, _ in got] == [d for d, _ in want], f"{q!r}"
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
+        # every strategy agrees under the restriction
+        dense = s.search(q, 10, strategy="dense", filter_docs=allowed)
+        wand = s.search(q, 10, strategy="wand", filter_docs=allowed)
+        assert [d for d, _ in dense] == [d for d, _ in wand]
+        # unfiltered results only ever gain docs
+        assert {d for d, _ in s.search(q, 10, filter_docs=allowed)} <= {
+            d for d, _ in s.search(q, built.n_docs)
+        }
+
+
+def test_driver_searcher_filter_bounds(built):
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    # empty allowed set -> no hits, no error
+    assert s.search("baba", 10, filter_docs=np.empty(0, np.int64)) == []
+    # cap guard points oversized filters to the distributed path
+    s.FILTER_MAX_DOCS = 5
+    with pytest.raises(ValueError, match="FILTER_MAX_DOCS"):
+        s.prepare_filter(built.docs.select("doc_id"))
+
+
 def test_search_many_matches_single(built):
     batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
     res = search_many(built, batch, k=10).collect()
