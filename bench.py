@@ -63,6 +63,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n_convs = max(200, int(200_000 * sf))
+    # sf values the driver ships no parquet for (e.g. sf1.0, ~1.5M
+    # turns — the BASELINE.md decade-up evidence run): the transcripts
+    # workloads are already fully synthetic/deterministic; documents-
+    # table workloads are skipped and the hybrid workloads run over
+    # deterministic doc_id-keyed embeddings on the transcripts index.
+    synth = not os.path.isdir(sf_dir)
 
     from meilibridge_spark.config import (
         ASCII_TOKEN_PATTERN,
@@ -118,18 +124,23 @@ def main() -> None:
     n_pos_rows = positions.count()
     timings["build_positions"] = time.time() - t0
 
-    # --- index build over the driver's documents table
-    t0 = time.time()
-    dcfg = IndexConfig(
-        index_name="bench-documents",
-        primary_key=("doc_id",),
-        analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
-    )
-    didx = build_index(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), dcfg, doc_id_col="doc_id"
-    )
-    didx.postings.count()
-    timings["build_documents"] = time.time() - t0
+    # --- index build over the driver's documents table (skipped in
+    # synthetic-sf mode: no parquet shipped at that scale)
+    didx = None
+    if not synth:
+        t0 = time.time()
+        dcfg = IndexConfig(
+            index_name="bench-documents",
+            primary_key=("doc_id",),
+            analyzer=AnalyzerConfig(token_pattern=ASCII_TOKEN_PATTERN),
+        )
+        didx = build_index(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            dcfg,
+            doc_id_col="doc_id",
+        )
+        didx.postings.count()
+        timings["build_documents"] = time.time() - t0
 
     # --- batch query throughput (one distributed job, 50 queries,
     # served from the doc-shard cached layout: zero query-time shuffle)
@@ -188,14 +199,38 @@ def main() -> None:
     timings["query_batch_search_on"] = time.time() - t0
 
     # --- hybrid keyword+semantic fusion (Q16 embedders): BM25 pools
-    # blended with cosine pools, whole batch in ONE job
+    # blended with cosine pools, whole batch in ONE job. Synthetic-sf
+    # mode: the transcripts index is the keyword side and the vector
+    # table is a deterministic doc_id-keyed embedding (16-dim cosine
+    # fingerprint, pure Catalyst) — same plan shapes, same join
+    # cardinalities, no external data.
     from meilibridge_spark.operators.hybrid import search_hybrid_many
 
-    t0 = time.time()
-    prepare_serving(didx)
-    timings["serve_prepare_docs"] = time.time() - t0
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
-    emb.count()
+    if synth:
+        hidx = idx
+        emb = idx.docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(
+                *[
+                    F.cos(F.col("doc_id") * F.lit(0.05 * (i + 1)))
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+        ).persist()
+        emb.count()
+        hy_queries = [q for _, q in queries[11:19]]
+    else:
+        hidx = didx
+        t0 = time.time()
+        prepare_serving(didx)
+        timings["serve_prepare_docs"] = time.time() - t0
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        emb.count()
+        hy_queries = [
+            "spark join table", "the data", "customer window vector merge",
+            "scan hash", "key order merge", "fast join", "table scan",
+            "window vector",
+        ]
     qvecs = [
         list(r[0])
         for r in emb.filter(F.col("vec_id") < 8)
@@ -203,15 +238,10 @@ def main() -> None:
         .select("embedding")
         .collect()
     ]
-    hy_queries = [
-        "spark join table", "the data", "customer window vector merge",
-        "scan hash", "key order merge", "fast join", "table scan",
-        "window vector",
-    ]
     hq = [(f"h{i}", q) for i, q in enumerate(hy_queries)]
     hv = {f"h{i}": v for i, v in enumerate(qvecs)}
     t0 = time.time()
-    hybrid_hits = search_hybrid_many(didx, emb, hq, hv, k=10, pool=30).count()
+    hybrid_hits = search_hybrid_many(hidx, emb, hq, hv, k=10, pool=30).count()
     timings["query_hybrid"] = time.time() - t0
 
     # --- hybrid served from the STORED IVF layout (round-4 serving
@@ -233,13 +263,13 @@ def main() -> None:
         vdir,
     )
     timings["vectors_build"] = time.time() - t0
-    didx.vectors = load_vector_index(spark, vdir)
+    hidx.vectors = load_vector_index(spark, vdir)
     t0 = time.time()
     hybrid_stored_hits = search_hybrid_many(
-        didx, emb, hq, hv, k=10, pool=30
+        hidx, emb, hq, hv, k=10, pool=30
     ).count()  # semantic='auto' -> stored IVF
     timings["query_hybrid_stored"] = time.time() - t0
-    didx.vectors = None
+    hidx.vectors = None
 
     # --- proximity-ranked BATCH search (round 4, Q11 rule #3): one
     # scatter-gather job where the pair terms' positional rows ride a
@@ -279,6 +309,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "cpus": cpus,
+        "synthetic_tables": synth,
         "host_canary_sec": round(host_canary, 3),
         "n_turns": n_turns,
         "n_blocks": n_blocks,

@@ -417,6 +417,66 @@ def build_vector_index(
     )
 
 
+#: list-size skew (max list / ideal uniform size) above which a
+#: retrain is recommended: probe latency is dominated by the largest
+#: probed list, and at 4x the uniform size a fixed n_probe either
+#: reads ~4x the bytes per probe hit on that list or (for queries
+#: whose nearest lists are the starved ones) loses recall because the
+#: drifted mass migrated into lists the probe no longer selects. The
+#: quantizer stays FIXED under CDC (the Meilisearch incremental-insert
+#: contract, apply_cdc_vector_index) — this threshold is the
+#: documented signal for scheduling the offline retrain
+#: (jobs/build_vectors.py / compaction).
+RETRAIN_SKEW = 4.0
+
+
+def ivf_list_stats(
+    assigned: DataFrame, n_centroids: int, retrain_skew: float = RETRAIN_SKEW
+) -> dict:
+    """Exact inverted-list balance stats for a stored IVF layout: one
+    column-pruned, map-side-combined count per ``centroid_id`` (at
+    most ``n_centroids`` result rows). Returns per-list ``counts``
+    plus the drift signal: ``skew`` = max list / ideal uniform size
+    and ``retrain_recommended`` once skew exceeds ``retrain_skew`` (or
+    any list is empty while vectors exist — starved lists are dead
+    probe targets). Written into the vectors meta by
+    ``save_vector_index`` (fresh build / compaction / full save) and
+    kept current through delta commits via the ``vec_list_delta``
+    counts from :func:`apply_cdc_vector_index`."""
+    rows = (
+        assigned.groupBy("centroid_id").count().collect()
+    )  # <= n_centroids rows by construction
+    counts = {int(r["centroid_id"]): int(r["count"]) for r in rows}
+    return _stats_from_counts(counts, n_centroids, retrain_skew)
+
+
+def _stats_from_counts(
+    counts: "dict[int, int]", n_centroids: int, retrain_skew: float
+) -> dict:
+    # zero-count lists are dropped from the stored counts (a recount
+    # from the assignment never sees them; empty_lists carries them)
+    counts = {k: v for k, v in counts.items() if v > 0}
+    n_vectors = sum(counts.values())
+    nonempty = list(counts.values())
+    ideal = n_vectors / n_centroids if n_centroids else 0.0
+    max_list = max(nonempty, default=0)
+    skew = (max_list / ideal) if ideal > 0 else 0.0
+    empty = n_centroids - len(nonempty)
+    return {
+        "n_vectors": n_vectors,
+        "n_centroids": n_centroids,
+        "counts": {str(k): v for k, v in sorted(counts.items())},
+        "max_list": max_list,
+        "min_list": min(nonempty, default=0),
+        "empty_lists": empty,
+        "skew": round(skew, 4),
+        "retrain_skew": retrain_skew,
+        "retrain_recommended": bool(
+            n_vectors and (skew > retrain_skew or empty > 0)
+        ),
+    }
+
+
 def apply_cdc_vector_index(
     vec,
     deleted_ids: "DataFrame | None" = None,
@@ -484,8 +544,28 @@ def apply_cdc_vector_index(
         .unionByName(new_rows)
         .select(*vec.assigned.columns)
     )
+    # per-list count delta for the drift signal (ivf_list_stats):
+    # +counts from the newly-assigned rows, -counts from the touched
+    # ids' OLD lists (one broadcast semi-join over the (id, centroid)
+    # columns — column-pruned, no shuffle; <= 2*n_centroids result
+    # rows). Lazy: materialized only when a delta commit persists it
+    # into the vectors meta (save_snapshot_delta).
+    removed = (
+        vec.assigned.select(idc, "centroid_id")
+        .join(F.broadcast(touched), idc, "left_semi")
+        .groupBy("centroid_id")
+        .agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    added = new_rows.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    list_delta = removed.unionByName(added)
     new_vec = dataclasses.replace(vec, assigned=assigned_new, dirty=True)
-    return new_vec, {"vec_touched_ids": touched, "vec_assigned": new_rows}
+    return new_vec, {
+        "vec_touched_ids": touched,
+        "vec_assigned": new_rows,
+        "vec_list_delta": list_delta,
+    }
 
 
 def similar_documents(

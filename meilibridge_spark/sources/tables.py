@@ -456,6 +456,15 @@ def save_snapshot_delta(
     finally:
         for df in pinned:
             df.unpersist()
+    if (
+        index.delta.get("vec_list_delta") is not None
+        and index.vectors is not None
+        and index.vectors.base
+    ):
+        # keep the IVF drift signal current through delta commits
+        _update_vector_drift(
+            index_dir, index.vectors, index.delta["vec_list_delta"]
+        )
     parent_entry = next(
         s for s in manifest["snapshots"] if s["snapshot_id"] == parent_id
     )
@@ -989,12 +998,24 @@ def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
     ).sortWithinPartitions(vec.id_col).write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(os.path.join(base, "assigned"))
+    # exact per-list balance stats for the retrain signal, computed
+    # from the files just written (one partition-column scan, no fold
+    # replay); delta commits keep them current via vec_list_delta
+    from meilibridge_spark.operators.similarity import ivf_list_stats
+
+    list_stats = ivf_list_stats(
+        vec.assigned.sparkSession.read.parquet(
+            os.path.join(base, "assigned")
+        ),
+        vec.n_centroids,
+    )
     meta = {
         "n_centroids": vec.n_centroids,
         "n_probe": vec.n_probe,
         "id_col": vec.id_col,
         "vec_col": vec.vec_col,
         "base": base_name,
+        "list_stats": list_stats,
     }
     tmp = os.path.join(root, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -1002,6 +1023,54 @@ def save_vector_index(vec: "VectorIndex", index_dir: str) -> None:
     os.replace(tmp, os.path.join(root, "meta.json"))  # commit point
     vec.base = base_name
     vec.dirty = False
+
+
+def _update_vector_drift(
+    index_dir: str, vec: "VectorIndex", list_delta: "DataFrame"
+) -> "dict | None":
+    """Fold a CDC batch's per-list count delta
+    (apply_cdc_vector_index's ``vec_list_delta``: centroid_id, +/-
+    delta, <= 2*n_centroids rows) into the committed vectors meta's
+    ``list_stats``, keeping the retrain signal current through delta
+    commits without rescanning the assignment. No-op when the meta's
+    base doesn't match the index's (a retrain/compaction superseded
+    the layout) or when the meta predates the stats (legacy — the next
+    full save bootstraps them). Meta rewritten via os.replace."""
+    from meilibridge_spark.operators.similarity import _stats_from_counts
+
+    meta = _read_vector_meta(index_dir)
+    if meta is None or meta.get("base") != vec.base:
+        return None
+    stats = meta.get("list_stats")
+    if not stats or "counts" not in stats:
+        return None
+    counts = {int(k): int(v) for k, v in stats["counts"].items()}
+    for r in list_delta.collect():
+        c = int(r["centroid_id"])
+        counts[c] = counts.get(c, 0) + int(r["delta"])
+    new_stats = _stats_from_counts(
+        counts,
+        int(meta["n_centroids"]),
+        float(stats.get("retrain_skew", 4.0)),
+    )
+    meta["list_stats"] = new_stats
+    root = os.path.join(index_dir, VECTORS_DIR)
+    tmp = os.path.join(root, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+    return new_stats
+
+
+def vector_drift_stats(index_dir: str) -> "dict | None":
+    """The committed IVF list-balance stats (monitoring surface):
+    per-list counts, skew = max list / ideal uniform size, and
+    ``retrain_recommended`` — the documented signal to schedule an
+    offline retrain (jobs/build_vectors.py) once long CDC chains have
+    drifted the fixed-quantizer layout. None when the index has no
+    stored vectors or a legacy meta without stats."""
+    meta = _read_vector_meta(index_dir)
+    return (meta or {}).get("list_stats")
 
 
 def expire_vector_bases(index_dir: str) -> "list[str]":

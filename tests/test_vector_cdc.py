@@ -218,6 +218,86 @@ def test_compaction_rewrites_vector_base(spark, tmp_index_dir):
     assert not entry.get("delta") and "vec_touched_ids" not in entry["tables"]
 
 
+def test_ivf_drift_stats_written_and_delta_updated(spark, tmp_index_dir):
+    """Every base write records exact per-list balance stats in the
+    vectors meta; delta commits keep them current via the
+    vec_list_delta counts — incrementally-folded stats equal a fresh
+    recount of the folded assignment."""
+    from meilibridge_spark.operators.similarity import ivf_list_stats
+    from meilibridge_spark.sources.tables import vector_drift_stats
+
+    src, idx = _build(spark, tmp_index_dir)
+    stats0 = vector_drift_stats(tmp_index_dir)
+    n_emb = idx.vectors.assigned.count()
+    assert stats0 is not None
+    assert stats0["n_vectors"] == n_emb
+    assert stats0["n_centroids"] == 2
+    assert sum(stats0["counts"].values()) == n_emb
+    # unit vectors wrap the circle: both lists populated, skew <= 2
+    assert not stats0["retrain_recommended"]
+    cdc = generate_cdc_batch(spark, src, seed=7)
+    merged = apply_cdc(idx, cdc)
+    assert "vec_list_delta" in merged.delta
+    save_snapshot_delta(merged, tmp_index_dir)
+    stats1 = vector_drift_stats(tmp_index_dir)
+    recount = ivf_list_stats(merged.vectors.assigned, 2)
+    assert stats1["counts"] == recount["counts"]
+    assert stats1["n_vectors"] == recount["n_vectors"]
+    assert stats1["skew"] == recount["skew"]
+
+
+def test_heavy_skewed_cdc_trips_retrain_signal(spark, tmp_index_dir):
+    """The documented retrain threshold: a long skewed upsert chain
+    piles vectors into one fixed list; once max list / ideal exceeds
+    RETRAIN_SKEW (or a list starves empty) the committed meta says
+    retrain_recommended."""
+    from meilibridge_spark.operators.similarity import (
+        RETRAIN_SKEW,
+        build_vector_index,
+        ivf_list_stats,
+    )
+    from meilibridge_spark.sources.tables import vector_drift_stats
+
+    src = generate_transcripts(spark, n_convs=25, seed=42).persist()
+    idx0 = build_and_save(spark, src, CFG, tmp_index_dir)
+    ids = [r["doc_id"] for r in idx0.docs.select("doc_id").collect()]
+    emb = spark.createDataFrame(
+        _emb_rows(ids), "vec_id long, embedding array<double>"
+    )
+    vec = build_vector_index(emb, n_centroids=8, n_probe=2, train_iters=3)
+    save_vector_index(vec, tmp_index_dir)
+    idx = load_snapshot(spark, tmp_index_dir, CFG)
+    assert not vector_drift_stats(tmp_index_dir)["retrain_recommended"]
+    # skewed CDC: most docs' vectors rewritten to ONE direction ->
+    # that direction's fixed list swells way past the uniform size
+    cdc = generate_cdc_batch(
+        spark, src, seed=3, n_deletes=0, n_inserts=0,
+        n_updates=150, n_replaces=0,
+    )
+    vcd = cdc.filter(F.col("op") == "update").select(
+        "conv_id", "turn_idx"
+    ).withColumn(
+        "embedding", F.array(F.lit(0.6), F.lit(0.8)).cast("array<double>")
+    )
+    merged = apply_cdc(idx, cdc, vectors_cdc=vcd)
+    save_snapshot_delta(merged, tmp_index_dir)
+    stats = vector_drift_stats(tmp_index_dir)
+    assert stats["retrain_recommended"]
+    assert stats["skew"] > RETRAIN_SKEW or stats["empty_lists"] > 0
+    # the incremental fold stays exact under the heavy batch
+    recount = ivf_list_stats(merged.vectors.assigned, 8)
+    assert stats["counts"] == recount["counts"]
+    # an offline retrain (fresh base) resets the signal
+    vec2 = build_vector_index(
+        merged.vectors.assigned.select("vec_id", "embedding"),
+        n_centroids=2, n_probe=2, train_iters=3,
+    )
+    save_vector_index(vec2, tmp_index_dir)
+    stats2 = vector_drift_stats(tmp_index_dir)
+    assert stats2["n_centroids"] == 2
+    assert not stats2["retrain_recommended"]
+
+
 def test_vectors_cdc_without_layout_raises(spark, tmp_index_dir):
     src = generate_transcripts(spark, n_convs=10, seed=42)
     idx = build_and_save(spark, src, CFG, tmp_index_dir)
