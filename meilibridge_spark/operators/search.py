@@ -618,8 +618,10 @@ def placeholder_search(
         cand = cand.join(
             exclude_docs.select("doc_id"), "doc_id", "left_anti"
         )
+    # matching criteria are vacuously inactive (nothing matched); the
+    # sort slot stays active when the query carries sort params
     order = (
-        compose_order(rule_tokens, {}, sort_params)
+        compose_order(rule_tokens, {"sort": bool(sort_params)}, sort_params)
         if rule_tokens is not None
         else []
     ) + [F.col("doc_id").asc()]
@@ -1476,8 +1478,9 @@ def _neg_only_hits(
         negative_exclusion_docs,
     )
 
+    # matching criteria vacuously inactive; sort stays active
     order = (
-        compose_order(rule_tokens, {}, sort_params)
+        compose_order(rule_tokens, {"sort": bool(sort_params)}, sort_params)
         if rule_tokens is not None
         else []
     ) + [F.col("doc_id").asc()]

@@ -136,6 +136,12 @@ def test_negative_only_composes_with_filter_offset_k(built):
     assert [r["doc_id"] for r in hits] == [0, 1, 5]
     hits = search_with_phrases(built, "-rare", k=2, offset=1).collect()
     assert [r["doc_id"] for r in hits] == [1, 2]
+    # the sort parameter applies to placeholder hits (single path)
+    hits = search_with_phrases(
+        built, "-rare", k=10, sort_params=[("lang", True)]
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [2, 0, 1, 5]
+    assert [r["lang"] for r in hits] == ["de", "en", "en", "en"]
 
 
 def test_batch_negative_only_unions_with_scored_queries(built):
@@ -156,6 +162,30 @@ def test_batch_negative_only_unions_with_scored_queries(built):
     assert {r["doc_id"] for r in by_q["b"]} == {0, 2, 3, 4}
     c = sorted(by_q["c"], key=lambda r: r["rank"])
     assert [r["doc_id"] for r in c] == [0, 1, 2, 4, 5]
+
+
+def test_batch_negative_only_with_sort_rule(built):
+    # doc-field rules apply to placeholder hits too (Meilisearch sorts
+    # placeholder results): sort composes at its rule position, the
+    # field is an output column with REAL doc values
+    from meilibridge_spark.operators.search import search_many
+
+    rows = search_many(
+        built,
+        [("a", "-rare"), ("b", "join")],
+        k=10,
+        sort_params=[("lang", True)],
+    ).collect()
+    a = sorted(
+        (r for r in rows if r["query_id"] == "a"), key=lambda r: r["rank"]
+    )
+    # candidates {0,1,2,5}: 'de' (doc 2) before 'en' (0,1,5), doc_id ties
+    assert [r["doc_id"] for r in a] == [2, 0, 1, 5]
+    assert [r["lang"] for r in a] == ["de", "en", "en", "en"]
+    b = sorted(
+        (r for r in rows if r["query_id"] == "b"), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in b][:2] == [2, 3]  # de docs first
 
 
 def test_batch_all_negative_only(built):
