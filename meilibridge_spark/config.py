@@ -289,6 +289,16 @@ class IndexConfig:
     #: paths validate embedding dimensionality loudly (build_vectors /
     #: the jobs CLI) instead of failing deep inside a numpy reshape.
     embedders: tuple[tuple[str, int], ...] = ()
+    #: Meilisearch v1.10 ``searchCutoffMs`` index setting: per-query
+    #: wall-clock budget in milliseconds for the low-latency SERVING
+    #: path (DriverSearcher.search_cutoff — the anytime block-max WAND
+    #: traversal returns the exact top-k of the doc-id prefix visited
+    #: within budget, flagged degraded, matching the endpoint's
+    #: best-hits-so-far semantics). None = no cutoff (the endpoint's
+    #: null default). Batch Spark jobs ignore it — a distributed
+    #: scatter-gather stage has no meaningful per-query interrupt
+    #: point (COVERAGE.md Q15).
+    search_cutoff_ms: "int | None" = None
     k1: float = DEFAULT_K1
     b: float = DEFAULT_B
     max_total_hits: int = DEFAULT_MAX_TOTAL_HITS
@@ -355,6 +365,9 @@ class IndexConfig:
             )
         if self.faceting_max_values < 1:
             raise ConfigError("faceting_max_values must be >= 1")
+        if self.search_cutoff_ms is not None and self.search_cutoff_ms <= 0:
+            # Meilisearch: invalid_settings_search_cutoff_ms (positive int)
+            raise ConfigError("search_cutoff_ms must be a positive integer")
         names = [n for n, _ in self.embedders]
         if len(set(names)) != len(names):
             raise ConfigError("duplicate embedder name")

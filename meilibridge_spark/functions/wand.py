@@ -86,17 +86,53 @@ def wand_topk(
 ) -> "list[tuple[int, float]]":
     """Exact top-k (score desc, doc_id asc) over the union of the terms'
     postings, with block-max pruning. Returns [(doc_id, score)]."""
+    return wand_topk_budgeted(terms, k, avgdl, k1, b)[0]
+
+
+def wand_topk_budgeted(
+    terms: "list[TermPostings]",
+    k: int,
+    avgdl: float,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    deadline: "float | None" = None,
+) -> "tuple[list[tuple[int, float]], bool]":
+    """``wand_topk`` with an optional wall-clock ``deadline``
+    (``time.monotonic()`` timebase) — the anytime form backing the
+    serving path's Meilisearch ``searchCutoffMs`` analog
+    (operators/search.DriverSearcher.search_cutoff).
+
+    WAND traverses doc-at-a-time in increasing doc_id order and every
+    visited doc is FULLY scored before the heap sees it, so stopping at
+    the deadline yields a well-defined partial result: the exact top-k
+    of the doc-id prefix visited so far (never a doc with a
+    partially-accumulated score). Returns (hits, degraded) — degraded
+    is True iff the deadline fired before the traversal finished. The
+    deadline is polled every 64 pivot iterations (~µs granularity vs
+    ms budgets; keeps the check off the hot path)."""
+    import time
+
     terms = [t for t in terms if t.doc_ids.size]
     if not terms or k <= 0:
-        return []
+        return [], False
     ptr = {id(t): 0 for t in terms}
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap, size<=k
 
     def theta() -> float:
         return heap[0][0] if len(heap) >= k else -np.inf
 
+    degraded = False
+    it = 0
     active = list(terms)
     while active:
+        if (
+            deadline is not None
+            and (it & 63) == 0
+            and time.monotonic() >= deadline
+        ):
+            degraded = True
+            break
+        it += 1
         active.sort(key=lambda t: int(t.doc_ids[ptr[id(t)]]))
         th = theta()
         # --- find pivot via per-term suffix (remaining-blocks) upper bounds
@@ -185,7 +221,7 @@ def wand_topk(
                 active.remove(lead)
 
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    return [(-nd, s) for s, nd in out]
+    return [(-nd, s) for s, nd in out], degraded
 
 
 def _advance_all(active, ptr, subset, d_next: int) -> None:

@@ -33,7 +33,12 @@ from meilibridge_spark.functions.bm25 import idf as idf_fn
 from meilibridge_spark.functions.bm25 import impact_upper_bound
 from meilibridge_spark.functions.codec import decode_block
 from meilibridge_spark.functions.tokenizer import parse_query
-from meilibridge_spark.functions.wand import TermPostings, dense_topk, wand_topk
+from meilibridge_spark.functions.wand import (
+    TermPostings,
+    dense_topk,
+    wand_topk,
+    wand_topk_budgeted,
+)
 from meilibridge_spark.operators.ranking import (
     DEFAULT_RANKING_RULES,
     compose_order,
@@ -3140,6 +3145,27 @@ class DriverSearcher:
         ``search(filter_docs=...)`` on the distributed path (tested).
         """
         k = k or self.index.cfg.max_total_hits
+        tps = self._term_postings(query, filter_docs)
+        cfg = self.index.cfg
+        n = self.index.n_docs
+        live = [t for t in tps if t.doc_ids.size]
+        extent = max(
+            (int(t.doc_ids[-1]) + 1 for t in live), default=0
+        )
+        ids_ok = all(int(t.doc_ids[0]) >= 0 for t in live)
+        if strategy == "dense" or (
+            strategy == "auto" and ids_ok and extent <= self.DENSE_MAX_DOCS
+        ):
+            return dense_topk(tps, k, n, self.index.avgdl, cfg.k1, cfg.b)
+        return wand_topk(tps, k, self.index.avgdl, cfg.k1, cfg.b)
+
+    def _term_postings(
+        self,
+        query: str,
+        filter_docs: "DataFrame | np.ndarray | None" = None,
+    ) -> "list[TermPostings]":
+        """Shared prep for the serving scorers: parse -> df lookup ->
+        cached raw-block decode -> optional allowed-id restriction."""
         dfs = self._dfs(parse_query(query, self.index.cfg.analyzer))
         raws = self._get_raw(list(dfs))
         n = self.index.n_docs
@@ -3154,14 +3180,48 @@ class DriverSearcher:
                 else self.prepare_filter(filter_docs)
             )
             tps = [self._restrict(tp, allowed) for tp in tps]
-        cfg = self.index.cfg
-        live = [t for t in tps if t.doc_ids.size]
-        extent = max(
-            (int(t.doc_ids[-1]) + 1 for t in live), default=0
+        return tps
+
+    def search_cutoff(
+        self,
+        query: str,
+        k: "int | None" = None,
+        cutoff_ms: "int | None" = None,
+        filter_docs: "DataFrame | np.ndarray | None" = None,
+    ) -> "tuple[list[tuple[int, float]], bool]":
+        """Meilisearch ``searchCutoffMs`` (v1.10) analog for the
+        serving path -> (hits, degraded).
+
+        ``cutoff_ms`` (explicit arg, else the index's
+        ``search_cutoff_ms`` setting) budgets the query's wall clock
+        from THIS call's entry — term fetch included, like the
+        endpoint, whose timer spans the whole search. The scorer is
+        always the anytime block-max WAND traversal
+        (functions/wand.wand_topk_budgeted): doc-at-a-time in
+        increasing doc_id order, every emitted doc fully scored, so a
+        fired deadline returns the EXACT top-k of the visited doc-id
+        prefix — Meilisearch's best-hits-so-far degraded response,
+        never a partially-accumulated score. (The dense scatter-add
+        path has no such interrupt point mid-scatter, hence no 'auto'
+        routing here; an un-budgeted call should use :meth:`search`,
+        which this method delegates to when no cutoff applies.)
+        ``degraded`` is the analog of the endpoint's degraded-search
+        marker in ``rankingScoreDetails``. Batch Spark jobs ignore the
+        setting (COVERAGE.md Q15): a distributed stage has no
+        per-query interrupt point."""
+        import time
+
+        cut = (
+            cutoff_ms
+            if cutoff_ms is not None
+            else self.index.cfg.search_cutoff_ms
         )
-        ids_ok = all(int(t.doc_ids[0]) >= 0 for t in live)
-        if strategy == "dense" or (
-            strategy == "auto" and ids_ok and extent <= self.DENSE_MAX_DOCS
-        ):
-            return dense_topk(tps, k, n, self.index.avgdl, cfg.k1, cfg.b)
-        return wand_topk(tps, k, self.index.avgdl, cfg.k1, cfg.b)
+        if cut is None:
+            return self.search(query, k, "auto", filter_docs), False
+        deadline = time.monotonic() + cut / 1000.0
+        k = k or self.index.cfg.max_total_hits
+        tps = self._term_postings(query, filter_docs)
+        cfg = self.index.cfg
+        return wand_topk_budgeted(
+            tps, k, self.index.avgdl, cfg.k1, cfg.b, deadline=deadline
+        )

@@ -417,6 +417,47 @@ def build_vector_index(
     )
 
 
+def retrain_vector_index(
+    vec,
+    n_centroids: "int | None" = None,
+    n_probe: "int | None" = None,
+    train_iters: int = 5,
+    train_fraction: "float | None" = None,
+    seed: int = 13,
+):
+    """Offline retrain of a drifted stored IVF layout — the action end
+    of the drift signal (:func:`ivf_list_stats` ->
+    ``retrain_recommended``). The quantizer stays FIXED under CDC
+    (:func:`apply_cdc_vector_index`, the Meilisearch
+    incremental-insert contract), so long upsert chains skew the
+    inverted lists; this re-trains spherical k-means on the CURRENT
+    vectors (all CDC folds included) and re-assigns every vector in
+    one pass — the standard offline IVF maintenance job.
+
+    Returns a fresh :class:`~meilibridge_spark.sources.tables.VectorIndex`
+    (``dirty=True``, no ``base``); persist with ``save_vector_index``,
+    which writes a NEW versioned ``vectors/base-{k}`` dir and commits
+    it via meta.json — readers of the old base are never disturbed,
+    and pending snapshot deltas recorded against the old base are
+    correctly skipped by the load-time ``vec_base`` fold guard
+    (their content is already inside the retrained assignment).
+    ``n_centroids``/``n_probe`` default to the current layout's;
+    ``train_fraction`` samples the training set (at 100 TB the
+    quantizer only needs the density shape — assignment still covers
+    every vector)."""
+    emb = vec.assigned.drop("centroid_id")
+    return build_vector_index(
+        emb,
+        n_centroids=n_centroids or vec.n_centroids,
+        n_probe=n_probe or vec.n_probe,
+        train_iters=train_iters,
+        id_col=vec.id_col,
+        vec_col=vec.vec_col,
+        train_fraction=train_fraction,
+        seed=seed,
+    )
+
+
 #: list-size skew (max list / ideal uniform size) above which a
 #: retrain is recommended: probe latency is dominated by the largest
 #: probed list, and at 4x the uniform size a fixed n_probe either

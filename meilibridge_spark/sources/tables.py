@@ -754,6 +754,11 @@ def get_settings(
                 )
             },
         },
+        # v1.10 searchCutoffMs (serving-path budget,
+        # DriverSearcher.search_cutoff; endpoint default: null)
+        "searchCutoffMs": (meta.get("config") or {}).get(
+            "search_cutoff_ms"
+        ),
         # embedders setting (userProvided source only — vectors are
         # inputs, the engine is embedder-model-agnostic)
         "embedders": {

@@ -372,3 +372,23 @@ def test_embedders_in_get_settings(spark, tmp_index_dir):
     assert s["embedders"] == {
         "default": {"source": "userProvided", "dimensions": 3}
     }
+
+
+def test_search_cutoff_setting(spark, tmp_index_dir):
+    """v1.10 searchCutoffMs: validated (positive int), stored per
+    snapshot, reported by GET /settings (null default)."""
+    from meilibridge_spark.config import ConfigError
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+
+    with pytest.raises(ConfigError, match="search_cutoff_ms"):
+        IndexConfig(index_name="x", search_cutoff_ms=0).validate()
+    with pytest.raises(ConfigError, match="search_cutoff_ms"):
+        IndexConfig(index_name="x", search_cutoff_ms=-5).validate()
+
+    cfg = IndexConfig(index_name="cut", search_cutoff_ms=150)
+    sdf = spark.createDataFrame(
+        [("c", 0, "hello world")], "conv_id string, turn_idx int, text string"
+    )
+    build_and_save(spark, sdf, cfg, tmp_index_dir)
+    assert get_settings(tmp_index_dir)["searchCutoffMs"] == 150

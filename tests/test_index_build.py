@@ -199,6 +199,69 @@ def test_driver_searcher_filter_matches_distributed(built):
         }
 
 
+def test_driver_searcher_cutoff(built):
+    """searchCutoffMs serving analog: no cutoff delegates to search();
+    a generous budget completes identically (degraded False); an
+    already-expired clock degrades to the empty prefix."""
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    for q in QUERIES:
+        want = s.search(q, 10)
+        # no cutoff anywhere (cfg default None) -> plain search path
+        hits, degraded = s.search_cutoff(q, 10)
+        assert (hits, degraded) == (want, False)
+        # generous budget -> WAND completes, rank-identical
+        hits, degraded = s.search_cutoff(q, 10, cutoff_ms=60_000)
+        assert degraded is False
+        assert [d for d, _ in hits] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(hits, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_driver_searcher_cutoff_degrades(built, monkeypatch):
+    """A fired deadline returns (partial-prefix hits, degraded=True) —
+    deterministic via a fake clock that expires right after the
+    budget is computed (fetch 'consumed' the whole budget)."""
+    import time as _time
+
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    base = _time.monotonic
+    t0 = base()
+    calls = {"n": 0}
+
+    def fake_monotonic():
+        calls["n"] += 1
+        # first call = deadline computation; everything after is past it
+        return t0 if calls["n"] <= 1 else t0 + 10.0
+
+    monkeypatch.setattr(_time, "monotonic", fake_monotonic)
+    hits, degraded = s.search_cutoff("baba cedi", 10, cutoff_ms=5)
+    assert degraded is True and hits == []
+
+
+def test_driver_searcher_cutoff_from_config(spark, tmp_index_dir):
+    """cfg.search_cutoff_ms is the default budget; explicit arg wins."""
+    import dataclasses
+
+    from meilibridge_spark.operators.search import DriverSearcher
+    from meilibridge_spark.plans.build import build_and_save
+
+    cfg = dataclasses.replace(
+        CFG, index_name="cut", search_cutoff_ms=60_000
+    )
+    sdf = spark.createDataFrame(
+        [("c", 0, "baba cedi dada"), ("c", 1, "baba")],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_and_save(spark, sdf, cfg, tmp_index_dir)
+    s = DriverSearcher(idx)
+    hits, degraded = s.search_cutoff("baba", 10)
+    assert degraded is False and len(hits) == 2
+
+
 def test_driver_searcher_filter_bounds(built):
     from meilibridge_spark.operators.search import DriverSearcher
 

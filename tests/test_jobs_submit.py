@@ -120,6 +120,13 @@ def test_vectors_compact_hybrid_via_spark_submit(tmp_path, spark):
     ))
     assert vec["n_vectors"] == n and vec["n_probe"] == 3
 
+    # maintenance mode: fresh balanced layout -> the drift gate holds
+    ret = _json.loads(_submit(
+        zip_path, "build_vectors.py", "--index-dir", idx_dir, "--retrain",
+    ))
+    assert ret["retrained"] is False
+    assert ret["list_stats"]["retrain_recommended"] is False
+
     comp = _json.loads(_submit(
         zip_path, "compact.py", "--index-dir", idx_dir,
     ))

@@ -349,3 +349,67 @@ def test_streaming_delta_commits_maintain_vectors(spark, tmp_index_dir, tmp_path
     got = _assigned_ids(loaded.vectors)
     assert got == _assigned_ids(want.vectors)
     assert got < before  # deletes really dropped vectors
+
+
+def test_retrain_vector_index_resets_drift(spark, tmp_index_dir):
+    """The action end of the drift loop: after a skewed CDC chain trips
+    retrain_recommended, retrain_vector_index re-trains on the CURRENT
+    (folded) vectors, keeps the layout params by default, lands as a
+    NEW versioned base whose committed stats clear the signal, and the
+    probed search still answers over the retrained lists."""
+    from meilibridge_spark.operators.similarity import (
+        retrain_vector_index,
+    )
+    from meilibridge_spark.sources.tables import vector_drift_stats
+
+    src = generate_transcripts(spark, n_convs=25, seed=42).persist()
+    idx0 = build_and_save(spark, src, CFG, tmp_index_dir)
+    ids = [r["doc_id"] for r in idx0.docs.select("doc_id").collect()]
+    emb = spark.createDataFrame(
+        _emb_rows(ids), "vec_id long, embedding array<double>"
+    )
+    vec = build_vector_index(emb, n_centroids=8, n_probe=2, train_iters=3)
+    save_vector_index(vec, tmp_index_dir)
+    idx = load_snapshot(spark, tmp_index_dir, CFG)
+    # skew: rewrite most vectors to one direction (fixed quantizer)
+    cdc = generate_cdc_batch(
+        spark, src, seed=3, n_deletes=0, n_inserts=0,
+        n_updates=150, n_replaces=0,
+    )
+    vcd = cdc.filter(F.col("op") == "update").select(
+        "conv_id", "turn_idx"
+    ).withColumn(
+        "embedding", F.array(F.lit(0.6), F.lit(0.8)).cast("array<double>")
+    )
+    merged = apply_cdc(idx, cdc, vectors_cdc=vcd)
+    save_snapshot_delta(merged, tmp_index_dir)
+    old_base = merged.vectors.base
+    assert vector_drift_stats(tmp_index_dir)["retrain_recommended"]
+
+    # the skewed mass is 150 copies of ONE direction — no 8-centroid
+    # layout can balance that, so the maintenance decision here is to
+    # retrain AT a coarser n_centroids (the operator takes overrides;
+    # n_probe still carries from the drifted layout by default)
+    new_vec = retrain_vector_index(
+        merged.vectors, n_centroids=2, train_iters=3
+    )
+    assert new_vec.n_centroids == 2 and new_vec.n_probe == 2
+    # same vector population, CDC folds included
+    assert _assigned_ids(new_vec) == _assigned_ids(merged.vectors)
+    save_vector_index(new_vec, tmp_index_dir)
+    assert new_vec.base != old_base  # fresh versioned base
+    stats = vector_drift_stats(tmp_index_dir)
+    assert stats["n_centroids"] == 2
+    assert not stats["retrain_recommended"]
+    assert stats["n_vectors"] == len(ids)
+
+    # reload: the retrained base serves; the old-base delta is NOT
+    # re-folded onto it (vec_base guard) — the population stays exact
+    idx2 = load_snapshot(spark, tmp_index_dir, CFG)
+    assert idx2.vectors.base == new_vec.base
+    assert _assigned_ids(idx2.vectors) == _assigned_ids(new_vec)
+    sim = similar_documents(
+        idx2.vectors.assigned.select("vec_id", "embedding"),
+        [ids[0]], k=3, method="auto", vectors=idx2.vectors,
+    )
+    assert sim.count() == 3

@@ -156,3 +156,72 @@ def test_dense_rejects_negative_ids():
     terms[0].doc_ids = terms[0].doc_ids - 10_000
     with pytest.raises(ValueError, match="non-negative"):
         dense_topk(terms, 5, 50, avgdl)
+
+
+# --- budgeted (anytime) WAND: the searchCutoffMs serving analog -------
+
+
+def test_budgeted_no_deadline_matches_wand():
+    rng = np.random.default_rng(5)
+    terms, avgdl = _random_terms(rng, 400, 4)
+    from meilibridge_spark.functions.wand import wand_topk_budgeted
+
+    out, degraded = wand_topk_budgeted(terms, 10, avgdl)
+    assert degraded is False
+    assert out == wand_topk(terms, 10, avgdl)
+
+
+def test_budgeted_generous_deadline_identical():
+    import time
+
+    from meilibridge_spark.functions.wand import wand_topk_budgeted
+
+    rng = np.random.default_rng(6)
+    terms, avgdl = _random_terms(rng, 400, 4)
+    out, degraded = wand_topk_budgeted(
+        terms, 10, avgdl, deadline=time.monotonic() + 60.0
+    )
+    assert degraded is False
+    assert out == wand_topk(terms, 10, avgdl)
+
+
+def test_budgeted_expired_deadline_degrades_empty():
+    import time
+
+    from meilibridge_spark.functions.wand import wand_topk_budgeted
+
+    rng = np.random.default_rng(7)
+    terms, avgdl = _random_terms(rng, 400, 4)
+    out, degraded = wand_topk_budgeted(
+        terms, 10, avgdl, deadline=time.monotonic() - 1.0
+    )
+    # polled before the first pivot: nothing visited, nothing returned
+    assert degraded is True and out == []
+
+
+def test_budgeted_partial_scores_are_exact(monkeypatch):
+    """A mid-traversal deadline returns fully-scored docs only: every
+    returned (doc, score) carries the doc's EXACT total score (the
+    anytime contract — a prefix of the doc-id space, never a
+    partially-accumulated sum)."""
+    import time as _time
+
+    from meilibridge_spark.functions.wand import wand_topk_budgeted
+
+    rng = np.random.default_rng(8)
+    terms, avgdl = _random_terms(rng, 2000, 5, block_size=8)
+    full = dict(exhaustive_topk(terms, 2000, avgdl))
+
+    # fake clock: deadline fires at the SECOND 64-iteration poll
+    calls = {"n": 0}
+
+    def fake_monotonic():
+        calls["n"] += 1
+        return 0.0 if calls["n"] <= 1 else 99.0
+
+    monkeypatch.setattr(_time, "monotonic", fake_monotonic)
+    out, degraded = wand_topk_budgeted(terms, 10, avgdl, deadline=50.0)
+    assert degraded is True
+    assert 0 < len(out) <= 10  # 64 pivots visited >= 1 scored doc
+    for d, s in out:
+        assert s == pytest.approx(full[d], abs=1e-12)
