@@ -465,6 +465,11 @@ class IndexConfig:
             embedders=tuple(
                 (n, int(dim)) for n, dim in (d.get("embedders") or ())
             ),
+            search_cutoff_ms=(
+                int(d["search_cutoff_ms"])
+                if d.get("search_cutoff_ms") is not None
+                else None
+            ),
             k1=float(d.get("k1", DEFAULT_K1)),
             b=float(d.get("b", DEFAULT_B)),
             max_total_hits=int(d.get("max_total_hits", DEFAULT_MAX_TOTAL_HITS)),

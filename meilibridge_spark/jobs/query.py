@@ -85,6 +85,13 @@ def main() -> None:
                          "max_total_hits matching docs (single query only)")
     ap.add_argument("--mode", choices=["df", "wand"], default=None,
                     help="single-query path (default wand); invalid in batch mode")
+    ap.add_argument("--cutoff-ms", type=int, default=None,
+                    help="searchCutoffMs override for this query "
+                         "(default: the index's search_cutoff_ms "
+                         "setting): budgets the plain-wand serving "
+                         "path's wall clock; a fired deadline returns "
+                         "the exact top-k of the visited doc-id prefix "
+                         "with \"degraded\": true in the response")
     ap.add_argument("--filter-role", default=None)
     ap.add_argument("--filter", dest="filter_expr", default=None,
                     help="Meilisearch filter expression over filterable "
@@ -145,6 +152,9 @@ def main() -> None:
     if args.queries_file and args.mode is not None:
         ap.error("--mode applies to --query only; batch mode always uses "
                  "the scatter-gather path")
+    if args.queries_file and args.cutoff_ms is not None:
+        ap.error("--cutoff-ms applies to --query only: batch Spark jobs "
+                 "have no per-query interrupt point (COVERAGE.md Q15)")
     if args.facets and (args.queries_file or args.embeddings):
         ap.error("--facets applies to single keyword queries only")
     if (args.sort or args.distinct or args.distinct_attr) and (
@@ -161,6 +171,7 @@ def main() -> None:
         search,
         search_many,
         search_wand,
+        search_wand_cutoff,
     )
     from meilibridge_spark.session import build_session
     from meilibridge_spark.sources.tables import load_snapshot
@@ -475,13 +486,27 @@ def main() -> None:
     distinct_attr = args.distinct_attr or (
         index.cfg.distinct_attribute if args.distinct else None
     )
-    if (
+    plain_wand = (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
         and not geo_sort and distinct_attr is None and not args.proximity
-    ):
-        hits = search_wand(index, query_text, args.k)
+    )
+    degraded = None
+    if args.cutoff_ms is not None and not plain_wand:
+        # loud beats a silently un-budgeted query: the distributed /
+        # DataFrame routes have no per-query interrupt point
+        # (COVERAGE.md Q15), so an explicit budget there is an error
+        ap.error("--cutoff-ms applies to the plain --mode wand path "
+                 "only (no filters/offset/facets/phrases/sort/"
+                 "distinct/proximity)")
+    if plain_wand:
+        if args.cutoff_ms is not None or index.cfg.search_cutoff_ms:
+            hits, degraded = search_wand_cutoff(
+                index, query_text, args.k, cutoff_ms=args.cutoff_ms
+            )
+        else:
+            hits = search_wand(index, query_text, args.k)
         out = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     else:
         # --search-on routes to the DataFrame path (WAND's block-max
@@ -555,6 +580,8 @@ def main() -> None:
             for r in rows
         ]
     resp = {"query": args.query, "k": args.k, "hits": out}
+    if degraded is not None:
+        resp["degraded"] = degraded
     if args.facets:
         # Meilisearch computes facet counts over ALL matching docs; the
         # bounded analog uses the top max_total_hits hit set (the same

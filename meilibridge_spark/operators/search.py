@@ -2616,6 +2616,35 @@ def search_wand(
     return wand_topk(terms, k, index.avgdl, index.cfg.k1, index.cfg.b)
 
 
+def search_wand_cutoff(
+    index: InvertedIndex,
+    query: str,
+    k: "int | None" = None,
+    cutoff_ms: "int | None" = None,
+) -> "tuple[list[tuple[int, float]], bool]":
+    """``searchCutoffMs`` analog on the one-shot driver path ->
+    (hits, degraded) — :func:`search_wand` budgeted like
+    :meth:`DriverSearcher.search_cutoff`: ``cutoff_ms`` (explicit,
+    else the index's ``search_cutoff_ms`` setting; None = unbudgeted)
+    spans term fetch + traversal, and a fired deadline returns the
+    exact top-k of the visited doc-id prefix (anytime WAND — never a
+    partially-accumulated score). The term-fetch Spark job itself is
+    not interruptible; an over-budget fetch degrades to the empty
+    prefix, the endpoint's worst-case degraded response."""
+    import time
+
+    cut = cutoff_ms if cutoff_ms is not None else index.cfg.search_cutoff_ms
+    if cut is None:
+        return search_wand(index, query, k), False
+    deadline = time.monotonic() + cut / 1000.0
+    k = k or index.cfg.max_total_hits
+    q_terms = parse_query(query, index.cfg.analyzer)
+    terms = collect_term_postings(index, q_terms)
+    return wand_topk_budgeted(
+        terms, k, index.avgdl, index.cfg.k1, index.cfg.b, deadline=deadline
+    )
+
+
 def _edit_distance(a: str, b: str) -> int:
     """Plain Levenshtein (same metric as Spark's ``levenshtein``) for
     driver-side assignment of the already-JVM-filtered candidate terms

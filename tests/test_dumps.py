@@ -269,3 +269,77 @@ def test_import_keys_from_keyless_dump_raises(spark, tmp_index_dir):
         _imp(spark, dump_dir, os.path.join(base, "x"),
              keys_path=os.path.join(base, "k.json"))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_config_round_trip_every_field():
+    """from_json_dict must not silently drop ANY field (the
+    search_cutoff_ms regression: to_json_dict carried it, the rebuild
+    defaulted it to None, so snapshot adoption and dump import lost
+    the setting). Flip every field to a non-default value in one
+    config and round-trip; a NEW field without a sample here fails
+    loudly instead of slipping through."""
+    import dataclasses
+
+    from meilibridge_spark.config import AnalyzerConfig, TypoToleranceConfig
+
+    samples = {
+        "index_name": "rt-full",
+        "primary_key": ("doc",),
+        "fields": (
+            ("doc", "doc"), ("role", "role"), ("text", "text"),
+            ("lang", "lang"), ("turn_idx", "turn_idx"),
+            ("lat", "lat"), ("lng", "lng"),
+        ),
+        "searchable_attributes": ("role", "text"),
+        "displayed_attributes": ("text",),
+        "filterable_attributes": ("role", "lang"),
+        "filter_fold_case": True,
+        "sortable_attributes": ("turn_idx",),
+        "distinct_attribute": "role",
+        "geo_attributes": ("lat", "lng"),
+        "analyzer": AnalyzerConfig.make(
+            stop_words=("the",),
+            synonyms={"car": ["auto"]},
+            dictionary=("newyork",),
+            separator_tokens=("||",),
+            non_separator_tokens=("-",),
+            lowercase=False,
+        ),
+        "typo": TypoToleranceConfig(
+            enabled=False,
+            one_typo=4,
+            two_typos=8,
+            disable_on_words=("spark",),
+            disable_on_attributes=("role",),
+            disable_on_numbers=True,
+        ),
+        "words_ranking": True,
+        "ranking_rules": ("words", "typo", "turn_idx:desc"),
+        "prefix_search": "disabled",
+        "facet_search": False,
+        "proximity_precision": "byAttribute",
+        "faceting_max_values": 7,
+        "faceting_sort_by": "count",
+        "embedders": (("default", 16),),
+        "search_cutoff_ms": 1500,
+        "k1": 1.4,
+        "b": 0.6,
+        "max_total_hits": 250,
+        "n_salts": 4,
+        "block_size": 64,
+        "shard_range": 4096,
+    }
+    field_names = {f.name for f in dataclasses.fields(IndexConfig)}
+    assert field_names == set(samples), (
+        "new IndexConfig field needs a non-default sample here: "
+        f"{sorted(field_names ^ set(samples))}"
+    )
+    cfg = IndexConfig(**samples)
+    for f in dataclasses.fields(IndexConfig):
+        made_default = getattr(IndexConfig(index_name="x"), f.name, None)
+        if f.name != "index_name":
+            assert getattr(cfg, f.name) != made_default, (
+                f"sample for {f.name} is not non-default"
+            )
+    d = json.loads(json.dumps(cfg.to_json_dict()))
+    assert IndexConfig.from_json_dict(d) == cfg

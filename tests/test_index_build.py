@@ -260,6 +260,45 @@ def test_driver_searcher_cutoff_from_config(spark, tmp_index_dir):
     s = DriverSearcher(idx)
     hits, degraded = s.search_cutoff("baba", 10)
     assert degraded is False and len(hits) == 2
+    # a loader with a default cfg ADOPTS the stored setting (the
+    # from_json_dict regression: to_json_dict carried search_cutoff_ms
+    # but the rebuild dropped it, so the CLI never saw the budget)
+    from meilibridge_spark.sources.tables import load_snapshot
+
+    reloaded = load_snapshot(spark, tmp_index_dir, IndexConfig("cut"))
+    assert reloaded.cfg.search_cutoff_ms == 60_000
+
+
+def test_search_wand_cutoff(built, monkeypatch):
+    """One-shot driver path (the query CLI's plain-wand route): no
+    cutoff anywhere delegates to search_wand; a generous budget is
+    rank-identical with degraded False; an expired clock degrades to
+    the empty prefix (the fetch consumed the budget)."""
+    import time as _time
+
+    from meilibridge_spark.operators.search import (
+        search_wand,
+        search_wand_cutoff,
+    )
+
+    for q in QUERIES:
+        want = search_wand(built, q, 10)
+        assert search_wand_cutoff(built, q, 10) == (want, False)
+        hits, degraded = search_wand_cutoff(built, q, 10, cutoff_ms=60_000)
+        assert degraded is False
+        assert [d for d, _ in hits] == [d for d, _ in want]
+
+    base = _time.monotonic
+    t0 = base()
+    calls = {"n": 0}
+
+    def fake_monotonic():
+        calls["n"] += 1
+        return t0 if calls["n"] <= 1 else t0 + 10.0
+
+    monkeypatch.setattr(_time, "monotonic", fake_monotonic)
+    hits, degraded = search_wand_cutoff(built, "baba cedi", 10, cutoff_ms=5)
+    assert degraded is True and hits == []
 
 
 def test_driver_searcher_filter_bounds(built):

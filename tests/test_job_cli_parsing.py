@@ -20,3 +20,19 @@ def test_hybrid_queries_file_rejects_missing_tab():
 def test_hybrid_queries_file_rejects_non_int_vec_id():
     with pytest.raises(ValueError, match="line 1.*integer"):
         parse_hybrid_queries_file(["seven\tspark join\n"])
+
+
+def test_batch_mode_rejects_cutoff_ms(monkeypatch, capsys):
+    """--cutoff-ms + --queries-file errors before any Spark work:
+    batch jobs have no per-query interrupt point (COVERAGE.md Q15)."""
+    import sys
+
+    from meilibridge_spark.jobs.query import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "query.py", "--index-dir", "/nonexistent",
+        "--queries-file", "/nonexistent", "--cutoff-ms", "100",
+    ])
+    with pytest.raises(SystemExit):
+        main()
+    assert "--cutoff-ms applies to --query only" in capsys.readouterr().err
