@@ -14,6 +14,10 @@ Workloads:
                       (search_many) -> queries/sec
   query_wand          driver-side block-max WAND serving path, same
                       queries sequentially
+  query_wand_filtered driver-side FILTERED serving (round 5): the
+                      tenant-token forced filter resolved once to a
+                      bounded allowed-id array (prepare_filter), every
+                      query then served at zero Spark jobs
   query_hybrid        keyword+semantic fusion over the documents index
                       and the embeddings table (semanticRatio blend)
 """
@@ -301,6 +305,20 @@ def main() -> None:
         searcher.search(q, 10)
     timings["query_wand_warm"] = time.time() - t0
 
+    # --- round-5 FILTERED serving: the tenant-token shape — the forced
+    # filter (same predicate as query_batch_filtered) resolved ONCE to
+    # a bounded sorted allowed-id array (prepare_filter, one Spark
+    # job), then every query served at zero jobs with postings
+    # restricted before scoring (rank-identical to the distributed
+    # filtered path; corpus-global BM25 stats)
+    t0 = time.time()
+    allowed = searcher.prepare_filter(filt)
+    timings["filter_prepare"] = time.time() - t0
+    t0 = time.time()
+    for _, q in queries:
+        searcher.search(q, 10, filter_docs=allowed)
+    timings["query_wand_filtered"] = time.time() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "bm25_engine_bench_total",
@@ -344,6 +362,10 @@ def main() -> None:
         "wand_warm_queries_per_sec": round(
             len(queries) / timings["query_wand_warm"], 2
         ),
+        "wand_filtered_queries_per_sec": round(
+            len(queries) / timings["query_wand_filtered"], 2
+        ),
+        "filter_allowed_docs": int(allowed.size),
         "batch_hits": n_hits,
         "wand_hits": wand_hits,
     }
