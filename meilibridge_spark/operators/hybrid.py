@@ -210,7 +210,16 @@ def search_hybrid_many(
             # serving off the stored directory-partitioned layout:
             # probes are selected DRIVER-SIDE from the (tiny) centroid
             # table so the probed lists become a literal centroid_id
-            # filter the parquet scan prunes whole directories with
+            # filter the parquet scan prunes whole directories with.
+            # SIZING RULE for the driver-side probe selection: the
+            # centroid table is n_centroids x dim floats; with the IVF
+            # heuristic n_centroids ~ sqrt(n_vectors) this stays < 40 MB
+            # up to 10^10 vectors at dim=1024 (10^5 centroids) — fine to
+            # collect. Past ~10^5 centroids (or dim such that
+            # n_centroids*dim*8 approaches spark.driver.maxResultSize),
+            # select probes with a broadcast join against the centroid
+            # table instead of collecting it; the list-pruning shape is
+            # unchanged.
             stored_probe = True
     if score_mode not in ("normalized", "ranking_score"):
         raise ValueError(
