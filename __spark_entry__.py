@@ -1138,6 +1138,35 @@ def _q_paged(terms_text: str, k: int, offset: int):
     return run
 
 
+def _q_page_exhaustive(terms_text: str, page: int, hits_per_page: int):
+    """Q13 exhaustive pagination (Meilisearch page/hitsPerPage,
+    v0.30+): the requested page's hits plus exhaustive
+    totalHits/totalPages metadata columns, totalHits capped at
+    maxTotalHits (operators/search._paginate_exhaustive — candidates
+    bounded by a distributed TakeOrdered BEFORE the single-partition
+    row-numbering window, so the window sees <= maxTotalHits rows at
+    any corpus size)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        return search(
+            idx, terms_text, page=page, hits_per_page=hits_per_page
+        ).select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "page",
+            "hits_per_page",
+            "total_hits",
+            "total_pages",
+        )
+
+    return run
+
+
 def _q_ranking_score(terms_text: str, exact: "list[str]", k: int, threshold: float):
     """showRankingScore / rankingScoreThreshold analog: absolute [0,1]
     per-hit score from the words + exactness subscores (syn flavor so
@@ -2302,12 +2331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lsh, clusters), ts_lang_id + ts_quality + ts_fingerprint
     # (textstats keeps token_counts); mm_features returns to the gate
     # so the multimodal family stays represented (it left in the late
-    # r04 ranking-rules swap). Entries after the 50th remain fully
-    # oracle-checked by tests/test_entry_oracle.py, which runs ALL
-    # entries every round.
+    # r04 ranking-rules swap). Late-r05 swap: ft_page_exhaustive (NEW:
+    # Meilisearch page/hitsPerPage exhaustive pagination) replaces
+    # ft_bm25_typo_disable (r04-verified; typo family keeps
+    # ft_bm25_typo_rank in the gate). Entries after the 50th remain
+    # fully oracle-checked by tests/test_entry_oracle.py, which runs
+    # ALL entries every round.
     entries = {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
+        "ft_page_exhaustive": _q_page_exhaustive("spark join", 2, 7),
         "ft_ranking_score": _q_ranking_score(
             "fast join", ["fast", "join"], 10, 0.5
         ),
@@ -2457,7 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_separator_tokens",
         "ft_matching_frequency",
         "ft_bm25_typo_rank",
-        "ft_bm25_typo_disable",
+        "ft_page_exhaustive",
         "ft_attribute_rank",
         "ft_custom_rules",
         "ft_rules_sort",
@@ -3133,6 +3166,19 @@ ORDER BY s DESC, doc_id LIMIT 10
             _sql_scores(["spark", "join"])
             + "SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "
             "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"
+        ),
+        "ft_page_exhaustive": (
+            _sql_scores(["spark", "join"])
+            + """, capped AS (
+  SELECT least(count(*), 1000)::BIGINT AS total_hits FROM scores
+)
+SELECT p.doc_id, round(p.s, 4)::DOUBLE AS score,
+       2::INT AS page, 7::INT AS hits_per_page,
+       c.total_hits,
+       ceil(c.total_hits / 7.0)::INT AS total_pages
+FROM (SELECT * FROM scores ORDER BY s DESC, doc_id LIMIT 7 OFFSET 7) p
+CROSS JOIN capped c
+ORDER BY score DESC, doc_id"""
         ),
         "ft_ranking_score": f"""
 WITH {_sql_tok()},

@@ -219,9 +219,17 @@ def search(
     offset: int = 0,
     ranking_rules: "list[str] | tuple[str, ...] | None" = None,
     sort_params: "list[tuple[str, bool]] | None" = None,
+    page: "int | None" = None,
+    hits_per_page: "int | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
     [, matched_exact][, best_attr][, exact_form][, rule fields...]).
+
+    ``page`` / ``hits_per_page`` (Meilisearch exhaustive pagination,
+    v0.30+): setting either switches to page-sliced results with
+    exhaustive ``total_hits`` / ``total_pages`` metadata columns,
+    ignoring ``k`` / ``offset`` — see :func:`_paginate_exhaustive`
+    for the contract and the bounded plan shape.
 
     ``ranking_rules`` (Meilisearch rankingRules, reference
     config/type.go:56 / config.example.yml:108-116; parsed by
@@ -564,9 +572,75 @@ def search(
         # the frequency words criterion outranks every other rule
         order.insert(0, F.col("freq_level").asc())
     ordered = agg.orderBy(*order)
+    if page is not None or hits_per_page is not None:
+        return _paginate_exhaustive(
+            ordered, order, page, hits_per_page, index.cfg.max_total_hits
+        )
     if offset:
         return ordered.offset(offset).limit(k)
     return ordered.limit(k)
+
+
+def _paginate_exhaustive(
+    ordered: DataFrame,
+    order: "list[Column]",
+    page: "int | None",
+    hits_per_page: "int | None",
+    cap: int,
+) -> DataFrame:
+    """Meilisearch exhaustive pagination (``page`` / ``hitsPerPage``,
+    v0.30+): setting either search parameter switches the response from
+    offset/limit + estimatedTotalHits to page slices + EXHAUSTIVE
+    ``totalHits`` / ``totalPages``, with totalHits capped at
+    ``maxTotalHits`` (the pagination index setting) — the endpoint
+    contract. ``limit`` / ``offset`` are ignored in this mode, as in
+    Meilisearch. Output = the requested page's hits with constant
+    metadata columns (page, hits_per_page, total_hits, total_pages);
+    a page past the end is empty but keeps the schema. Deviation
+    (recorded): ``hitsPerPage=0`` — Meilisearch's count-only query —
+    returns an empty DataFrame here (response-level metadata has no
+    rows to ride on); use total_hits on a hitsPerPage>=1 call instead.
+
+    Plan shape (100 TB note): the ranked candidates are FIRST bounded
+    by a distributed TakeOrdered (``limit(cap)``), so the
+    single-partition window that numbers rows and counts total_hits
+    only ever sees <= maxTotalHits rows (1000 default) regardless of
+    corpus size — the same bounded-counter contract Meilisearch's own
+    capped totalHits has.
+    """
+    from pyspark.sql.window import Window
+
+    page = 1 if page is None else page
+    hits_per_page = 20 if hits_per_page is None else hits_per_page
+    if page < 1:
+        raise ValueError(f"page must be >= 1, got {page}")
+    if hits_per_page < 0:
+        raise ValueError(
+            f"hitsPerPage must be >= 0, got {hits_per_page}"
+        )
+    top = ordered.limit(cap)
+    part = Window.partitionBy(F.lit(1))
+    ranked = top.withColumn(
+        "_rn", F.row_number().over(part.orderBy(*order))
+    ).withColumn("total_hits", F.count("*").over(part).cast("long"))
+    if hits_per_page:
+        lo = (page - 1) * hits_per_page
+        out = ranked.filter(
+            (F.col("_rn") > lo) & (F.col("_rn") <= lo + hits_per_page)
+        )
+        total_pages = F.ceil(
+            F.col("total_hits") / F.lit(hits_per_page)
+        ).cast("int")
+    else:
+        out = ranked.filter(F.lit(False))
+        total_pages = F.lit(0)
+    return (
+        out.withColumn("page", F.lit(page))
+        .withColumn("hits_per_page", F.lit(hits_per_page))
+        .withColumn("total_pages", total_pages)
+        .orderBy("_rn")
+        .drop("_rn")
+    )
 
 
 def placeholder_search(
@@ -577,6 +651,8 @@ def placeholder_search(
     offset: int = 0,
     ranking_rules: "list[str] | tuple[str, ...] | None" = None,
     sort_params: "list[tuple[str, bool]] | None" = None,
+    page: "int | None" = None,
+    hits_per_page: "int | None" = None,
 ) -> DataFrame:
     """Meilisearch placeholder search: a query with no positive terms
     matches ALL documents (the negative-only / empty-``q`` semantics —
@@ -636,6 +712,14 @@ def placeholder_search(
         .select("doc_id", "score", "matched_terms", *need_fields)
         .orderBy(*order)
     )
+    if page is not None or hits_per_page is not None:
+        # exhaustive pagination composes with placeholder queries
+        # exactly as with term queries (the endpoint's empty-q +
+        # page/hitsPerPage combination); total_hits is capped at
+        # maxTotalHits like the endpoint's counter
+        return _paginate_exhaustive(
+            out, order, page, hits_per_page, index.cfg.max_total_hits
+        )
     if offset:
         return out.offset(offset).limit(k)
     return out.limit(k)
