@@ -244,3 +244,20 @@ def test_proximity_positions_scan_is_term_pruned(spark, tmp_path_factory):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("term" in p for p in pushed), pushed
     assert "BatchEvalPython" not in plan
+
+
+def test_exhaustive_pagination_window_is_bounded(saved):
+    """Exhaustive pagination (page/hitsPerPage): the single-partition
+    row-number/count window must sit ABOVE a TakeOrderedAndProject
+    (the limit(maxTotalHits) candidate bound) — never over the raw
+    candidate set, whose size is corpus-dependent."""
+    plan = _explain(search(saved, "baba cedi", page=1, hits_per_page=5))
+    win = plan.find("Window")
+    assert win != -1, plan[:800]
+    bound = plan.find("TakeOrderedAndProject", win)
+    assert bound != -1, plan[win : win + 800]
+    # parents print above children in the formatted tree: the bound
+    # must be the window's input, and no exchange may sit between the
+    # window and its bound (both run on the bounded <= cap rows)
+    between = plan[win:bound]
+    assert "Exchange" not in between, between
