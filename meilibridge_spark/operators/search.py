@@ -3295,6 +3295,53 @@ class DriverSearcher:
             tps = [self._restrict(tp, allowed) for tp in tps]
         return tps
 
+    def search_page(
+        self,
+        query: str,
+        page: "int | None" = None,
+        hits_per_page: "int | None" = None,
+        filter_docs: "DataFrame | np.ndarray | None" = None,
+    ) -> "tuple[list[tuple[int, float]], int, int]":
+        """Exhaustive pagination (Meilisearch ``page``/``hitsPerPage``)
+        on the zero-job serving path -> (page hits, total_hits,
+        total_pages) — the response-level metadata the DataFrame path
+        (:func:`_paginate_exhaustive`) carries as columns.
+
+        total_hits = distinct docs matching any query term (after the
+        optional allowed-id restriction), capped at maxTotalHits like
+        the endpoint's counter — identical to the distributed path's
+        count of the bounded candidate set. Postings decode is
+        memoized (_get_raw), so the count and the scoring pass share
+        the same cached blocks; ``hitsPerPage=0`` returns ([], total,
+        0), the count-only query the DataFrame path cannot express
+        (recorded deviation there)."""
+        page = 1 if page is None else page
+        hits_per_page = 20 if hits_per_page is None else hits_per_page
+        if page < 1:
+            raise ValueError(f"page must be >= 1, got {page}")
+        if hits_per_page < 0:
+            raise ValueError(
+                f"hitsPerPage must be >= 0, got {hits_per_page}"
+            )
+        cap = self.index.cfg.max_total_hits
+        tps = self._term_postings(query, filter_docs)
+        live = [t.doc_ids for t in tps if t.doc_ids.size]
+        total = (
+            int(min(cap, np.unique(np.concatenate(live)).size))
+            if live
+            else 0
+        )
+        if hits_per_page == 0:
+            return [], total, 0
+        total_pages = -(-total // hits_per_page)
+        lo = (page - 1) * hits_per_page
+        if lo >= total:
+            return [], total, total_pages
+        ranked = self.search(
+            query, min(cap, lo + hits_per_page), filter_docs=filter_docs
+        )
+        return ranked[lo : lo + hits_per_page], total, total_pages
+
     def search_cutoff(
         self,
         query: str,

@@ -120,3 +120,50 @@ def test_placeholder_pagination(built):
     assert _ids(out) == [5, 6, 7, 8, 9]
     r = out.collect()[0]
     assert r.total_hits == 13 and r.total_pages == 3
+
+
+# ------------------------------------------------- serving-path pagination
+
+
+def test_driver_searcher_page_parity(built):
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    for page in (1, 2, 3):
+        hits, total, pages = s.search_page(
+            "spark join", page=page, hits_per_page=4
+        )
+        df = search(built, "spark join", page=page, hits_per_page=4)
+        rows = df.collect()
+        assert [d for d, _ in hits] == [r.doc_id for r in rows]
+        if rows:
+            assert total == rows[0].total_hits
+            assert pages == rows[0].total_pages
+
+
+def test_driver_searcher_page_count_only_and_past_end(built):
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    hits, total, pages = s.search_page("spark", page=1, hits_per_page=0)
+    assert hits == [] and total == 12 and pages == 0
+    hits, total, pages = s.search_page("spark", page=9, hits_per_page=5)
+    assert hits == [] and total == 12 and pages == 3
+    with pytest.raises(ValueError, match="page"):
+        s.search_page("spark", page=0)
+
+
+def test_driver_searcher_page_with_filter(built):
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    filt = built.docs.filter(F.col("doc_id") < 6).select("doc_id")
+    allowed = s.prepare_filter(filt)
+    hits, total, pages = s.search_page(
+        "spark", page=2, hits_per_page=4, filter_docs=allowed
+    )
+    assert total == 6 and pages == 2 and len(hits) == 2
+    df_rows = search(
+        built, "spark", filter_docs=filt, page=2, hits_per_page=4
+    ).collect()
+    assert [d for d, _ in hits] == [r.doc_id for r in df_rows]
