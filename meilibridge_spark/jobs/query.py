@@ -5,7 +5,8 @@ Usage:
       meilibridge_spark/jobs/query.py \
       --index-dir /path/to/index --query "spark join" [-k 10] \
       [--mode df|wand] [--filter-role user] [--offset N] \
-      [--search-on attr1,attr2] [--facets attr1,attr2] \
+      [--page N --hits-per-page M] [--search-on attr1,attr2] \
+      [--facets attr1,attr2] \
       [--sort attr:asc,attr2:desc] [--distinct] [--proximity] \
       [--tenant-token JWT --keys-file keys.json --master-key K]
 
@@ -68,6 +69,14 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0,
                     help="pagination: skip the first N ranked hits")
+    ap.add_argument("--page", type=int, default=None,
+                    help="exhaustive pagination (Meilisearch page/"
+                         "hitsPerPage): 1-based page; response adds "
+                         "totalHits/totalPages capped at maxTotalHits")
+    ap.add_argument("--hits-per-page", type=int, default=None,
+                    help="exhaustive pagination page size (default 20 "
+                         "when --page is given); an empty past-the-end "
+                         "page reports totalHits/totalPages 0")
     ap.add_argument("--sort", default=None,
                     help="Meilisearch sort: 'attr:asc,attr2:desc' over "
                          "the index's sortable_attributes (single query)")
@@ -155,6 +164,12 @@ def main() -> None:
     if args.queries_file and args.cutoff_ms is not None:
         ap.error("--cutoff-ms applies to --query only: batch Spark jobs "
                  "have no per-query interrupt point (COVERAGE.md Q15)")
+    if (args.page is not None or args.hits_per_page is not None) and (
+        args.queries_file or args.embeddings
+    ):
+        ap.error("--page/--hits-per-page apply to single keyword "
+                 "queries only (exhaustive totals need the per-query "
+                 "candidate count, which batch jobs never materialize)")
     if args.facets and (args.queries_file or args.embeddings):
         ap.error("--facets applies to single keyword queries only")
     if (args.sort or args.distinct or args.distinct_attr) and (
@@ -486,11 +501,25 @@ def main() -> None:
     distinct_attr = args.distinct_attr or (
         index.cfg.distinct_attribute if args.distinct else None
     )
+    paged = args.page is not None or args.hits_per_page is not None
+    if paged and (
+        args.offset or args.mode == "wand" or sort_spec or geo_sort
+        or distinct_attr is not None or has_phrase or has_negative
+        or args.proximity or args.cutoff_ms is not None
+    ):
+        # narrow and loud, like --cutoff-ms: exhaustive pagination
+        # rides the plain DataFrame search (filters/--search-on
+        # compose); other options keep their offset/limit semantics
+        ap.error("--page/--hits-per-page compose with filters and "
+                 "--search-on only (DataFrame path; no --offset/"
+                 "--sort/--distinct/phrases/negatives/--proximity/"
+                 "--mode wand/--cutoff-ms)")
     plain_wand = (
         mode == "wand" and not args.filter_role and not args.filter_expr
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
         and not geo_sort and distinct_attr is None and not args.proximity
+        and not paged
     )
     degraded = None
     if args.cutoff_ms is not None and not plain_wand:
@@ -519,7 +548,13 @@ def main() -> None:
         # to the post-processed ordering driver-side (k rows are tiny)
         cap = index.cfg.max_total_hits if post else args.k
         off = 0 if post else args.offset
-        if has_phrase or has_negative:
+        if paged:
+            hits_df = search(
+                index, query_text, filter_docs=make_filter(),
+                attributes_to_search_on=search_on,
+                page=args.page, hits_per_page=args.hits_per_page,
+            )
+        elif has_phrase or has_negative:
             from meilibridge_spark.operators.positions import (
                 search_with_phrases,
             )
@@ -557,6 +592,15 @@ def main() -> None:
                 ascending=gasc, k=args.offset + args.k, hit_bound=cap,
             )
         rows = hits_df.collect()
+        if paged:
+            page_meta = {
+                "page": 1 if args.page is None else args.page,
+                "hitsPerPage": (
+                    20 if args.hits_per_page is None else args.hits_per_page
+                ),
+                "totalHits": rows[0]["total_hits"] if rows else 0,
+                "totalPages": rows[0]["total_pages"] if rows else 0,
+            }
         if post:
             if not sort_spec and not geo_sort:
                 rows = sorted(
@@ -582,6 +626,8 @@ def main() -> None:
     resp = {"query": args.query, "k": args.k, "hits": out}
     if degraded is not None:
         resp["degraded"] = degraded
+    if paged:
+        resp.update(page_meta)
     if args.facets:
         # Meilisearch computes facet counts over ALL matching docs; the
         # bounded analog uses the top max_total_hits hit set (the same

@@ -74,3 +74,43 @@ def test_distinct_attr_must_be_filterable(saved, monkeypatch, capsys):
             "--distinct-attr", "conv_id",
         )
     assert "not a filterable attribute" in capsys.readouterr().err
+
+
+def test_page_pagination_matches_library_path(
+    saved, spark, monkeypatch, capsys
+):
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--page", "2", "--hits-per-page", "4",
+    )
+    lib = search(saved, QUERY, page=2, hits_per_page=4).collect()
+    assert [h["doc_id"] for h in resp["hits"]] == [r.doc_id for r in lib]
+    assert resp["page"] == 2 and resp["hitsPerPage"] == 4
+    assert resp["totalHits"] == lib[0].total_hits
+    assert resp["totalPages"] == lib[0].total_pages
+
+
+def test_page_composes_with_filter(saved, spark, monkeypatch, capsys):
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--filter-role", "user", "--page", "1", "--hits-per-page", "3",
+    )
+    assert len(resp["hits"]) == 3
+    assert resp["totalHits"] >= 3 and resp["totalPages"] >= 1
+
+
+def test_page_rejects_incompatible_options(saved, monkeypatch, capsys):
+    for extra in (
+        ["--offset", "5"],
+        ["--mode", "wand"],
+        ["--sort", "role:asc"],
+        ["--proximity"],
+    ):
+        with pytest.raises(SystemExit):
+            _run_cli(
+                monkeypatch, capsys,
+                "--index-dir", saved.index_dir, "--query", QUERY,
+                "--page", "1", *extra,
+            )
