@@ -428,6 +428,41 @@ _MULTI_REQS = [
 ]
 
 
+_MULTI_PAGE_REQS = [
+    {"index_uid": "plain", "q": "spark join", "k": 5},
+    {"index_uid": "plain", "q": "join", "page": 2, "hits_per_page": 4},
+    {
+        "index_uid": "plain",
+        "q": "spark",
+        "filter": "lang = 'en'",
+        "page": 1,
+        "hits_per_page": 6,
+    },
+]
+
+
+def _q_multi_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /multi-search results mode with MIXED pagination modes
+    (round-5): an offset/limit request batches as usual while
+    page/hitsPerPage requests run the single-query exhaustive path —
+    the combined output carries nullable totalHits/totalPages columns
+    (null on the offset-mode row), mirroring the endpoint's per-entry
+    response-shape split (operators/multisearch.py)."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.multisearch import multi_search
+
+    idxs = {"plain": _docs_index(spark, sf_dir)}
+    return multi_search(idxs, _MULTI_PAGE_REQS).select(
+        "request_no",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+        "total_hits",
+        "total_pages",
+    )
+
+
 def _q_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POST /multi-search results mode (round-4): four heterogeneous
     requests over two indexes — same-option requests share one
@@ -2334,9 +2369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04 ranking-rules swap). Late-r05 swap: ft_page_exhaustive (NEW:
     # Meilisearch page/hitsPerPage exhaustive pagination) replaces
     # ft_bm25_typo_disable (r04-verified; typo family keeps
-    # ft_bm25_typo_rank in the gate). Entries after the 50th remain
-    # fully oracle-checked by tests/test_entry_oracle.py, which runs
-    # ALL entries every round.
+    # ft_bm25_typo_rank in the gate); ft_multi_page (NEW: mixed
+    # offset/exhaustive multi-search with nullable totalHits columns)
+    # replaces ft_multi_search (r04-verified; the new entry exercises
+    # the same results-mode grouping plus the paged split). Entries
+    # after the 50th remain fully oracle-checked by
+    # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
@@ -2348,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_stored": _q_hybrid_stored("spark join table", 10, 0.5, 30, 7),
         "ft_hybrid_rs": _q_hybrid_rs("spark join table", 10, 0.5, 30, 7),
         "ft_multi_search": _q_multi_search,
+        "ft_multi_page": _q_multi_page,
         "ft_tenant_search": _q_tenant_search("spark join", 10),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_matching_frequency": _q_matching_frequency(
@@ -2483,7 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_stored",
         "ft_hybrid_batch",
         "ft_retrieve_vectors",
-        "ft_multi_search",
+        "ft_multi_page",
         "ft_fed_facets",
         "ft_fed_facets_merged",
         "ft_tenant_search",
@@ -2730,6 +2769,45 @@ WHERE rank <= 5
 """
 
 
+def _sql_multi_page() -> str:
+    """Oracle for _MULTI_PAGE_REQS: request 0 is a plain top-5 with
+    NULL pagination metadata; request 1 is page 2 of 4 over 'join'
+    with exhaustive totals capped at maxTotalHits (1000); request 2
+    pages the lang='en'-filtered 'spark' ranking (totals count the
+    FILTERED matches, the endpoint contract)."""
+    return f"""
+WITH {_sql_tok()},
+{_sql_score_cte("s_r0", ["spark", "join"])},
+{_sql_score_cte("s_r1", ["join"])},
+{_sql_score_cte("s_r2", ["spark"])},
+r1tot AS (SELECT least(count(*), 1000)::BIGINT AS th FROM s_r1),
+r2f AS (
+  SELECT s.doc_id, s.s FROM s_r2 s
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+),
+r2tot AS (SELECT least(count(*), 1000)::BIGINT AS th FROM r2f)
+SELECT * FROM (
+  SELECT 0::INT AS request_no, doc_id, round(s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank,
+         NULL::BIGINT AS total_hits, NULL::INT AS total_pages
+  FROM s_r0) t0 WHERE rank <= 5
+UNION ALL
+SELECT * FROM (
+  SELECT 1::INT, doc_id, round(s, 4)::DOUBLE,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank,
+         (SELECT th FROM r1tot),
+         ceil((SELECT th FROM r1tot) / 4.0)::INT
+  FROM s_r1) t1 WHERE rank > 4 AND rank <= 8
+UNION ALL
+SELECT * FROM (
+  SELECT 2::INT, doc_id, round(s, 4)::DOUBLE,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank,
+         (SELECT th FROM r2tot),
+         ceil((SELECT th FROM r2tot) / 6.0)::INT
+  FROM r2f) t2 WHERE rank <= 6
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fs = _sql_scores(["spark", "join"])
     out = {
@@ -2776,6 +2854,7 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
             ["spark", "join", "table"], 10, 0.5, 30, 7, 3
         ),
         "ft_multi_search": _sql_multi_search(),
+        "ft_multi_page": _sql_multi_page(),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
         "ft_matching_frequency": _sql_matching_frequency(
             ["scan", "join", "spark"], 20

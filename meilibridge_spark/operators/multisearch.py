@@ -14,6 +14,11 @@ not M. Per-request ``k``/``offset`` never split a group: the group
 scores to the max needed depth and each request trims its own rank
 window from the (<= k rows/request) merged output — a broadcast join
 of a request-count-sized bounds table, nothing doc-granular.
+
+Exhaustive-pagination requests (``page`` / ``hits_per_page``) run one
+single-query paged job each — per-request exhaustive totals cannot
+share the batch exchange — and surface their totalHits/totalPages as
+extra nullable columns on the combined output (see multi_search).
 """
 
 from __future__ import annotations
@@ -35,11 +40,77 @@ _ALLOWED_KEYS = {
     "attributes_to_search_on",
     "prefix",
     "proximity",
+    "page",
+    "hits_per_page",
 }
 
 MULTI_SEARCH_SCHEMA = (
     "request_no int, index_uid string, doc_id long, score double, rank int"
 )
+
+#: appended (nullable) when any request uses exhaustive pagination
+MULTI_SEARCH_PAGE_SCHEMA = MULTI_SEARCH_SCHEMA + (
+    ", total_hits long, total_pages int, page int, hits_per_page int"
+)
+
+_PAGE_META_COLS = (
+    ("total_hits", "long"),
+    ("total_pages", "int"),
+    ("page", "int"),
+    ("hits_per_page", "int"),
+)
+
+
+def _exhaustive_request(index: InvertedIndex, req: dict, req_no: int):
+    """One exhaustive-pagination request (``page`` / ``hits_per_page``
+    present) answered through the single-query paged path — exhaustive
+    totals are inherently per-request (the endpoint counts each query's
+    own matches), so these never share a scatter-gather job; ``k`` /
+    ``offset`` are ignored in this mode exactly as the endpoint ignores
+    ``limit`` / ``offset``. ``typo`` / ``prefix`` requests pre-expand
+    terms the same way search_typo / search_prefix do (composing BOTH
+    with pagination is rejected loudly — the batch path owns that
+    composition and deliberately never materializes per-query totals)."""
+    from meilibridge_spark.operators.search import (
+        prefix_expand_terms,
+        search,
+    )
+    from meilibridge_spark.functions.tokenizer import parse_query
+
+    if req.get("typo") and req.get("prefix"):
+        raise ValueError(
+            f"request {req_no}: typo and prefix together are not "
+            "supported with page/hitsPerPage (exhaustive pagination); "
+            "drop one or use the offset/limit mode"
+        )
+    q_terms = parse_query(req["q"], index.cfg.analyzer)
+    terms, orig, typo_rank = q_terms, None, False
+    if req.get("typo"):
+        from meilibridge_spark.operators.search import typo_expand_terms
+
+        terms = typo_expand_terms(index, q_terms)
+        orig, typo_rank = q_terms, True
+    elif req.get("prefix") and index.cfg.prefix_search != "disabled":
+        terms = prefix_expand_terms(index, q_terms)
+    filter_docs = None
+    if req.get("filter"):
+        from meilibridge_spark.functions.filters import filter_doc_ids
+
+        filter_docs = filter_doc_ids(index, req["filter"])
+    son = req.get("attributes_to_search_on")
+    return search(
+        index,
+        " ".join(terms),
+        filter_docs=filter_docs,
+        orig_terms=orig,
+        typo_rank=typo_rank,
+        matching_strategy=req.get("matching_strategy", "last"),
+        attributes_to_search_on=tuple(son) if son is not None else None,
+        proximity_rank=bool(req.get("proximity")),
+        page=req.get("page"),
+        hits_per_page=req.get("hits_per_page"),
+        page_rank_col="rank",
+    )
 
 
 def multi_search(
@@ -63,12 +134,23 @@ def multi_search(
     proximity) group is
     ONE search_many job; identical-option requests batch regardless of
     their k/offset. Unknown request keys and unknown index uids raise
-    (the endpoint 400s)."""
+    (the endpoint 400s).
+
+    Requests carrying ``page`` / ``hits_per_page`` (Meilisearch
+    exhaustive pagination) are answered through the single-query paged
+    path — one job each, never grouped, because exhaustive
+    ``totalHits`` is a per-request count the batch top-k exchange
+    deliberately never materializes. When ANY request is paged the
+    output gains nullable ``total_hits`` / ``total_pages`` / ``page`` /
+    ``hits_per_page`` columns (null on offset/limit-mode rows), exactly
+    mirroring the endpoint's per-entry response-shape split; with no
+    paged request the schema is unchanged (MULTI_SEARCH_SCHEMA)."""
     if not requests:
         raise ValueError("multi_search needs at least one request")
     if not indexes:
         raise ValueError("multi_search needs at least one index")
     groups: "dict[tuple, list[int]]" = {}
+    paged_reqs: "list[int]" = []
     for i, req in enumerate(requests):
         unknown = set(req) - _ALLOWED_KEYS
         if unknown:
@@ -87,6 +169,9 @@ def multi_search(
             )
         if req.get("offset", 0) < 0 or req.get("k", default_k) < 1:
             raise ValueError(f"request {i}: k must be >= 1, offset >= 0")
+        if req.get("page") is not None or req.get("hits_per_page") is not None:
+            paged_reqs.append(i)
+            continue
         son = req.get("attributes_to_search_on")
         key = (
             uid,
@@ -150,6 +235,25 @@ def multi_search(
                 "score",
                 "rank",
             )
+        )
+        if paged_reqs:
+            for col, typ in _PAGE_META_COLS:
+                part = part.withColumn(col, F.lit(None).cast(typ))
+        out = part if out is None else out.unionByName(part)
+    for i in paged_reqs:
+        req = requests[i]
+        uid = req["index_uid"]
+        hits = _exhaustive_request(indexes[uid], req, i)
+        part = hits.select(
+            F.lit(i).cast("int").alias("request_no"),
+            F.lit(uid).alias("index_uid"),
+            "doc_id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("total_hits").cast("long").alias("total_hits"),
+            F.col("total_pages").cast("int").alias("total_pages"),
+            F.col("page").cast("int").alias("page"),
+            F.col("hits_per_page").cast("int").alias("hits_per_page"),
         )
         out = part if out is None else out.unionByName(part)
     # <= sum(k_i) rows total: the final order is a bounded sort

@@ -221,6 +221,7 @@ def search(
     sort_params: "list[tuple[str, bool]] | None" = None,
     page: "int | None" = None,
     hits_per_page: "int | None" = None,
+    page_rank_col: "str | None" = None,
 ) -> DataFrame:
     """Top-k hits as a DataFrame (doc_id, score, matched_terms
     [, matched_exact][, best_attr][, exact_form][, rule fields...]).
@@ -229,7 +230,10 @@ def search(
     v0.30+): setting either switches to page-sliced results with
     exhaustive ``total_hits`` / ``total_pages`` metadata columns,
     ignoring ``k`` / ``offset`` — see :func:`_paginate_exhaustive`
-    for the contract and the bounded plan shape.
+    for the contract and the bounded plan shape. ``page_rank_col``
+    (paged mode only) additionally keeps each hit's absolute 1-based
+    ranking position under that column name (multi-search results
+    mode reports it per request).
 
     ``ranking_rules`` (Meilisearch rankingRules, reference
     config/type.go:56 / config.example.yml:108-116; parsed by
@@ -368,9 +372,7 @@ def search(
     idf_map = _idf_map(index, q_terms)
     spark = index.postings.sparkSession
     if not idf_map:
-        return spark.createDataFrame(
-            [], "doc_id long, score double, matched_terms int"
-        )
+        return _empty_hits(spark, page, hits_per_page, page_rank_col)
     groups: "list[list[str]] | None" = None
     if matching_strategy in ("all", "frequency"):
         from meilibridge_spark.functions.tokenizer import query_word_groups
@@ -385,9 +387,7 @@ def search(
             groups = [[t for t in g if t in present] for g in groups]
             if any(not g for g in groups):
                 # a word with no indexed alternates can never be satisfied
-                return spark.createDataFrame(
-                    [], "doc_id long, score double, matched_terms int"
-                )
+                return _empty_hits(spark, page, hits_per_page, page_rank_col)
             groups = groups or None
         else:
             # frequency: _wg{i} flag order == drop order, so the level
@@ -574,11 +574,40 @@ def search(
     ordered = agg.orderBy(*order)
     if page is not None or hits_per_page is not None:
         return _paginate_exhaustive(
-            ordered, order, page, hits_per_page, index.cfg.max_total_hits
+            ordered, order, page, hits_per_page, index.cfg.max_total_hits,
+            rank_col=page_rank_col,
         )
     if offset:
         return ordered.offset(offset).limit(k)
     return ordered.limit(k)
+
+
+def _empty_hits(
+    spark,
+    page: "int | None" = None,
+    hits_per_page: "int | None" = None,
+    rank_col: "str | None" = None,
+) -> DataFrame:
+    """Zero-hit result with the schema the live path would produce:
+    the base hit columns, plus (in paged mode) the exhaustive
+    pagination metadata columns — so unionByName consumers (e.g.
+    multi-search results mode) never see a schema fork on the
+    empty-query / unsatisfiable-'all' early returns."""
+    schema = "doc_id long, score double, matched_terms int"
+    if page is not None or hits_per_page is not None:
+        if (1 if page is None else page) < 1:
+            raise ValueError(f"page must be >= 1, got {page}")
+        if (20 if hits_per_page is None else hits_per_page) < 0:
+            raise ValueError(
+                f"hitsPerPage must be >= 0, got {hits_per_page}"
+            )
+        if rank_col:
+            schema += f", {rank_col} int"
+        schema += (
+            ", total_hits long, page int, hits_per_page int,"
+            " total_pages int"
+        )
+    return spark.createDataFrame([], schema)
 
 
 def _paginate_exhaustive(
@@ -587,6 +616,7 @@ def _paginate_exhaustive(
     page: "int | None",
     hits_per_page: "int | None",
     cap: int,
+    rank_col: "str | None" = None,
 ) -> DataFrame:
     """Meilisearch exhaustive pagination (``page`` / ``hitsPerPage``,
     v0.30+): setting either search parameter switches the response from
@@ -634,13 +664,17 @@ def _paginate_exhaustive(
     else:
         out = ranked.filter(F.lit(False))
         total_pages = F.lit(0)
-    return (
+    out = (
         out.withColumn("page", F.lit(page))
         .withColumn("hits_per_page", F.lit(hits_per_page))
         .withColumn("total_pages", total_pages)
         .orderBy("_rn")
-        .drop("_rn")
     )
+    if rank_col:
+        # keep the absolute (pre-slice, 1-based) ranking position —
+        # multi-search results mode reports it per request
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")
 
 
 def placeholder_search(

@@ -280,3 +280,89 @@ def test_multi_search_proximity_option(spark, idxs):
     assert got[2] == sorted(
         (r["rank"], r["doc_id"], round(r["score"], 9), "a") for r in plain
     )
+
+
+# ---- exhaustive pagination in results mode (round 5) ----------------
+
+
+def test_multi_search_mixed_pagination_modes(idxs):
+    """page/hitsPerPage requests ride the single-query exhaustive path
+    and surface totalHits/totalPages as nullable columns; offset-mode
+    rows in the same response carry NULLs (the endpoint's per-entry
+    response-shape split)."""
+    from meilibridge_spark.operators.search import search
+
+    reqs = [
+        {"index_uid": "a", "q": "spark join", "k": 3},
+        {"index_uid": "a", "q": "join", "page": 2, "hits_per_page": 2},
+        {
+            "index_uid": "a",
+            "q": "spark",
+            "filter": "lang = 'de'",
+            "page": 1,
+            "hits_per_page": 5,
+        },
+    ]
+    out = multi_search(idxs, reqs)
+    assert out.columns == [
+        "request_no", "index_uid", "doc_id", "score", "rank",
+        "total_hits", "total_pages", "page", "hits_per_page",
+    ]
+    rows = out.collect()
+    r0 = [r for r in rows if r["request_no"] == 0]
+    assert len(r0) == 3
+    assert all(
+        r["total_hits"] is None and r["total_pages"] is None
+        and r["page"] is None and r["hits_per_page"] is None
+        for r in r0
+    )
+    # request 1: parity with the single paged path, absolute ranks
+    single = search(
+        idxs["a"], "join", page=2, hits_per_page=2, page_rank_col="rank"
+    ).collect()
+    got1 = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9),
+         r["total_hits"], r["total_pages"], r["page"], r["hits_per_page"])
+        for r in rows if r["request_no"] == 1
+    )
+    want1 = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9),
+         r["total_hits"], r["total_pages"], r["page"], r["hits_per_page"])
+        for r in single
+    )
+    assert got1 == want1 and got1, "paged request != single paged path"
+    assert [r[0] for r in got1] == [3, 4]  # page 2 of 2 = absolute 3..4
+    # request 2: totals count the FILTERED matches ('spark' AND de)
+    r2 = [r for r in rows if r["request_no"] == 2]
+    assert [r["doc_id"] for r in r2] == [3]
+    assert r2[0]["total_hits"] == 1 and r2[0]["total_pages"] == 1
+
+
+def test_multi_search_schema_unchanged_without_paged_request(idxs):
+    out = multi_search(idxs, REQS)
+    assert out.columns == [
+        "request_no", "index_uid", "doc_id", "score", "rank",
+    ]
+
+
+def test_multi_search_paged_empty_query_keeps_schema(idxs):
+    """A paged request whose terms are unindexed hits the empty early
+    return — its schema must still union with live paged results."""
+    rows = multi_search(idxs, [
+        {"index_uid": "a", "q": "zzznothing", "page": 1, "hits_per_page": 3},
+        {"index_uid": "a", "q": "join", "page": 1, "hits_per_page": 3},
+    ]).collect()
+    assert [r["request_no"] for r in rows] == [1, 1, 1]
+    assert all(r["total_hits"] == 4 for r in rows)  # docs 0,2,3,5
+
+
+def test_multi_search_paged_validation(idxs):
+    with pytest.raises(ValueError, match="typo and prefix"):
+        multi_search(idxs, [{
+            "index_uid": "a", "q": "join", "typo": True, "prefix": True,
+            "page": 1,
+        }])
+    with pytest.raises(ValueError, match="page must be >= 1"):
+        multi_search(idxs, [
+            {"index_uid": "a", "q": "join", "page": 0},
+        ]).collect()
