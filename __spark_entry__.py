@@ -463,6 +463,48 @@ def _q_multi_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch count-only queries (the ``hitsPerPage=0`` request,
+    round 5): ``search_count`` answers with ONE ``(total_hits,
+    total_pages=0)`` row — exhaustive match count capped at
+    maxTotalHits — across four shapes: multi-term OR, ``matching
+    Strategy='all'`` word-group intersection, a filtered count (totals
+    count the FILTERED matches), and the empty-``q`` placeholder count
+    over all documents (operators/search.py::search_count; single-term
+    queries take a zero-decode block-metadata plan, asserted in
+    tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.operators.search import search_count
+
+    idx = _docs_index(spark, sf_dir)
+
+    def lab(df: DataFrame, m: str) -> DataFrame:
+        return df.withColumn("mode", F.lit(m))
+
+    return (
+        lab(search_count(idx, "spark join"), "or")
+        .unionByName(
+            lab(
+                search_count(idx, "spark join", matching_strategy="all"),
+                "all",
+            )
+        )
+        .unionByName(
+            lab(
+                search_count(
+                    idx,
+                    "spark",
+                    filter_docs=filter_doc_ids(idx, "lang = 'en'"),
+                ),
+                "filtered",
+            )
+        )
+        .unionByName(lab(search_count(idx, ""), "placeholder"))
+    )
+
+
 def _q_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POST /multi-search results mode (round-4): four heterogeneous
     requests over two indexes — same-option requests share one
@@ -2387,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_rs": _q_hybrid_rs("spark join table", 10, 0.5, 30, 7),
         "ft_multi_search": _q_multi_search,
         "ft_multi_page": _q_multi_page,
+        "ft_search_count": _q_search_count,
         "ft_tenant_search": _q_tenant_search("spark join", 10),
         "ft_bm25_synonyms": _q_topk("fast join", 10, flavor="syn"),
         "ft_matching_frequency": _q_matching_frequency(
@@ -2769,6 +2812,33 @@ WHERE rank <= 5
 """
 
 
+def _sql_search_count() -> str:
+    """Oracle for _q_search_count: exhaustive capped counts — OR =
+    distinct docs matching either term; 'all' = docs matching BOTH
+    distinct terms; filtered = docs matching 'spark' AND lang='en';
+    placeholder = every document. All least()-capped at the
+    maxTotalHits default (1000), total_pages fixed 0."""
+    return f"""
+WITH {_sql_tok()}
+SELECT 'or' AS mode,
+       least(count(DISTINCT doc_id), 1000)::BIGINT AS total_hits,
+       0::INT AS total_pages
+FROM tok WHERE term IN ('spark', 'join')
+UNION ALL
+SELECT 'all', least(count(*), 1000)::BIGINT, 0::INT FROM (
+  SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+UNION ALL
+SELECT 'filtered', least(count(DISTINCT t.doc_id), 1000)::BIGINT, 0::INT
+FROM tok t JOIN documents d USING (doc_id)
+WHERE t.term = 'spark' AND d.lang = 'en'
+UNION ALL
+SELECT 'placeholder', least(count(*), 1000)::BIGINT, 0::INT
+FROM documents
+"""
+
+
 def _sql_multi_page() -> str:
     """Oracle for _MULTI_PAGE_REQS: request 0 is a plain top-5 with
     NULL pagination metadata; request 1 is page 2 of 4 over 'join'
@@ -2855,6 +2925,7 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
         ),
         "ft_multi_search": _sql_multi_search(),
         "ft_multi_page": _sql_multi_page(),
+        "ft_search_count": _sql_search_count(),
         "ft_matching_all": _sql_matching_all(["spark", "join", "table"], 20),
         "ft_matching_frequency": _sql_matching_frequency(
             ["scan", "join", "spark"], 20

@@ -6,6 +6,10 @@ Usage:
       --index-dir /path/to/index --query "spark join" [-k 10] \
       [--mode df|wand] [--filter-role user] [--offset N] \
       [--page N --hits-per-page M] [--search-on attr1,attr2] \
+      (--hits-per-page 0 = Meilisearch's count-only request: empty
+       hits + exhaustive totalHits/totalPages=0 via the dedicated
+       count plan; composes with --filter/--typo/--prefix and with
+       --matching-strategy all) \
       [--facets attr1,attr2] \
       [--sort attr:asc,attr2:desc] [--distinct] [--proximity] \
       [--tenant-token JWT --keys-file keys.json --master-key K]
@@ -377,7 +381,35 @@ def main() -> None:
         return
 
     query_text = args.query
+    count_only = args.hits_per_page == 0
     if args.matching_strategy in ("all", "frequency"):
+        if args.page is not None or args.hits_per_page is not None:
+            # exhaustive pagination rides the single-query DataFrame
+            # path; the one composition the count plan models is the
+            # count-only 'all' request (search_count word groups)
+            if count_only and args.matching_strategy == "all" and not (
+                args.typo or args.prefix or search_on or args.facets
+            ):
+                from meilibridge_spark.operators.search import search_count
+
+                r = search_count(
+                    index, args.query, filter_docs=make_filter(),
+                    matching_strategy="all",
+                ).collect()[0]
+                print(json.dumps({
+                    "query": args.query, "hits": [],
+                    "page": 1 if args.page is None else args.page,
+                    "hitsPerPage": 0,
+                    "totalHits": r["total_hits"],
+                    "totalPages": r["total_pages"],
+                }))
+                return
+            ap.error(
+                "--page/--hits-per-page do not compose with "
+                "--matching-strategy all|frequency (batch path), except "
+                "count-only --hits-per-page 0 with --matching-strategy "
+                "all (and no --typo/--prefix/--search-on/--facets)"
+            )
         # the batch path owns the word-group machinery (synonyms + typo
         # alternates satisfying their word); singles ride it. '-word'
         # negatives are native to search_many; quoted (and negative)
@@ -548,6 +580,33 @@ def main() -> None:
         # to the post-processed ordering driver-side (k rows are tiny)
         cap = index.cfg.max_total_hits if post else args.k
         off = 0 if post else args.offset
+        if paged and count_only:
+            # Meilisearch's count-only request (hitsPerPage=0): hits
+            # stay empty and totalHits is exhaustive — answered by the
+            # dedicated count plan (search_count; the paged DataFrame
+            # has no hit row to carry response metadata on). --typo /
+            # --prefix expansions are already folded into query_text,
+            # so the count covers the same candidate set the paged
+            # search would rank.
+            if search_on is not None or args.facets:
+                ap.error(
+                    "--hits-per-page 0 (count-only) composes with "
+                    "--filter/--typo/--prefix only, not --search-on/"
+                    "--facets; use a positive hitsPerPage"
+                )
+            from meilibridge_spark.operators.search import search_count
+
+            r = search_count(
+                index, query_text, filter_docs=make_filter()
+            ).collect()[0]
+            print(json.dumps({
+                "query": args.query, "hits": [],
+                "page": 1 if args.page is None else args.page,
+                "hitsPerPage": 0,
+                "totalHits": r["total_hits"],
+                "totalPages": r["total_pages"],
+            }))
+            return
         if paged:
             hits_df = search(
                 index, query_text, filter_docs=make_filter(),

@@ -759,6 +759,140 @@ def placeholder_search(
     return out.limit(k)
 
 
+def _count_candidates(
+    cand: DataFrame,
+    filter_docs: "DataFrame | None",
+    exclude_docs: "DataFrame | None",
+    cap: int,
+) -> DataFrame:
+    """One-row ``(total_hits long, total_pages int)`` over a candidate
+    doc-id frame: optional left-semi filter / left-anti exclusion, one
+    capped count — no sort, no window, no top-k machinery."""
+    if filter_docs is not None:
+        cand = cand.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+    if exclude_docs is not None:
+        cand = cand.join(exclude_docs.select("doc_id"), "doc_id", "left_anti")
+    return cand.agg(
+        F.least(
+            F.count(F.lit(1)).cast("long"), F.lit(cap).cast("long")
+        ).alias("total_hits")
+    ).withColumn("total_pages", F.lit(0).cast("int"))
+
+
+def search_count(
+    index: InvertedIndex,
+    query: str,
+    *,
+    filter_docs: "DataFrame | None" = None,
+    exclude_docs: "DataFrame | None" = None,
+    matching_strategy: str = "last",
+) -> DataFrame:
+    """Count-only query — Meilisearch's ``hitsPerPage=0`` request (the
+    endpoint answers ``hits: []`` with exhaustive ``totalHits`` and
+    ``totalPages: 0``; the reference forwards pagination untouched,
+    config/type.go:82-84). Returns ONE row ``(total_hits long,
+    total_pages int)``: ``total_hits`` is the exhaustive match count
+    capped at maxTotalHits, ``total_pages`` is fixed at 0 — exactly the
+    endpoint's count-only response shape. This closes the recorded
+    DataFrame-path deviation: ``search(page=, hits_per_page=0)`` has no
+    hit row to carry response-level metadata on, a dedicated count
+    plan does.
+
+    Counts agree with the totals ``search(page=...)`` /
+    ``DriverSearcher.search_page`` report for the same query (parity
+    tested). An empty / stop-word-only ``query`` counts ALL documents
+    (the endpoint's placeholder semantics, same routing as
+    negative-only queries); a query with no indexed term counts 0.
+
+    Plan shapes (the cheapest that answers the semantics — counting
+    never pays ranking costs):
+
+    - single indexed term, no filter/exclusion: metadata-only
+      ``sum(n)`` over the term's posting blocks — ZERO decode; the
+      term-sorted layout prunes row groups and the scan reads only
+      ``(term, n)`` (plan-asserted in tests);
+    - otherwise: pruned posting scan -> decode -> distinct candidate
+      ids — for ``matching_strategy='all'`` docs must satisfy EVERY
+      word group (alternates stand in for their word; a term shared by
+      two groups satisfies both via a tiny broadcast (term, group)
+      map) — -> optional filter semi-join / exclusion anti-join -> one
+      capped count.
+
+    ``typo`` / ``prefix`` / ``attributes_to_search_on`` compositions
+    go through ``search(page=...)``'s totals instead (they change the
+    candidate set, not the counting)."""
+    if matching_strategy not in ("last", "all"):
+        raise ValueError(
+            "search_count matching_strategy must be 'last' or 'all', "
+            f"got {matching_strategy!r}"
+        )
+    cap = index.cfg.max_total_hits
+    spark = index.postings.sparkSession
+    q_terms = parse_query(query, index.cfg.analyzer)
+    if not q_terms:
+        # placeholder count: every document (minus filters/exclusions)
+        return _count_candidates(
+            index.docs.select("doc_id"), filter_docs, exclude_docs, cap
+        )
+    idf_map = _idf_map(index, q_terms)
+    if not idf_map:
+        return spark.createDataFrame(
+            [(0, 0)], "total_hits long, total_pages int"
+        )
+    groups: "list[list[str]] | None" = None
+    if matching_strategy == "all":
+        from meilibridge_spark.functions.tokenizer import query_word_groups
+
+        groups = query_word_groups(query, index.cfg.analyzer)
+        present = set(idf_map)
+        groups = [[t for t in g if t in present] for g in groups]
+        if any(not g for g in groups):
+            # a word with no indexed alternates can never be satisfied
+            return spark.createDataFrame(
+                [(0, 0)], "total_hits long, total_pages int"
+            )
+    if (
+        groups is None
+        and len(idf_map) == 1
+        and filter_docs is None
+        and exclude_docs is None
+    ):
+        # single-term fast path: df(t) docs == sum of per-block doc
+        # counts — block METADATA, no posting decode at all
+        t = next(iter(idf_map))
+        return (
+            index.postings.filter(terms_in("term", [t]))
+            .agg(
+                F.least(
+                    F.coalesce(F.sum("n"), F.lit(0)).cast("long"),
+                    F.lit(cap).cast("long"),
+                ).alias("total_hits")
+            )
+            .withColumn("total_pages", F.lit(0).cast("int"))
+        )
+    if groups is not None and len(groups) > 1:
+        fetch = sorted({t for g in groups for t in g})
+        pairs = [(t, i) for i, g in enumerate(groups) for t in g]
+        gmap = spark.createDataFrame(pairs, "term string, _g int")
+        cand = (
+            candidate_rows(index, fetch)
+            .select("term", "doc_id")
+            .join(F.broadcast(gmap), "term")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("_g").alias("_ng"))
+            .filter(F.col("_ng") == len(groups))
+            .select("doc_id")
+        )
+    else:
+        terms = (
+            sorted(idf_map)
+            if groups is None
+            else sorted({t for g in groups for t in g})
+        )
+        cand = candidate_rows(index, terms).select("doc_id").distinct()
+    return _count_candidates(cand, filter_docs, exclude_docs, cap)
+
+
 def _decode_shard_terms(
     rows,
     base: int,

@@ -261,3 +261,19 @@ def test_exhaustive_pagination_window_is_bounded(saved):
     # window and its bound (both run on the bounded <= cap rows)
     between = plan[win:bound]
     assert "Exchange" not in between, between
+
+
+def test_count_single_term_reads_block_metadata_only(saved):
+    """search_count's single-term fast path is a metadata aggregate:
+    the postings scan reads only (term, n) — no compressed payload
+    columns, no decode stage — and the term filter is pushed."""
+    from meilibridge_spark.operators.search import search_count
+
+    plan = _explain(search_count(saved, "baba"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"term", "n"}, cols
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "term" in m.group(1), plan
+    assert "mapinpandas" not in plan.lower()

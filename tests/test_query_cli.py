@@ -114,3 +114,59 @@ def test_page_rejects_incompatible_options(saved, monkeypatch, capsys):
                 "--index-dir", saved.index_dir, "--query", QUERY,
                 "--page", "1", *extra,
             )
+
+
+def test_count_only_response(saved, monkeypatch, capsys):
+    """--hits-per-page 0 is Meilisearch's count-only request: empty
+    hits, exhaustive totalHits, totalPages 0 — served by the dedicated
+    count plan, not the (row-less) paged DataFrame."""
+    from meilibridge_spark.operators.search import search_count
+
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--hits-per-page", "0",
+    )
+    want = search_count(saved, QUERY).collect()[0]
+    assert resp["hits"] == [] and resp["hitsPerPage"] == 0
+    assert resp["totalHits"] == want.total_hits > 0
+    assert resp["totalPages"] == 0
+
+
+def test_count_only_composes_with_filter_and_all(saved, monkeypatch, capsys):
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.operators.search import search_count
+
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--filter-role", "user", "--hits-per-page", "0",
+    )
+    want = search_count(
+        saved, QUERY, filter_docs=filter_doc_ids(saved, "role = 'user'")
+    ).collect()[0]
+    assert resp["totalHits"] == want.total_hits
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--hits-per-page", "0", "--matching-strategy", "all",
+    )
+    want = search_count(
+        saved, QUERY, matching_strategy="all"
+    ).collect()[0]
+    assert resp["totalHits"] == want.total_hits
+
+
+def test_count_only_rejects_incompatible_options(saved, monkeypatch, capsys):
+    for extra in (
+        ["--search-on", "text"],
+        ["--facets", "role"],
+        ["--matching-strategy", "frequency"],
+    ):
+        with pytest.raises(SystemExit):
+            _run_cli(
+                monkeypatch, capsys,
+                "--index-dir", saved.index_dir, "--query", QUERY,
+                "--hits-per-page", "0", *extra,
+            )
+        capsys.readouterr()
