@@ -8,8 +8,8 @@ Usage:
       [--page N --hits-per-page M] [--search-on attr1,attr2] \
       (--hits-per-page 0 = Meilisearch's count-only request: empty
        hits + exhaustive totalHits/totalPages=0 via the dedicated
-       count plan; composes with --filter/--typo/--prefix and with
-       --matching-strategy all) \
+       count plan; composes with --filter/--typo/--prefix/--facets
+       (facet-only queries) and with --matching-strategy all) \
       [--facets attr1,attr2] \
       [--sort attr:asc,attr2:desc] [--distinct] [--proximity] \
       [--tenant-token JWT --keys-file keys.json --master-key K]
@@ -588,24 +588,48 @@ def main() -> None:
             # --prefix expansions are already folded into query_text,
             # so the count covers the same candidate set the paged
             # search would rank.
-            if search_on is not None or args.facets:
+            if search_on is not None:
                 ap.error(
                     "--hits-per-page 0 (count-only) composes with "
-                    "--filter/--typo/--prefix only, not --search-on/"
-                    "--facets; use a positive hitsPerPage"
+                    "--filter/--typo/--prefix/--facets only, not "
+                    "--search-on; use a positive hitsPerPage"
                 )
             from meilibridge_spark.operators.search import search_count
 
             r = search_count(
                 index, query_text, filter_docs=make_filter()
             ).collect()[0]
-            print(json.dumps({
+            resp = {
                 "query": args.query, "hits": [],
                 "page": 1 if args.page is None else args.page,
                 "hitsPerPage": 0,
                 "totalHits": r["total_hits"],
                 "totalPages": r["total_pages"],
-            }))
+            }
+            if args.facets:
+                # facet-only query (the endpoint's common hitsPerPage=0
+                # + facets pattern): same bounded candidate analog as
+                # the hit path's --facets (top max_total_hits set)
+                from meilibridge_spark.operators.relational import (
+                    facet_distribution,
+                )
+
+                fcap = index.cfg.max_total_hits
+                full = search(
+                    index, query_text, fcap, filter_docs=make_filter()
+                )
+                attrs = [
+                    a.strip() for a in args.facets.split(",") if a.strip()
+                ]
+                fd: "dict[str, dict]" = {a: {} for a in attrs}
+                for frow in facet_distribution(
+                    full, index.docs, attrs, hit_bound=fcap,
+                    max_values=index.cfg.faceting_max_values,
+                    sort_by=index.cfg.faceting_sort_by,
+                ).collect():
+                    fd[frow["facet"]][frow["value"]] = frow["count"]
+                resp["facetDistribution"] = fd
+            print(json.dumps(resp))
             return
         if paged:
             hits_df = search(

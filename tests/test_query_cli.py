@@ -157,10 +157,29 @@ def test_count_only_composes_with_filter_and_all(saved, monkeypatch, capsys):
     assert resp["totalHits"] == want.total_hits
 
 
+def test_count_only_facet_only_query(saved, monkeypatch, capsys):
+    """hitsPerPage=0 + facets: the endpoint's facet-only pattern —
+    empty hits, exhaustive totalHits, and the same facetDistribution
+    the hit path's --facets reports."""
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--hits-per-page", "0", "--facets", "role",
+    )
+    assert resp["hits"] == [] and resp["totalHits"] > 0
+    with_hits = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--page", "1", "--hits-per-page", "5", "--facets", "role",
+    )
+    assert resp["facetDistribution"] == with_hits["facetDistribution"]
+    assert sum(resp["facetDistribution"]["role"].values()) > 0
+
+
 def test_count_only_rejects_incompatible_options(saved, monkeypatch, capsys):
     for extra in (
         ["--search-on", "text"],
-        ["--facets", "role"],
+        ["--facets", "role", "--matching-strategy", "all"],
         ["--matching-strategy", "frequency"],
     ):
         with pytest.raises(SystemExit):
