@@ -2414,7 +2414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ft_bm25_typo_rank in the gate); ft_multi_page (NEW: mixed
     # offset/exhaustive multi-search with nullable totalHits columns)
     # replaces ft_multi_search (r04-verified; the new entry exercises
-    # the same results-mode grouping plus the paged split). Entries
+    # the same results-mode grouping plus the paged split);
+    # ft_search_count (NEW: hitsPerPage=0 count-only queries, deviation
+    # closed) replaces ft_sorted_hits (r04-verified; the sort family
+    # keeps ft_rules_sort — sort composed at its rule position — and
+    # ft_geo_sort in the gate). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2587,7 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_exhaustive",
         "ft_geo_radius",
         "ft_geo_sort",
-        "ft_sorted_hits",
+        "ft_search_count",
         "ft_distinct_source",
         "ft_prefix_batch",
         "ft_crop",
