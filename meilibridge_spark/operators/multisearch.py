@@ -61,6 +61,53 @@ _PAGE_META_COLS = (
 )
 
 
+def _count_only_request(index: InvertedIndex, req: dict, req_no: int):
+    """One count-only request (``hits_per_page == 0``, the endpoint's
+    common count/facet-only pattern): answered by the dedicated
+    ``search_count`` plan and carried as a SINGLE metadata row with
+    NULL doc_id/score/rank — the endpoint's response-level
+    ``totalHits`` needs a carrier row in a flattened-rows DataFrame.
+    ``typo`` / ``prefix`` / ``attributes_to_search_on`` / ``proximity``
+    change the candidate set or ranking the count plan doesn't model —
+    rejected loudly (use a positive hitsPerPage)."""
+    from meilibridge_spark.operators.search import search_count
+
+    unsupported = [
+        kk for kk in ("typo", "prefix", "attributes_to_search_on",
+                      "proximity")
+        if req.get(kk)
+    ]
+    if unsupported:
+        raise ValueError(
+            f"request {req_no}: hits_per_page=0 (count-only) does not "
+            f"compose with {unsupported}; use a positive hitsPerPage"
+        )
+    if req.get("matching_strategy", "last") not in ("last", "all"):
+        raise ValueError(
+            f"request {req_no}: hits_per_page=0 (count-only) supports "
+            "matching_strategy 'last' or 'all' only"
+        )
+    filter_docs = None
+    if req.get("filter"):
+        from meilibridge_spark.functions.filters import filter_doc_ids
+
+        filter_docs = filter_doc_ids(index, req["filter"])
+    return search_count(
+        index,
+        req["q"],
+        filter_docs=filter_docs,
+        matching_strategy=req.get("matching_strategy", "last"),
+    ).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+        "total_hits",
+        "total_pages",
+        F.lit(req.get("page", 1) or 1).cast("int").alias("page"),
+        F.lit(0).cast("int").alias("hits_per_page"),
+    )
+
+
 def _exhaustive_request(index: InvertedIndex, req: dict, req_no: int):
     """One exhaustive-pagination request (``page`` / ``hits_per_page``
     present) answered through the single-query paged path — exhaustive
@@ -70,13 +117,16 @@ def _exhaustive_request(index: InvertedIndex, req: dict, req_no: int):
     ``limit`` / ``offset``. ``typo`` / ``prefix`` requests pre-expand
     terms the same way search_typo / search_prefix do (composing BOTH
     with pagination is rejected loudly — the batch path owns that
-    composition and deliberately never materializes per-query totals)."""
+    composition and deliberately never materializes per-query totals).
+    ``hits_per_page == 0`` routes to :func:`_count_only_request`."""
     from meilibridge_spark.operators.search import (
         prefix_expand_terms,
         search,
     )
     from meilibridge_spark.functions.tokenizer import parse_query
 
+    if req.get("hits_per_page") == 0:
+        return _count_only_request(index, req, req_no)
     if req.get("typo") and req.get("prefix"):
         raise ValueError(
             f"request {req_no}: typo and prefix together are not "
@@ -144,7 +194,13 @@ def multi_search(
     output gains nullable ``total_hits`` / ``total_pages`` / ``page`` /
     ``hits_per_page`` columns (null on offset/limit-mode rows), exactly
     mirroring the endpoint's per-entry response-shape split; with no
-    paged request the schema is unchanged (MULTI_SEARCH_SCHEMA)."""
+    paged request the schema is unchanged (MULTI_SEARCH_SCHEMA).
+
+    A request with ``hits_per_page == 0`` (the endpoint's count-only
+    entry) contributes ONE metadata carrier row — NULL
+    doc_id/score/rank, ``total_hits``/``total_pages=0`` from the
+    dedicated ``search_count`` plan — instead of silently vanishing
+    from the flattened rows."""
     if not requests:
         raise ValueError("multi_search needs at least one request")
     if not indexes:

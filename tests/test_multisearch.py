@@ -366,3 +366,40 @@ def test_multi_search_paged_validation(idxs):
         multi_search(idxs, [
             {"index_uid": "a", "q": "join", "page": 0},
         ]).collect()
+
+
+def test_multi_search_count_only_request(idxs):
+    """hits_per_page=0 entries contribute ONE NULL-doc carrier row with
+    search_count's exhaustive totals instead of silently vanishing."""
+    from meilibridge_spark.operators.search import search_count
+
+    rows = multi_search(idxs, [
+        {"index_uid": "a", "q": "join", "k": 2},
+        {"index_uid": "a", "q": "join", "hits_per_page": 0},
+        {"index_uid": "a", "q": "spark", "filter": "lang = 'de'",
+         "hits_per_page": 0, "matching_strategy": "all"},
+    ]).collect()
+    r1 = [r for r in rows if r["request_no"] == 1]
+    assert len(r1) == 1
+    assert r1[0]["doc_id"] is None and r1[0]["score"] is None
+    assert r1[0]["rank"] is None and r1[0]["hits_per_page"] == 0
+    want = search_count(idxs["a"], "join").collect()[0]
+    assert (r1[0]["total_hits"], r1[0]["total_pages"]) == (
+        want.total_hits, want.total_pages,
+    )
+    r2 = [r for r in rows if r["request_no"] == 2]
+    assert len(r2) == 1 and r2[0]["total_hits"] == 1
+    # the offset-mode request still returns plain hit rows
+    assert len([r for r in rows if r["request_no"] == 0]) == 2
+
+
+def test_multi_search_count_only_validation(idxs):
+    for bad in (
+        {"index_uid": "a", "q": "join", "hits_per_page": 0, "typo": True},
+        {"index_uid": "a", "q": "join", "hits_per_page": 0,
+         "prefix": True},
+        {"index_uid": "a", "q": "join", "hits_per_page": 0,
+         "matching_strategy": "frequency"},
+    ):
+        with pytest.raises(ValueError, match="count-only"):
+            multi_search(idxs, [bad])
