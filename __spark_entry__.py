@@ -2271,6 +2271,66 @@ def _q_custom_rules(terms_text: str, k: int):
     return run
 
 
+def _q_placeholder(k: int, filter_expr: str):
+    """Meilisearch PLACEHOLDER search (empty ``q``): a query with no
+    indexable tokens matches ALL documents — score 0.0, matching
+    criteria vacuously inactive, order = the ``sort`` rule then doc_id
+    asc. Routed automatically by the endpoint layer
+    (positions.search_with_phrases -> search.placeholder_search: one
+    column-pruned docs scan + filter semi-join + bounded TakeOrdered,
+    no postings work)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.positions import (
+            search_with_phrases,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        filt = filter_doc_ids(idx, filter_expr)
+        return search_with_phrases(
+            idx, "", k, filter_docs=filt, sort_params=[("lang", True)]
+        ).select("doc_id", "lang", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def _q_placeholder_page(page: int, hits_per_page: int, filter_expr: str):
+    """Placeholder search + exhaustive pagination (the endpoint's
+    empty-``q`` + page/hitsPerPage browse pattern): page slices over
+    ALL (filtered) documents with exhaustive totalHits/totalPages,
+    capped at maxTotalHits."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.positions import (
+            search_with_phrases,
+        )
+
+        idx = _docs_index(spark, sf_dir)
+        filt = filter_doc_ids(idx, filter_expr)
+        return search_with_phrases(
+            idx,
+            "",
+            filter_docs=filt,
+            page=page,
+            hits_per_page=hits_per_page,
+        ).select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "total_hits",
+            "total_pages",
+            "page",
+            "hits_per_page",
+        )
+
+    return run
+
+
 def _q_rules_sort_batch(qs: "list[tuple[str, str]]", k: int):
     """rankingRules with the ``sort`` rule at an explicit position,
     BATCH path: rules ['words', 'sort'], sort_params lang asc —
@@ -2418,13 +2478,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ft_search_count (NEW: hitsPerPage=0 count-only queries, deviation
     # closed) replaces ft_sorted_hits (r04-verified; the sort family
     # keeps ft_rules_sort — sort composed at its rule position — and
-    # ft_geo_sort in the gate). Entries
+    # ft_geo_sort in the gate); ft_placeholder (NEW: empty-q
+    # placeholder search — all documents, sort + filter composed)
+    # replaces ft_paged (r01-verified; pagination family keeps
+    # ft_page_exhaustive, ft_multi_page and ft_search_count) and
+    # ft_placeholder_page (NEW: empty-q + page/hitsPerPage exhaustive
+    # browse) replaces ft_exactness_rank (r03-verified; the exactness
+    # criterion stays gated through ft_custom_rules' rule list and
+    # ft_ranking_score's exactness subscore). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
         "ft_page_exhaustive": _q_page_exhaustive("spark join", 2, 7),
+        "ft_placeholder": _q_placeholder(15, "n_chars >= 200"),
+        "ft_placeholder_page": _q_placeholder_page(3, 7, "n_chars >= 200"),
         "ft_ranking_score": _q_ranking_score(
             "fast join", ["fast", "join"], 10, 0.5
         ),
@@ -2562,7 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     _GATE = [
         "ft_bm25_topk",
-        "ft_paged",
+        "ft_placeholder",
         "ft_ranking_score",
         "ft_negative_batch",
         "ft_negative_only",
@@ -2580,7 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_attribute_rank",
         "ft_custom_rules",
         "ft_rules_sort",
-        "ft_exactness_rank",
+        "ft_placeholder_page",
         "ft_matching_all",
         "ft_proximity_batch",
         "ft_proximity_attr",
@@ -3321,6 +3390,27 @@ ORDER BY s DESC, doc_id LIMIT 10
             + "SELECT doc_id, round(s, 4)::DOUBLE AS score FROM scores "
             "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"
         ),
+        "ft_placeholder": """
+SELECT doc_id, lang, 0.0::DOUBLE AS score
+FROM documents WHERE n_chars >= 200
+ORDER BY lang ASC, doc_id ASC LIMIT 15
+""",
+        "ft_placeholder_page": """
+WITH cand AS (
+  SELECT doc_id FROM documents WHERE n_chars >= 200
+  ORDER BY doc_id ASC LIMIT 1000
+),
+tot AS (SELECT count(*)::BIGINT AS total_hits FROM cand),
+num AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS rn FROM cand
+)
+SELECT n.doc_id, 0.0::DOUBLE AS score, t.total_hits,
+       ceil(t.total_hits / 7.0)::INT AS total_pages,
+       3::INT AS page, 7::INT AS hits_per_page
+FROM num n CROSS JOIN tot t
+WHERE n.rn > 14 AND n.rn <= 21
+ORDER BY n.rn
+""",
         "ft_page_exhaustive": (
             _sql_scores(["spark", "join"])
             + """, capped AS (

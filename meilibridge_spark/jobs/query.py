@@ -160,7 +160,7 @@ def main() -> None:
                          "(default: the index's configured name)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
-    if not args.query and not args.queries_file:
+    if args.query is None and not args.queries_file:
         ap.error("one of --query / --queries-file is required")
     if args.queries_file and args.mode is not None:
         ap.error("--mode applies to --query only; batch mode always uses "
@@ -463,6 +463,15 @@ def main() -> None:
         query_text = " ".join(
             prefix_expand_terms(index, parse_query(query_text, cfg.analyzer))
         )
+    # Meilisearch placeholder semantics: a query with no indexable
+    # tokens (empty / stop-word-only --query) matches ALL documents —
+    # routed through search_with_phrases -> placeholder_search on the
+    # DataFrame path (the term-scoring wand/serving modes don't apply)
+    from meilibridge_spark.functions.tokenizer import parse_query as _pq
+
+    empty_q = not has_phrase and not has_negative and not _pq(
+        query_text, cfg.analyzer
+    )
     sort_spec = None
     geo_sort = None  # (lat, lng, ascending) from _geoPoint(lat, lng)
     if args.sort:
@@ -551,7 +560,7 @@ def main() -> None:
         and search_on is None and not args.offset and not args.facets
         and not has_phrase and not has_negative and not sort_spec
         and not geo_sort and distinct_attr is None and not args.proximity
-        and not paged
+        and not paged and not empty_q
     )
     degraded = None
     if args.cutoff_ms is not None and not plain_wand:
@@ -632,12 +641,24 @@ def main() -> None:
             print(json.dumps(resp))
             return
         if paged:
-            hits_df = search(
-                index, query_text, filter_docs=make_filter(),
-                attributes_to_search_on=search_on,
-                page=args.page, hits_per_page=args.hits_per_page,
-            )
-        elif has_phrase or has_negative:
+            if empty_q:
+                # placeholder + exhaustive pagination (empty-q + page/
+                # hitsPerPage is a common endpoint combination)
+                from meilibridge_spark.operators.positions import (
+                    search_with_phrases,
+                )
+
+                hits_df = search_with_phrases(
+                    index, query_text, filter_docs=make_filter(),
+                    page=args.page, hits_per_page=args.hits_per_page,
+                )
+            else:
+                hits_df = search(
+                    index, query_text, filter_docs=make_filter(),
+                    attributes_to_search_on=search_on,
+                    page=args.page, hits_per_page=args.hits_per_page,
+                )
+        elif has_phrase or has_negative or empty_q:
             from meilibridge_spark.operators.positions import (
                 search_with_phrases,
             )

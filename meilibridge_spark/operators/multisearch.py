@@ -134,6 +134,24 @@ def _exhaustive_request(index: InvertedIndex, req: dict, req_no: int):
             "drop one or use the offset/limit mode"
         )
     q_terms = parse_query(req["q"], index.cfg.analyzer)
+    if not q_terms:
+        # empty / stop-word-only q: the endpoint's PLACEHOLDER search
+        # (all documents) composes with exhaustive pagination — same
+        # routing search_with_phrases / search_many apply
+        from meilibridge_spark.operators.search import placeholder_search
+
+        filter_docs = None
+        if req.get("filter"):
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            filter_docs = filter_doc_ids(index, req["filter"])
+        return placeholder_search(
+            index,
+            filter_docs=filter_docs,
+            page=req.get("page"),
+            hits_per_page=req.get("hits_per_page"),
+            page_rank_col="rank",
+        )
     terms, orig, typo_rank = q_terms, None, False
     if req.get("typo"):
         from meilibridge_spark.operators.search import typo_expand_terms

@@ -593,13 +593,12 @@ def search_with_phrases(
     for t in free.split():
         if t not in terms:
             terms.append(t)
-    if (neg_words or neg_phrases) and not parse_query(
-        " ".join(terms), index.cfg.analyzer
-    ):
-        # negative-only query (Meilisearch v1.8): the positive part
-        # has no indexable tokens (empty / stop words only) ->
-        # placeholder search over ALL documents minus the exclusion
-        # set (docs-table scan, no postings), doc-field rules only
+    if not parse_query(" ".join(terms), index.cfg.analyzer):
+        # no indexable positive tokens — empty ``q``, stop-word-only
+        # ``q``, or a negative-only query (Meilisearch v1.8): the
+        # endpoint's PLACEHOLDER semantics search ALL documents (minus
+        # any exclusion set) — docs-table scan, no postings, doc-field
+        # rules only; pagination composes exactly as with term queries
         from meilibridge_spark.operators.search import placeholder_search
 
         return placeholder_search(
@@ -610,5 +609,8 @@ def search_with_phrases(
             offset=search_kw.get("offset", 0),
             ranking_rules=search_kw.get("ranking_rules"),
             sort_params=search_kw.get("sort_params"),
+            page=search_kw.get("page"),
+            hits_per_page=search_kw.get("hits_per_page"),
+            page_rank_col=search_kw.get("page_rank_col"),
         )
     return search(index, " ".join(terms), k, filter_docs=docs, **search_kw)

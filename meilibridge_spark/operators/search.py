@@ -687,6 +687,7 @@ def placeholder_search(
     sort_params: "list[tuple[str, bool]] | None" = None,
     page: "int | None" = None,
     hits_per_page: "int | None" = None,
+    page_rank_col: "str | None" = None,
 ) -> DataFrame:
     """Meilisearch placeholder search: a query with no positive terms
     matches ALL documents (the negative-only / empty-``q`` semantics —
@@ -697,6 +698,14 @@ def placeholder_search(
     position — then ``doc_id`` asc; ``score`` is 0.0 and
     ``matched_terms`` 0 for every hit (same output contract as
     :func:`search`, custom-rule/sort fields as output columns).
+
+    Endpoint layers route here automatically: ``search_with_phrases``
+    (and the query CLI) for any query whose positive part yields no
+    indexable tokens — empty ``q``, stop-word-only ``q``, or
+    negative-only syntax — and ``search_many`` / ``multi_search`` via
+    the same classification per batch entry; ``search_count`` answers
+    the count-only form. The low-level :func:`search` primitive stays
+    term-scoring-only (empty token set = no hits).
 
     Plan shape: one column-pruned docs scan + optional left-semi
     (``filter_docs``) / left-anti (``exclude_docs``) joins + a bounded
@@ -752,7 +761,12 @@ def placeholder_search(
         # page/hitsPerPage combination); total_hits is capped at
         # maxTotalHits like the endpoint's counter
         return _paginate_exhaustive(
-            out, order, page, hits_per_page, index.cfg.max_total_hits
+            out,
+            order,
+            page,
+            hits_per_page,
+            index.cfg.max_total_hits,
+            rank_col=page_rank_col,
         )
     if offset:
         return out.offset(offset).limit(k)
@@ -2092,6 +2106,17 @@ def search_many(
                 (qid, pos_text if (neg_words or neg_phrases) else text)
             )
         queries = stripped
+    # Meilisearch placeholder semantics: a query whose text yields NO
+    # indexable tokens (empty / stop-word-only q) matches ALL documents
+    # — routed through the same placeholder candidate path as
+    # negative-only queries, with an empty exclusion set
+    live: "list[tuple[str, str]]" = []
+    for qid, text in queries:
+        if not parse_query(text, index.cfg.analyzer):
+            neg_only.setdefault(qid, ([], []))
+        else:
+            live.append((qid, text))
+    queries = live
     # dedup queries by their normalized term set: identical queries (and
     # rewordings hitting the same terms) are scored once and fanned back
     # out at the end — contributions are query-independent

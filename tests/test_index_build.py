@@ -314,15 +314,26 @@ def test_driver_searcher_filter_bounds(built):
 
 
 def test_search_many_matches_single(built):
+    # single-path counterpart is the endpoint layer (search_with_phrases):
+    # the stop-word-only query routes to placeholder semantics on BOTH
+    # paths (all documents, doc_id order); the search() primitive itself
+    # stays term-scoring-only (empty token set = no hits)
+    from meilibridge_spark.operators.positions import search_with_phrases
+
     batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
     res = search_many(built, batch, k=10).collect()
     by_q = {}
     for r in res:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
     for qid, text in batch:
-        single = [(r["doc_id"], r["score"]) for r in search(built, text, 10).collect()]
+        single = [
+            (r["doc_id"], r["score"])
+            for r in search_with_phrases(built, text, 10).collect()
+        ]
         many = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
         assert [d for d, _ in many] == [d for d, _ in single], f"{qid}: {text!r}"
+        if text == "ba ce":  # placeholder rows really are present
+            assert len(many) == 10 and all(s == 0.0 for _, s in many)
 
 
 def test_filtered_search(built, oracle, spark):
@@ -415,7 +426,10 @@ def test_load_snapshot_adopts_built_settings(spark, tmp_index_dir):
 
 def test_search_many_filtered_matches_single(built):
     """Filtered batch scatter-gather == single-query filtered path,
-    rank-identical, with and without serving mode."""
+    rank-identical, with and without serving mode. Single path = the
+    endpoint layer (search_with_phrases): the stop-word-only query is
+    a filtered PLACEHOLDER on both paths."""
+    from meilibridge_spark.operators.positions import search_with_phrases
     from meilibridge_spark.operators.search import prepare_serving
 
     filt = built.docs.filter(F.col("role") == "user").select("doc_id")
@@ -431,7 +445,9 @@ def test_search_many_filtered_matches_single(built):
         for qid, text in batch:
             single = [
                 (r["doc_id"], r["score"])
-                for r in search(built, text, 10, filter_docs=filt).collect()
+                for r in search_with_phrases(
+                    built, text, 10, filter_docs=filt
+                ).collect()
             ]
             many = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
             assert [d for d, _ in many] == [d for d, _ in single], f"{qid}: {text!r}"
@@ -521,13 +537,19 @@ def test_empty_corpus(spark):
 
 def test_search_many_words_rank_matches_single(built):
     """Batch words_rank == single-path words_rank, across all three
-    gather modes, matched_terms included."""
+    gather modes, matched_terms included. Single path = the endpoint
+    layer (search_with_phrases): the stop-word-only query is a
+    PLACEHOLDER (matched_terms 0) on both paths."""
+    from meilibridge_spark.operators.positions import search_with_phrases
+
     batch = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
     single = {}
     for qid, text in batch:
         single[qid] = [
             (r["doc_id"], r["matched_terms"], r["score"])
-            for r in search(built, text, 10, words_rank=True).collect()
+            for r in search_with_phrases(
+                built, text, 10, words_rank=True
+            ).collect()
         ]
     for mode in ("driver", "window", "tree"):
         res = search_many(
