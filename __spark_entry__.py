@@ -1079,6 +1079,30 @@ def _q_facet(terms_text: str, attr: str, sort_by: str = "alpha"):
     return run
 
 
+def _q_facet_sort_rules(terms_text: str, max_values: int):
+    """``faceting.sortFacetValuesBy`` FULL MAP form (the endpoint's
+    {"*": default, facet: rule} shape, config.facet_sort_map()):
+    per-facet rules in ONE facetDistribution job — 'lang' count-ordered
+    (count desc, value asc ties), 'source' alpha-ordered — with the
+    per-facet value cap applied UNDER each facet's own rule."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.operators.relational import (
+            facet_distribution,
+        )
+
+        idx, hits = _search_hits(spark, sf_dir, terms_text, 10**6)
+        return facet_distribution(
+            hits,
+            idx.docs,
+            ["lang", "source"],
+            max_values=max_values,
+            sort_by={"*": "alpha", "lang": "count"},
+        )
+
+    return run
+
+
 def _q_crop(terms: "list[str]", k: int, crop_length: int):
     """attributesToCrop/cropLength analog: crop_length-word window
     around the first query-term match, crop markers on truncated
@@ -2485,7 +2509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ft_placeholder_page (NEW: empty-q + page/hitsPerPage exhaustive
     # browse) replaces ft_exactness_rank (r03-verified; the exactness
     # criterion stays gated through ft_custom_rules' rule list and
-    # ft_ranking_score's exactness subscore). Entries
+    # ft_ranking_score's exactness subscore); ft_facet_sort_rules
+    # (NEW: sortFacetValuesBy full map form — per-facet rules in one
+    # job) replaces ft_matching_all (r04-verified; the 'all' strategy
+    # stays gated through ft_search_count's matching_strategy='all'
+    # count and ft_matching_frequency for the word-group machinery).
+    # Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2537,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_facet_stats": _q_facet_stats("spark join", "n_chars"),
         "ft_facet_count_order": _q_facet("spark join", "lang", sort_by="count"),
+        "ft_facet_sort_rules": _q_facet_sort_rules("spark join", 3),
         "ft_geo_radius": _q_geo_radius("spark join", 10, 10.0, 20.0, 3_000_000),
         "ft_bm25_prefix": _q_prefix("spark jo", 10),
         "ft_distinct_source": _q_distinct("spark join", "source"),
@@ -2650,7 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_custom_rules",
         "ft_rules_sort",
         "ft_placeholder_page",
-        "ft_matching_all",
+        "ft_facet_sort_rules",
         "ft_proximity_batch",
         "ft_proximity_attr",
         "ft_bm25_filter_fold",
@@ -3033,6 +3063,29 @@ FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
             + "SELECT d.lang, count(*)::BIGINT AS count "
             "FROM scores s JOIN documents d USING (doc_id) "
             "GROUP BY d.lang ORDER BY count(*) DESC, d.lang LIMIT 100"
+        ),
+        "ft_facet_sort_rules": (
+            fs
+            + """, counts AS (
+  SELECT 'lang' AS facet, d.lang AS value, count(*)::BIGINT AS count
+  FROM scores s JOIN documents d USING (doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT 'source', d.source, count(*)::BIGINT
+  FROM scores s JOIN documents d USING (doc_id) GROUP BY d.source
+),
+ranked AS (
+  SELECT facet, value, count,
+         row_number() OVER (
+           PARTITION BY facet
+           ORDER BY CASE WHEN facet = 'lang' THEN -count ELSE 0 END ASC,
+                    value ASC
+         ) AS rn
+  FROM counts
+)
+SELECT facet, value, count FROM ranked WHERE rn <= 3
+ORDER BY facet,
+         CASE WHEN facet = 'lang' THEN -count ELSE 0 END ASC,
+         value ASC"""
         ),
         "ft_words_rank": f"""
 WITH {_sql_tok()},

@@ -276,12 +276,16 @@ class IndexConfig:
     #: natively here.
     proximity_precision: str = "byWord"
     #: Meilisearch ``faceting`` index settings: ``maxValuesPerFacet``
-    #: (default 100) and ``sortFacetValuesBy`` ("alpha" default /
-    #: "count" — the endpoint's {"*": ...} form, one rule for all
-    #: facets). Used as the endpoint-shaped defaults by the facet
-    #: distribution paths; explicit per-call args still win.
+    #: (default 100) and ``sortFacetValuesBy`` — ``faceting_sort_by``
+    #: is the map's ``"*"`` default rule ("alpha" / "count") and
+    #: ``faceting_sort_by_rules`` holds the PER-FACET overrides of the
+    #: endpoint's full map form ({"*": "alpha", "genres": "count"}) as
+    #: (facet, rule) pairs. ``facet_sort_map()`` reassembles the
+    #: endpoint map; the facet distribution paths take it directly.
+    #: Explicit per-call args still win.
     faceting_max_values: int = 100
     faceting_sort_by: str = "alpha"
+    faceting_sort_by_rules: tuple[tuple[str, str], ...] = ()
     #: Meilisearch ``embedders`` index setting, userProvided source only
     #: (the engine is embedder-model-agnostic — query/document vectors
     #: are inputs, exactly Meilisearch's ``source: "userProvided"``
@@ -363,6 +367,32 @@ class IndexConfig:
                 "faceting_sort_by must be 'alpha' or 'count', got "
                 f"{self.faceting_sort_by!r}"
             )
+        seen_facets = set()
+        for pair in self.faceting_sort_by_rules:
+            if len(pair) != 2:
+                raise ConfigError(
+                    "faceting_sort_by_rules entries must be "
+                    f"(facet, rule) pairs, got {pair!r}"
+                )
+            facet, rule = pair
+            if not facet or facet == "*":
+                # the '*' default lives in faceting_sort_by — one home
+                # per setting, like the endpoint's map
+                raise ConfigError(
+                    "faceting_sort_by_rules facet names must be "
+                    "non-empty and not '*' (set faceting_sort_by for "
+                    f"the default rule), got {facet!r}"
+                )
+            if rule not in ("alpha", "count"):
+                raise ConfigError(
+                    "faceting_sort_by_rules rules must be 'alpha' or "
+                    f"'count', got {rule!r} for facet {facet!r}"
+                )
+            if facet in seen_facets:
+                raise ConfigError(
+                    f"duplicate faceting_sort_by_rules facet {facet!r}"
+                )
+            seen_facets.add(facet)
         if self.faceting_max_values < 1:
             raise ConfigError("faceting_max_values must be >= 1")
         if self.search_cutoff_ms is not None and self.search_cutoff_ms <= 0:
@@ -394,6 +424,14 @@ class IndexConfig:
     def normalized_name(self) -> str:
         """Reference normalizes names: spaces -> dashes (config/config.go)."""
         return self.index_name.strip().replace(" ", "-")
+
+    def facet_sort_map(self) -> dict:
+        """The ``faceting.sortFacetValuesBy`` map in the endpoint's
+        shape: ``{"*": <default rule>, <facet>: <rule>, ...}`` —
+        ``faceting_sort_by`` as the ``"*"`` entry plus the per-facet
+        overrides. Feed directly to
+        ``relational.facet_distribution(sort_by=)``."""
+        return {"*": self.faceting_sort_by, **dict(self.faceting_sort_by_rules)}
 
     def to_json_dict(self) -> dict:
         """JSON-serializable form of the FULL config (analyzer and typo
@@ -462,6 +500,9 @@ class IndexConfig:
             proximity_precision=d.get("proximity_precision", "byWord"),
             faceting_max_values=int(d.get("faceting_max_values", 100)),
             faceting_sort_by=d.get("faceting_sort_by", "alpha"),
+            faceting_sort_by_rules=tuple(
+                (f, r) for f, r in (d.get("faceting_sort_by_rules") or ())
+            ),
             embedders=tuple(
                 (n, int(dim)) for n, dim in (d.get("embedders") or ())
             ),

@@ -634,7 +634,7 @@ def main() -> None:
                 for frow in facet_distribution(
                     full, index.docs, attrs, hit_bound=fcap,
                     max_values=index.cfg.faceting_max_values,
-                    sort_by=index.cfg.faceting_sort_by,
+                    sort_by=index.cfg.facet_sort_map(),
                 ).collect():
                     fd[frow["facet"]][frow["value"]] = frow["count"]
                 resp["facetDistribution"] = fd
@@ -759,7 +759,7 @@ def main() -> None:
         for r in facet_distribution(
             full, index.docs, attrs, hit_bound=cap,
             max_values=index.cfg.faceting_max_values,
-            sort_by=index.cfg.faceting_sort_by,
+            sort_by=index.cfg.facet_sort_map(),
         ).collect():
             fd[r["facet"]][r["value"]] = r["count"]
         resp["facetDistribution"] = fd

@@ -188,7 +188,7 @@ def facet_distribution(
     attrs: "list[str]",
     max_values: int = 100,
     hit_bound: "int | None" = None,
-    sort_by: str = "alpha",
+    sort_by: "str | dict" = "alpha",
 ) -> DataFrame:
     """Q8 multi-facet form (Meilisearch facetDistribution): value counts
     for SEVERAL facet attributes over the matching docs in ONE job ->
@@ -196,7 +196,14 @@ def facet_distribution(
     ``sort_by`` maps the ``faceting.sortFacetValuesBy`` index setting:
     'alpha' (default, lexicographic within each facet) or 'count'
     (count-desc, value-asc ties) — the cap keeps the TOP values under
-    the chosen order, exactly the setting's semantics.
+    the chosen order, exactly the setting's semantics. The endpoint's
+    FULL map form is accepted too: a dict ``{"*": <default>,
+    <facet>: <rule>, ...}`` applies a PER-FACET rule
+    (``IndexConfig.facet_sort_map()`` builds it from the index
+    settings) — implemented as ONE window whose sort key encodes each
+    facet's rule (``-count`` primary for count-ordered facets, a
+    constant for alpha ones), so the per-facet rules cost no extra
+    shuffle over the single-rule form.
 
     One join + one explode of per-row (facet, value) structs + one
     map-side-combined count; the per-facet cap is a window over the
@@ -222,15 +229,41 @@ def facet_distribution(
         .groupBy("facet", "value")
         .agg(F.count("*").alias("count"))
     )
-    if sort_by not in ("alpha", "count"):
-        raise ValueError(
-            f"sort_by must be 'alpha' or 'count', got {sort_by!r}"
+    if isinstance(sort_by, dict):
+        bad = {
+            r for r in sort_by.values() if r not in ("alpha", "count")
+        }
+        if bad:
+            raise ValueError(
+                f"sort_by rules must be 'alpha' or 'count', got {bad}"
+            )
+        default = sort_by.get("*", "alpha")
+        count_facets = [
+            a for a in attrs
+            if sort_by.get(a, default) == "count"
+        ]
+        if not count_facets:
+            order = [F.col("value").asc()]
+        elif len(count_facets) == len(attrs):
+            order = [F.col("count").desc(), F.col("value").asc()]
+        else:
+            # one window for every facet: the primary key encodes the
+            # per-facet rule — count-ordered facets sort by -count
+            # (desc), alpha facets by a constant, then value asc ties
+            primary = F.when(
+                F.col("facet").isin(count_facets), -F.col("count")
+            ).otherwise(F.lit(0))
+            order = [primary.asc(), F.col("value").asc()]
+    else:
+        if sort_by not in ("alpha", "count"):
+            raise ValueError(
+                f"sort_by must be 'alpha' or 'count', got {sort_by!r}"
+            )
+        order = (
+            [F.col("value").asc()]
+            if sort_by == "alpha"
+            else [F.col("count").desc(), F.col("value").asc()]
         )
-    order = (
-        [F.col("value").asc()]
-        if sort_by == "alpha"
-        else [F.col("count").desc(), F.col("value").asc()]
-    )
     w = Window.partitionBy("facet").orderBy(*order)
     return (
         counts.withColumn("_rn", F.row_number().over(w))

@@ -751,7 +751,14 @@ def get_settings(
             "sortFacetValuesBy": {
                 "*": (meta.get("config") or {}).get(
                     "faceting_sort_by", "alpha"
-                )
+                ),
+                # per-facet overrides (the endpoint's full map form)
+                **{
+                    f: r
+                    for f, r in (meta.get("config") or {}).get(
+                        "faceting_sort_by_rules", ()
+                    )
+                },
             },
         },
         # v1.10 searchCutoffMs (serving-path budget,

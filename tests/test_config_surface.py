@@ -289,6 +289,95 @@ def test_faceting_settings_in_get_settings(spark, tmp_index_dir):
     }
 
 
+def test_facet_sort_by_rules_validation_and_map():
+    import dataclasses
+
+    from meilibridge_spark.config import ConfigError, IndexConfig
+
+    base = IndexConfig(index_name="fsr")
+    ok = dataclasses.replace(
+        base, faceting_sort_by_rules=(("genres", "count"),)
+    )
+    ok.validate()
+    assert ok.facet_sort_map() == {"*": "alpha", "genres": "count"}
+    # JSON round-trip (asdict turns tuples into lists)
+    back = IndexConfig.from_json_dict(ok.to_json_dict())
+    assert back.faceting_sort_by_rules == (("genres", "count"),)
+    with pytest.raises(ConfigError, match="alpha"):
+        dataclasses.replace(
+            base, faceting_sort_by_rules=(("genres", "size"),)
+        ).validate()
+    with pytest.raises(ConfigError, match="non-empty"):
+        dataclasses.replace(
+            base, faceting_sort_by_rules=(("*", "count"),)
+        ).validate()
+    with pytest.raises(ConfigError, match="duplicate"):
+        dataclasses.replace(
+            base,
+            faceting_sort_by_rules=(("g", "count"), ("g", "alpha")),
+        ).validate()
+
+
+def test_facet_sort_by_rules_per_facet_order(spark, idx):
+    """sortFacetValuesBy full map form: {'*': default, facet: rule} —
+    one facet count-ordered, the sibling alpha-ordered, in ONE job
+    (the rule is encoded in the window sort key)."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.relational import facet_distribution
+    from meilibridge_spark.operators.search import search
+
+    docs = idx.docs.withColumn(
+        "bucket", F.when(F.col("doc_id") < 3, "zz").otherwise("aa")
+    ).withColumn("solo", F.col("doc_id").cast("string"))
+    hits = search(idx, "join joined joint journey", 10**6)
+    rows = facet_distribution(
+        hits,
+        docs,
+        ["bucket", "solo"],
+        sort_by={"*": "alpha", "bucket": "count"},
+    ).collect()
+    bucket = [
+        (r["value"], r["count"]) for r in rows if r["facet"] == "bucket"
+    ]
+    # count-ordered: 'zz' (3 hits: docs 0,1,2) before 'aa' (1 hit)
+    assert bucket == [("zz", 3), ("aa", 1)]
+    solo = [r["value"] for r in rows if r["facet"] == "solo"]
+    assert solo == sorted(solo)  # alpha default for the other facet
+    # all-count and all-alpha map forms agree with the str forms
+    for rule in ("alpha", "count"):
+        a = facet_distribution(
+            hits, docs, ["bucket", "solo"], sort_by=rule
+        ).collect()
+        b = facet_distribution(
+            hits, docs, ["bucket", "solo"], sort_by={"*": rule}
+        ).collect()
+        assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        facet_distribution(
+            hits, docs, ["bucket"], sort_by={"*": "size"}
+        ).collect()
+
+
+def test_facet_sort_by_rules_in_get_settings(spark, tmp_index_dir):
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import get_settings
+
+    cfg = IndexConfig(
+        index_name="fsr2",
+        faceting_sort_by="count",
+        faceting_sort_by_rules=(("role", "alpha"),),
+    )
+    sdf = spark.createDataFrame(
+        [("c", 0, "hello world")], "conv_id string, turn_idx int, text string"
+    )
+    build_and_save(spark, sdf, cfg, tmp_index_dir)
+    st = get_settings(tmp_index_dir)
+    assert st["faceting"]["sortFacetValuesBy"] == {
+        "*": "count", "role": "alpha",
+    }
+
+
 # --- embedders index setting (userProvided source) ---
 
 
