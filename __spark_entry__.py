@@ -2190,6 +2190,26 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=5)
 
 
+def _q_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meilisearch v1.10 ``binaryQuantized: true`` scoring: both sides
+    sign-quantized (32 dims per long word), similarity = the +/-1 dot
+    product (dim - 2*hamming)/dim — computed JVM-side as
+    bit_count(xor) over packed words (operators/similarity.py:
+    binary_quantize / binary_ann_topk). The oracle re-derives the same
+    Hamming distances from raw sign comparisons, proving the packed
+    path bit-exact."""
+    from pyspark.sql import functions as F
+
+    from meilibridge_spark.operators.similarity import binary_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return binary_ann_topk(emb, q, dim=64, k=5)
+
+
 def _q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meilisearch GET /indexes/{uid}/similar analog: nearest docs to
     two target documents by embedding cosine, rankingScoreThreshold
@@ -2513,8 +2533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (NEW: sortFacetValuesBy full map form — per-facet rules in one
     # job) replaces ft_matching_all (r04-verified; the 'all' strategy
     # stays gated through ft_search_count's matching_strategy='all'
-    # count and ft_matching_frequency for the word-group machinery).
-    # Entries
+    # count and ft_matching_frequency for the word-group machinery);
+    # sim_binary_topk (NEW: v1.10 binaryQuantized embedders —
+    # sign-packed Hamming scoring, bit-exact vs the oracle's raw sign
+    # comparison) replaces ft_geo_sort (r04-verified; geo keeps
+    # ft_geo_radius in the gate). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2592,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters_star": _q_dedup_clusters_star,
         "dd_simhash32": _q_simhash,
         "sim_cosine_topk": _q_cosine_topk,
+        "sim_binary_topk": _q_binary_topk,
         "sim_ivf_topk": _q_ivf_topk,
         "mm_features": _q_mm_features,
         # ---- entries 51+: secondary variants + the r03-verified
@@ -2689,7 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_search",
         "ft_facet_exhaustive",
         "ft_geo_radius",
-        "ft_geo_sort",
+        "sim_binary_topk",
         "ft_search_count",
         "ft_distinct_source",
         "ft_prefix_batch",
@@ -3792,6 +3816,26 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN CAST(2**j AS BIGINT) ELSE 0 END)::BIGINT AS simhash32
 FROM bits GROUP BY doc_id
+""",
+        "sim_binary_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN (e.embedding[i::INT] > 0) <> (q.qv[i::INT] > 0)
+                THEN 1 ELSE 0 END))::BIGINT AS h
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, h,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY h ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       round((64 - 2 * h) / 64.0, 6)::DOUBLE AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 5
 """,
         "sim_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -293,6 +293,13 @@ class IndexConfig:
     #: paths validate embedding dimensionality loudly (build_vectors /
     #: the jobs CLI) instead of failing deep inside a numpy reshape.
     embedders: tuple[tuple[str, int], ...] = ()
+    #: Meilisearch v1.10 ``binaryQuantized: true`` per embedder: names
+    #: of declared embedders whose vectors are sign-quantized at
+    #: indexing time (operators/similarity.binary_quantize — 32 dims
+    #: per long word, Hamming scoring via binary_ann_topk). Like the
+    #: endpoint, the option is one-way per index build: flipping it
+    #: means reindexing, so it lives in the per-snapshot settings.
+    binary_quantized_embedders: tuple[str, ...] = ()
     #: Meilisearch v1.10 ``searchCutoffMs`` index setting: per-query
     #: wall-clock budget in milliseconds for the low-latency SERVING
     #: path (DriverSearcher.search_cutoff — the anytime block-max WAND
@@ -411,6 +418,17 @@ class IndexConfig:
                     f"embedder {n!r} dimensions must be an int >= 1, "
                     f"got {dim!r}"
                 )
+        declared = {n for n, _ in self.embedders}
+        for n in self.binary_quantized_embedders:
+            if n not in declared:
+                raise ConfigError(
+                    f"binary_quantized_embedders names a missing "
+                    f"embedder {n!r} (declared: {sorted(declared)})"
+                )
+        if len(set(self.binary_quantized_embedders)) != len(
+            self.binary_quantized_embedders
+        ):
+            raise ConfigError("duplicate binary_quantized_embedders name")
         if self.geo_attributes is not None and (
             isinstance(self.geo_attributes, str)
             or len(self.geo_attributes) != 2
@@ -505,6 +523,9 @@ class IndexConfig:
             ),
             embedders=tuple(
                 (n, int(dim)) for n, dim in (d.get("embedders") or ())
+            ),
+            binary_quantized_embedders=tuple(
+                d.get("binary_quantized_embedders") or ()
             ),
             search_cutoff_ms=(
                 int(d["search_cutoff_ms"])

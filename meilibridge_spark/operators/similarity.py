@@ -86,6 +86,151 @@ def cosine_topk(
     )
 
 
+def binary_quantize(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_col: str = "bits",
+    keep: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Meilisearch v1.10 ``binaryQuantized`` embedder option: every
+    dimension quantized to its SIGN bit (``> 0`` -> 1), packed 32 dims
+    per long word -> ``(id, bits: array<long>)`` — float32 vectors
+    shrink ~32x, and Hamming scoring over the packed words replaces
+    the float dot product (:func:`binary_ann_topk`). The endpoint's
+    accuracy/memory knob for large indexes, applied at indexing time
+    exactly like Meilisearch (the setting change triggers reindex).
+
+    Pure Catalyst — ``2^j`` terms for ``j <= 31`` are exact in double
+    (the reason for 32-bit words: summing distinct powers stays well
+    under the 53-bit mantissa), summed per word and cast to long; no
+    UDF, no shuffle (a projection over the embeddings scan).
+    ``keep`` forwards extra columns (e.g. a centroid assignment)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    words = []
+    for w in range((dim + 31) // 32):
+        lo = w * 32
+        width = min(32, dim - lo)
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), lo + 1, width),
+                    F.sequence(F.lit(0), F.lit(width - 1)),
+                    lambda v, j: F.when(
+                        v > 0, F.pow(F.lit(2.0), j.cast("double"))
+                    ).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).cast("long")
+        )
+    return emb.select(
+        F.col(id_col), F.array(*words).alias(bits_col), *keep
+    )
+
+
+def binary_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    rerank_pool: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k nearest neighbors under BINARY-QUANTIZED scoring
+    (Meilisearch ``binaryQuantized: true``): both sides sign-quantized
+    (:func:`binary_quantize`), similarity = the +/-1 dot product
+    ``(dim - 2*hamming) / dim`` — ranking by it is ranking by Hamming
+    distance ascending, computed JVM-side as ``bit_count(xor)`` over
+    the packed words (whole-stage codegen, no UDF, ~32x less data
+    scanned than the float path).
+
+    -> (query_id, vec_id, score, rank), self-matches excluded, ties on
+    equal Hamming broken by id asc.
+
+    ``rerank_pool=R``: the standard two-stage recipe — the cheap bit
+    scan keeps the top R candidates per query, then EXACT cosine over
+    the original float vectors re-ranks those R down to k (one
+    semi-joined pass over the candidates only). At 100 TB the bit scan
+    touches 1/32nd of the bytes and the float reads are k-bounded."""
+    if rerank_pool is not None and rerank_pool < k:
+        raise ValueError(
+            f"rerank_pool must be >= k, got {rerank_pool} < {k}"
+        )
+    qb = binary_quantize(
+        queries,
+        dim,
+        id_col=query_id_col,
+        vec_col=query_vec_col,
+        bits_col="_qbits",
+    )
+    eb = binary_quantize(emb, dim, id_col=id_col, vec_col=vec_col)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("bits"),
+            F.col("_qbits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        eb.crossJoin(F.broadcast(qb))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            hamming.alias("_h"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    pool = rerank_pool if rerank_pool is not None else k
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= pool
+    )
+    if rerank_pool is None:
+        return top.select(
+            query_id_col,
+            id_col,
+            F.round(
+                (F.lit(dim) - 2 * F.col("_h")) / F.lit(float(dim)), 6
+            ).alias("score"),
+            "rank",
+        )
+    # exact-cosine rerank over the R bit-scan survivors only
+    exact = (
+        top.select(query_id_col, id_col)
+        .join(emb.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            _cos(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank"
+        )
+    )
+
+
 def sign_lsh_buckets(
     emb: DataFrame,
     n_bits: int = 8,

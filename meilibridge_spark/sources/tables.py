@@ -767,9 +767,20 @@ def get_settings(
             "search_cutoff_ms"
         ),
         # embedders setting (userProvided source only — vectors are
-        # inputs, the engine is embedder-model-agnostic)
+        # inputs, the engine is embedder-model-agnostic); v1.10
+        # binaryQuantized reported per embedder
         "embedders": {
-            n: {"source": "userProvided", "dimensions": int(dim)}
+            n: {
+                "source": "userProvided",
+                "dimensions": int(dim),
+                "binaryQuantized": n
+                in (
+                    (meta.get("config") or {}).get(
+                        "binary_quantized_embedders"
+                    )
+                    or ()
+                ),
+            }
             for n, dim in (
                 (meta.get("config") or {}).get("embedders") or ()
             )

@@ -453,13 +453,23 @@ def test_embedders_in_get_settings(spark, tmp_index_dir):
 
     cfg = dataclasses.replace(
         IndexConfig(index_name="embset"),
-        embedders=(("default", 3),),
+        embedders=(("default", 3), ("bq", 3)),
+        binary_quantized_embedders=("bq",),
     )
     src = generate_transcripts(spark, n_convs=4, seed=5)
     build_and_save(spark, src, cfg, tmp_index_dir)
     s = get_settings(tmp_index_dir)
     assert s["embedders"] == {
-        "default": {"source": "userProvided", "dimensions": 3}
+        "default": {
+            "source": "userProvided",
+            "dimensions": 3,
+            "binaryQuantized": False,
+        },
+        "bq": {
+            "source": "userProvided",
+            "dimensions": 3,
+            "binaryQuantized": True,
+        },
     }
 
 
