@@ -142,12 +142,15 @@ def main() -> None:
                     default="normalized",
                     help="hybrid keyword blend: pool-normalized BM25 or "
                          "the absolute _rankingScore analog")
-    ap.add_argument("--semantic", choices=["auto", "exact", "ivf"],
+    ap.add_argument("--semantic",
+                    choices=["auto", "exact", "ivf", "binary"],
                     default="auto",
                     help="semantic pool source: 'auto' (default) probes "
                          "the index's stored IVF layout when present "
                          "(jobs/build_vectors.py) else brute-force; "
-                         "'exact'/'ivf' force a path")
+                         "'exact'/'ivf' force a path; 'binary' = the "
+                         "binaryQuantized pool (sign-packed Hamming "
+                         "bit scan, exact-cosine rerank of the pool)")
     ap.add_argument("--tenant-token", default=None,
                     help="HS256 tenant token (jobs/keys.py token); its "
                          "searchRules filter is FORCED onto the query, "

@@ -173,7 +173,16 @@ def search_hybrid_many(
     by load_snapshot when ``save_vector_index`` ran) — quantizer,
     assignment and n_probe all come from the store, zero
     training/assignment jobs — else exact. Exact remains the
-    correctness baseline and the oracle.
+    correctness baseline and the oracle. ``"binary"`` (Meilisearch
+    v1.10 binaryQuantized embedders): the semantic pool comes from a
+    sign-packed Hamming bit scan (`similarity.binary_quantize`, 32
+    dims per long word — 1/32nd the bytes of the float pass) whose
+    top-``pool`` survivors are re-scored with EXACT cosine, so fusion
+    stays on the same (1 + cos) / 2 scale as 'exact'; like 'ivf', a
+    candidate outside the bit-scan pool keeps sem = 0 (un-scanned =
+    unseen), and with pool >= the corpus the output is rank-identical
+    to exact (tested). Query vector dimensionality drives the packing
+    (all query vectors must agree).
 
     ``score_mode``: how the keyword side enters the blend.
     ``"normalized"`` (default, the original list-fusion analog):
@@ -194,9 +203,10 @@ def search_hybrid_many(
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
     if pool < k:
         raise ValueError(f"pool ({pool}) must be >= k ({k})")
-    if semantic not in ("exact", "ivf", "auto"):
+    if semantic not in ("exact", "ivf", "auto", "binary"):
         raise ValueError(
-            f"semantic must be 'exact', 'ivf' or 'auto', got {semantic!r}"
+            "semantic must be 'exact', 'ivf', 'auto' or 'binary', "
+            f"got {semantic!r}"
         )
     vectors = getattr(index, "vectors", None)
     stored_probe = False
@@ -342,6 +352,56 @@ def search_hybrid_many(
                 .select("query_id", "qv", "centroid_id")
             )
             base = assigned.join(F.broadcast(probes), "centroid_id")
+    elif semantic == "binary":
+        # binaryQuantized pool: Hamming bit scan over packed sign words
+        # finds the top-pool candidates per query (bit_count(xor),
+        # whole-stage codegen, ~1/32nd the bytes of the float pass);
+        # exact cosine then re-scores ONLY those survivors, keeping
+        # fusion on the same (1 + cos) / 2 scale as 'exact'
+        from meilibridge_spark.operators.similarity import (
+            binary_quantize,
+        )
+
+        dims = {len(v) for v in query_vecs.values()}
+        if len(dims) != 1:
+            raise ValueError(
+                f"semantic='binary' needs equal-dim query vectors, "
+                f"got dims {sorted(dims)}"
+            )
+        dim = dims.pop()
+        eb = binary_quantize(emb, dim, id_col=id_col, vec_col=vec_col)
+        qb = binary_quantize(
+            qdf, dim, id_col="query_id", vec_col="qv", bits_col="_qbits"
+        )
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col("bits"),
+                F.col("_qbits"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w_h = Window.partitionBy("query_id").orderBy(
+            F.col("_h").asc(), F.col("doc_id").asc()
+        )
+        bit_pool = (
+            eb.crossJoin(F.broadcast(qb))
+            .select(
+                "query_id",
+                F.col(id_col).alias("doc_id"),
+                hamming.alias("_h"),
+            )
+            .withColumn("_r", F.row_number().over(w_h))
+            .filter(F.col("_r") <= pool)
+            .select("query_id", "doc_id")
+        )
+        base = (
+            emb.select(F.col(id_col).alias("doc_id"), vec_col)
+            .join(F.broadcast(bit_pool), "doc_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", F.col("doc_id").alias(id_col), vec_col, "qv")
+        )
     else:
         base = emb.crossJoin(F.broadcast(qdf))
     sem_scored = base.select(

@@ -180,6 +180,56 @@ def test_batch_ivf_single_probe(built):
             assert r["sem"] == pytest.approx(exact_sem[r["doc_id"]], abs=1e-9)
 
 
+def test_batch_binary_full_pool_matches_exact(built):
+    # binaryQuantized pool covering the whole corpus: the bit scan
+    # admits every vector and the exact-cosine rerank makes fusion
+    # identical to semantic='exact'
+    idx, emb = built
+    queries = [("q0", "spark join"), ("q1", "zzzabsent")]
+    vecs = {"q0": QV, "q1": [0.6, 0.8]}
+    kw = dict(k=3, semantic_ratio=0.5, pool=5)
+    exact = search_hybrid_many(idx, emb, queries, vecs, **kw).collect()
+    binq = search_hybrid_many(
+        idx, emb, queries, vecs, semantic="binary", **kw
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    exact, binq = sorted(exact, key=key), sorted(binq, key=key)
+    assert [(r["query_id"], r["doc_id"]) for r in binq] == [
+        (r["query_id"], r["doc_id"]) for r in exact
+    ]
+    for g, s in zip(binq, exact):
+        assert g["hybrid"] == pytest.approx(s["hybrid"], abs=1e-12)
+
+
+def test_batch_binary_pool_sem_is_true_cosine(built):
+    # every sem the binary path reports is a true cosine of a bit-scan
+    # survivor; out-of-pool candidates keep sem = 0 (un-scanned =
+    # unseen, same contract as ivf)
+    idx, emb = built
+    queries = [("q0", "spark join")]
+    rows = search_hybrid_many(
+        idx, emb, queries, {"q0": QV}, k=3, pool=3, semantic="binary"
+    ).collect()
+    assert len(rows) == 3
+    exact_sem = {
+        vid: (1 + _cos(QV, v)) / 2 for vid, v in EMB if any(v)
+    }
+    for r in rows:
+        if r["sem"] > 0:
+            assert r["sem"] == pytest.approx(exact_sem[r["doc_id"]], abs=1e-9)
+
+
+def test_batch_binary_mixed_dim_queries_raise(built):
+    idx, emb = built
+    with pytest.raises(ValueError, match="equal-dim"):
+        search_hybrid_many(
+            idx, emb,
+            [("a", "spark"), ("b", "join")],
+            {"a": [1.0, 0.0], "b": [1.0, 0.0, 0.0]},
+            k=2, pool=5, semantic="binary",
+        )
+
+
 def test_batch_validation(built):
     idx, emb = built
     with pytest.raises(ValueError, match="missing ids"):
