@@ -248,6 +248,15 @@ def main() -> None:
     hybrid_hits = search_hybrid_many(hidx, emb, hq, hv, k=10, pool=30).count()
     timings["query_hybrid"] = time.time() - t0
 
+    # --- hybrid with the binaryQuantized pool (round 5, Meilisearch
+    # v1.10): sign-packed Hamming bit scan selects the pool at 1/32nd
+    # the scanned bytes, exact cosine re-scores only the survivors
+    t0 = time.time()
+    hybrid_bin_hits = search_hybrid_many(
+        hidx, emb, hq, hv, k=10, pool=30, semantic="binary"
+    ).count()
+    timings["query_hybrid_binary"] = time.time() - t0
+
     # --- hybrid served from the STORED IVF layout (round-4 serving
     # default): quantizer trained + persisted once (vectors_build),
     # then the same batch probes n_probe lists via the list-partitioned
@@ -348,6 +357,10 @@ def main() -> None:
             len(hy_queries) / timings["query_hybrid"], 2
         ),
         "hybrid_hits": hybrid_hits,
+        "hybrid_binary_queries_per_sec": round(
+            len(hy_queries) / timings["query_hybrid_binary"], 2
+        ),
+        "hybrid_binary_hits": hybrid_bin_hits,
         "hybrid_stored_queries_per_sec": round(
             len(hy_queries) / timings["query_hybrid_stored"], 2
         ),
