@@ -336,6 +336,45 @@ def _q_hybrid_batch(specs: "list[tuple[str, str, int]]", k: int, ratio: float, p
     return run
 
 
+def _q_hybrid_binary(specs: "list[tuple[str, str, int]]", k: int, ratio: float, pool: int):
+    """Hybrid fusion with the BINARY-QUANTIZED semantic pool
+    (Meilisearch v1.10 binaryQuantized, `semantic='binary'`): the
+    sign-packed Hamming bit scan selects each query's pool, exact
+    cosine re-scores only the survivors (operators/hybrid.py). The
+    oracle re-derives the identical bit pool from raw sign
+    comparisons, so the packed Hamming ranking is value-checked
+    through the whole fusion."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vids = sorted({vid for _, _, vid in specs})
+        vrows = {
+            r["vec_id"]: list(r["embedding"])
+            for r in emb.filter(F.col("vec_id").isin(vids)).collect()
+        }
+        qs = [(qid, terms) for qid, terms, _ in specs]
+        vecs = {qid: vrows[vid] for qid, _, vid in specs}
+        hits = search_hybrid_many(
+            idx, emb, qs, vecs, k=k, semantic_ratio=ratio, pool=pool,
+            semantic="binary",
+        )
+        return hits.select(
+            "query_id",
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    return run
+
+
 def _q_hybrid_stored(terms_text: str, k: int, ratio: float, pool: int, vid: int):
     """Hybrid fusion served from the STORED IVF layout (round-4): the
     quantizer + list-partitioned assignment persist via
@@ -2537,7 +2576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sim_binary_topk (NEW: v1.10 binaryQuantized embedders —
     # sign-packed Hamming scoring, bit-exact vs the oracle's raw sign
     # comparison) replaces ft_geo_sort (r04-verified; geo keeps
-    # ft_geo_radius in the gate). Entries
+    # ft_geo_radius in the gate); ft_hybrid_binary (NEW: the
+    # binaryQuantized pool inside hybrid fusion, semantic='binary' —
+    # bit pool re-derived from raw sign comparisons through the whole
+    # fusion) replaces dedup_exact (r01-verified; dedup keeps
+    # minhash, lsh and clusters in the gate). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2629,6 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_words_rank": _q_words_rank("customer window vector merge", 20),
         "ft_bm25_dictionary": _q_topk("key order merge", 10, flavor="dict"),
         "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
+        "ft_hybrid_binary": _q_hybrid_binary(
+            _HYBRID_BATCH_SPECS, 5, 0.4, 20
+        ),
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_phrase": _q_phrase("spark join", 10),
         "ft_displayed": _q_displayed("group hash", ("lang", "source"), 10),
@@ -2728,7 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_projection",
         "ev_sessions",
         "ts_token_counts",
-        "dedup_exact",
+        "ft_hybrid_binary",
         "dd_minhash_signatures",
         "dd_lsh_candidates",
         "dd_clusters",
@@ -2823,6 +2869,75 @@ def _sql_hybrid_batch(
         parts.append(
             f"cand_{qid} AS (SELECT doc_id FROM kwp_{qid} "
             f"UNION SELECT doc_id FROM semp_{qid})"
+        )
+        parts.append(
+            f"""fused_{qid} AS (
+  SELECT c.doc_id,
+         coalesce(kp.s / (SELECT m FROM kwm_{qid}), 0.0) AS kw,
+         coalesce(sm.sem, 0.0) AS sem
+  FROM cand_{qid} c
+  LEFT JOIN kwp_{qid} kp USING (doc_id)
+  LEFT JOIN sem_{qid} sm USING (doc_id))"""
+        )
+        selects.append(
+            f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, doc_id,
+         round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
+         round({wk} * kw + {ws} * sem, 4)::DOUBLE AS hybrid,
+         row_number() OVER (
+           ORDER BY {wk} * kw + {ws} * sem DESC, doc_id)::INT AS rank
+  FROM fused_{qid}) t_{qid} WHERE rank <= {k}"""
+        )
+    return (
+        f"WITH {_sql_tok()},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _sql_hybrid_binary_batch(
+    specs: "list[tuple[str, str, int]]", k: int, ratio: float, pool: int
+) -> str:
+    """Oracle for semantic='binary' hybrid fusion: the semantic pool is
+    the top-``pool`` by sign-Hamming distance (re-derived from raw
+    sign comparisons — no bit packing in SQL, proving the engine's
+    packed path), exact cosine over those survivors only; un-scanned
+    candidates keep sem 0."""
+    wk, ws = repr(1.0 - ratio), repr(ratio)
+    parts, selects = [], []
+    for qid, terms, vid in specs:
+        t = terms.split()
+        parts.append(_sql_score_cte(f"s_{qid}", t))
+        parts.append(
+            f"kwp_{qid} AS (SELECT doc_id, s FROM s_{qid} "
+            f"ORDER BY s DESC, doc_id LIMIT {pool})"
+        )
+        parts.append(f"kwm_{qid} AS (SELECT max(s) AS m FROM kwp_{qid})")
+        parts.append(
+            f"qv_{qid} AS (SELECT embedding AS qv FROM embeddings "
+            f"WHERE vec_id = {vid})"
+        )
+        parts.append(
+            f"""bitp_{qid} AS (
+  SELECT e.vec_id AS doc_id
+  FROM embeddings e CROSS JOIN qv_{qid} q
+  ORDER BY list_sum(list_transform(range(1, 65),
+    i -> CASE WHEN (e.embedding[i::INT] > 0) <> (q.qv[i::INT] > 0)
+         THEN 1 ELSE 0 END)) ASC, e.vec_id ASC
+  LIMIT {pool})"""
+        )
+        parts.append(
+            f"""sem_{qid} AS (
+  SELECT doc_id, sem FROM (
+    SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
+    FROM embeddings e CROSS JOIN qv_{qid} q
+    WHERE e.vec_id IN (SELECT doc_id FROM bitp_{qid})
+  ) t WHERE sem IS NOT NULL)"""
+        )
+        parts.append(
+            f"cand_{qid} AS (SELECT doc_id FROM kwp_{qid} "
+            f"UNION SELECT doc_id FROM sem_{qid})"
         )
         parts.append(
             f"""fused_{qid} AS (
@@ -3042,6 +3157,9 @@ SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
 FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
 """,
         "ft_hybrid_batch": _sql_hybrid_batch(_HYBRID_BATCH_SPECS, 5, 0.4, 20),
+        "ft_hybrid_binary": _sql_hybrid_binary_batch(
+            _HYBRID_BATCH_SPECS, 5, 0.4, 20
+        ),
         # stored-IVF serving at full probe is rank-identical to exact,
         # so the exact batch-fusion SQL is its oracle
         "ft_hybrid_stored": _sql_hybrid_batch(
