@@ -126,7 +126,7 @@ def facet_search(
     facet_query: "str | None" = None,
     max_values: int = 100,
     hit_bound: "int | None" = None,
-    sort_by: str = "alpha",
+    sort_by: "str | None" = None,
     cfg: "IndexConfig | None" = None,
 ) -> DataFrame:
     """Q8 facet-value search (Meilisearch ``POST /indexes/{uid}/facet-search``):
@@ -140,11 +140,24 @@ def facet_search(
     over the whole index. With ``hits``, counts are restricted to the
     matching docs exactly like :func:`facet_counts`.
 
+    ``sort_by=None`` (the default) resolves the rule from the index's
+    ``faceting.sortFacetValuesBy`` map when ``cfg`` is given — the
+    per-facet override for ``attr`` if one exists, else the map's
+    ``"*"`` default — exactly how the endpoint orders facetHits from
+    the index settings; without ``cfg`` it falls back to 'alpha'. An
+    explicit ``sort_by`` always wins.
+
     Plan shape: the prefix predicate is applied to the doc side BEFORE
     the join/aggregation, so non-matching values never reach the
     shuffle; the count is map-side combinable and at most one value per
     distinct facet value survives to the (tiny) ordered limit.
     """
+    if sort_by is None:
+        if cfg is not None:
+            m = cfg.facet_sort_map()
+            sort_by = m.get(attr, m.get("*", "alpha"))
+        else:
+            sort_by = "alpha"
     if sort_by not in ("alpha", "count"):
         raise ValueError(f"sort_by must be 'alpha' or 'count', got {sort_by!r}")
     if cfg is not None and not cfg.facet_search:

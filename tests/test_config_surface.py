@@ -222,6 +222,40 @@ def test_facet_search_disabled_raises(spark, idx):
         facet_search(None, docs, "lang", cfg=off)
 
 
+def test_facet_search_sort_rule_from_settings_map(spark, idx):
+    """facet_search resolves sortFacetValuesBy from the index settings'
+    per-facet map when no explicit sort_by is passed: a facet with a
+    'count' override orders facetHits count-desc; an unlisted facet
+    uses the '*' default (alpha); an explicit sort_by always wins."""
+    import dataclasses
+
+    from meilibridge_spark.operators.relational import facet_search
+
+    # 3 docs tagged B, 1 tagged A: alpha order = [A, B]; count = [B, A]
+    docs = idx.docs.withColumn(
+        "tag", F.when(F.col("doc_id") == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+    cfg = dataclasses.replace(
+        idx.cfg,
+        faceting_sort_by="alpha",
+        faceting_sort_by_rules=(("tag", "count"),),
+    )
+    by_map = [r["value"] for r in facet_search(None, docs, "tag", cfg=cfg).collect()]
+    assert by_map[0] == "B"  # count rule from the per-facet override
+    # unlisted facet -> '*' default (alpha)
+    docs2 = docs.withColumn("other", F.col("tag"))
+    default = [
+        r["value"] for r in facet_search(None, docs2, "other", cfg=cfg).collect()
+    ]
+    assert default == sorted(default)
+    # explicit arg wins over the map
+    explicit = [
+        r["value"]
+        for r in facet_search(None, docs, "tag", sort_by="alpha", cfg=cfg).collect()
+    ]
+    assert explicit == sorted(explicit)
+
+
 def test_prefix_search_setting_validated_and_in_settings(spark, tmp_index_dir):
     from meilibridge_spark.config import ConfigError
     from meilibridge_spark.plans.build import build_and_save
