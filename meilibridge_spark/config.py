@@ -222,6 +222,25 @@ class IndexConfig:
     searchable_attributes: tuple[str, ...] = ("text",)
     displayed_attributes: tuple[str, ...] = ()
     filterable_attributes: tuple[str, ...] = ()
+    #: Meilisearch v1.12 GRANULAR ``filterableAttributes`` entries (the
+    #: object form next to the plain-string form above): each rule is
+    #: ``(patterns, facet_search, equality, comparison)`` — patterns a
+    #: tuple of attribute patterns (exact names, trailing-``*``
+    #: wildcards, or ``"*"``), then the three feature flags of
+    #: ``{"attributePatterns": [...], "features": {"facetSearch": ...,
+    #: "filter": {"equality": ..., "comparison": ...}}}``. Endpoint
+    #: defaults apply when building rules from JSON (facetSearch=False,
+    #: equality=True, comparison=False); plain strings in
+    #: ``filterable_attributes`` keep the legacy behavior = ALL
+    #: features on. ``filter_features(attr)`` resolves an attribute
+    #: against both forms (first matching rule wins, string form
+    #: checked first, exactly the endpoint's order-sensitive match);
+    #: the filter parser gates operator families per attribute:
+    #: equality gates =/!=/IN/EXISTS/IS/CONTAINS/STARTS WITH,
+    #: comparison gates >/>=/</<=/TO (Meilisearch
+    #: invalid_search_filter analogs), and facet_search gates the
+    #: attribute in the facet-search endpoint analog.
+    filterable_attribute_rules: "tuple[tuple, ...]" = ()
     #: Meilisearch-style case-insensitive string filter comparison
     #: (functions/filters.py); off by default to keep filter leaves in
     #: parquet PushedFilters.
@@ -429,6 +448,39 @@ class IndexConfig:
             self.binary_quantized_embedders
         ):
             raise ConfigError("duplicate binary_quantized_embedders name")
+        for rule in self.filterable_attribute_rules:
+            if len(rule) != 4:
+                raise ConfigError(
+                    "filterable_attribute_rules entries must be "
+                    "(patterns, facet_search, equality, comparison) "
+                    f"4-tuples, got {rule!r}"
+                )
+            patterns, fs, eq, cmp_ = rule
+            if isinstance(patterns, str) or not patterns:
+                raise ConfigError(
+                    "filterable_attribute_rules patterns must be a "
+                    f"non-empty tuple of attribute patterns, got {patterns!r}"
+                )
+            for p in patterns:
+                if not isinstance(p, str) or not p:
+                    raise ConfigError(
+                        f"attribute patterns must be non-empty strings, "
+                        f"got {p!r}"
+                    )
+                if "*" in p and not (p == "*" or p.endswith("*")):
+                    # Meilisearch attributePatterns: '*' alone or as a
+                    # trailing wildcard only
+                    raise ConfigError(
+                        f"attribute pattern {p!r}: '*' is only valid "
+                        "alone or as a trailing wildcard"
+                    )
+            for flag, name in ((fs, "facet_search"), (eq, "equality"),
+                               (cmp_, "comparison")):
+                if not isinstance(flag, bool):
+                    raise ConfigError(
+                        f"filterable_attribute_rules {name} must be a "
+                        f"bool, got {flag!r}"
+                    )
         if self.geo_attributes is not None and (
             isinstance(self.geo_attributes, str)
             or len(self.geo_attributes) != 2
@@ -442,6 +494,79 @@ class IndexConfig:
     def normalized_name(self) -> str:
         """Reference normalizes names: spaces -> dashes (config/config.go)."""
         return self.index_name.strip().replace(" ", "-")
+
+    @staticmethod
+    def parse_filterable_setting(
+        entries,
+    ) -> "tuple[tuple[str, ...], tuple[tuple, ...]]":
+        """Split the endpoint's mixed ``filterableAttributes`` value —
+        plain strings and/or v1.12 ``{"attributePatterns": [...],
+        "features": {...}}`` objects — into the
+        ``(filterable_attributes, filterable_attribute_rules)`` pair
+        this config stores. Object defaults are the endpoint's:
+        ``facetSearch=false``, ``filter.equality=true``,
+        ``filter.comparison=false``."""
+        plain: "list[str]" = []
+        rules: "list[tuple]" = []
+        for e in entries:
+            if isinstance(e, str):
+                plain.append(e)
+                continue
+            if not isinstance(e, dict) or "attributePatterns" not in e:
+                raise ConfigError(
+                    "filterableAttributes entries must be attribute "
+                    "names or {attributePatterns, features} objects, "
+                    f"got {e!r}"
+                )
+            feats = e.get("features") or {}
+            filt = feats.get("filter") or {}
+            rules.append((
+                tuple(e["attributePatterns"]),
+                bool(feats.get("facetSearch", False)),
+                bool(filt.get("equality", True)),
+                bool(filt.get("comparison", False)),
+            ))
+        return tuple(plain), tuple(rules)
+
+    def filter_features(self, attr: str) -> "dict | None":
+        """Resolve ``attr`` against the filterable declarations ->
+        ``{"facet_search": bool, "equality": bool, "comparison": bool}``
+        or ``None`` when the attribute is not filterable at all.
+
+        Plain ``filterable_attributes`` strings grant every feature
+        (pre-v1.12 behavior); otherwise the FIRST
+        ``filterable_attribute_rules`` entry with a matching pattern
+        (exact, trailing-``*`` prefix, or ``"*"``) decides — the
+        endpoint's order-sensitive first-match rule."""
+        if attr in self.filterable_attributes:
+            return {"facet_search": True, "equality": True,
+                    "comparison": True}
+        for patterns, fs, eq, cmp_ in self.filterable_attribute_rules:
+            for p in patterns:
+                if (
+                    p == "*"
+                    or p == attr
+                    or (p.endswith("*") and attr.startswith(p[:-1]))
+                ):
+                    return {"facet_search": fs, "equality": eq,
+                            "comparison": cmp_}
+        return None
+
+    def filterable_surface(self) -> list:
+        """The ``filterableAttributes`` setting value in the endpoint's
+        mixed shape: plain strings for the legacy entries, the
+        ``{"attributePatterns": ..., "features": ...}`` object form for
+        granular rules (Meilisearch v1.12)."""
+        out: list = list(self.filterable_attributes)
+        for patterns, fs, eq, cmp_ in self.filterable_attribute_rules:
+            out.append({
+                "attributePatterns": list(patterns),
+                "features": {
+                    "facetSearch": fs,
+                    "filter": {"equality": eq, "comparison": cmp_},
+                },
+            })
+        return out
 
     def facet_sort_map(self) -> dict:
         """The ``faceting.sortFacetValuesBy`` map in the endpoint's
@@ -501,6 +626,12 @@ class IndexConfig:
             ),
             displayed_attributes=tuple(d.get("displayed_attributes") or ()),
             filterable_attributes=tuple(d.get("filterable_attributes") or ()),
+            filterable_attribute_rules=tuple(
+                (tuple(pats), bool(fs), bool(eq), bool(cmp_))
+                for pats, fs, eq, cmp_ in (
+                    d.get("filterable_attribute_rules") or ()
+                )
+            ),
             filter_fold_case=bool(d.get("filter_fold_case", False)),
             sortable_attributes=tuple(d.get("sortable_attributes") or ()),
             distinct_attribute=d.get("distinct_attribute"),

@@ -133,12 +133,35 @@ class _Parser:
         filterable: "tuple[str, ...]",
         fold_case=False,
         geo: "tuple[str, str] | None" = None,
+        features=None,
     ):
         self.toks = tokens
         self.i = 0
         self.filterable = set(filterable)
         self.fold_case = fold_case
         self.geo = geo
+        #: optional attr -> feature-dict resolver (IndexConfig.
+        #: filter_features) for v1.12 granular filterableAttributes:
+        #: when set it decides BOTH membership and which operator
+        #: families the attribute supports (None return = not
+        #: filterable; {"equality": bool, "comparison": bool, ...}
+        #: gates =/!=/IN/EXISTS/IS/CONTAINS/STARTS WITH vs
+        #: >/>=/</<=/TO, Meilisearch's feature split)
+        self.features = features
+
+    def _require_feature(self, field: str, family: str) -> None:
+        """Meilisearch invalid_search_filter analog for the v1.12
+        per-attribute filter feature flags (no-op for legacy
+        declarations, which grant every family)."""
+        if self.features is None:
+            return
+        feats = self.features(field)
+        if feats is not None and not feats.get(family, True):
+            raise ConfigError(
+                f"attribute {field!r} does not support {family} filter "
+                f"operators: its filterableAttributes rule sets "
+                f"filter.{family}=false"
+            )
 
     def _fold(self, c: Column, val):
         """(column, literal) for an equality-family comparison —
@@ -273,7 +296,14 @@ class _Parser:
                 "filter functions are _geoRadius(lat, lng, meters) and "
                 "_geoBoundingBox([lat, lng], [lat, lng])"
             )
-        if text not in self.filterable:
+        if self.features is not None:
+            if self.features(text) is None:
+                raise ConfigError(
+                    f"attribute {text!r} is not filterable; declare it "
+                    "in filterable_attributes or match it with a "
+                    "filterable_attribute_rules pattern"
+                )
+        elif text not in self.filterable:
             raise ConfigError(
                 f"attribute {text!r} is not filterable; declare it in "
                 f"filterable_attributes (have: {sorted(self.filterable)})"
@@ -284,6 +314,20 @@ class _Parser:
         field = self._field()
         kind, text = self._peek()
         c = F.col(field)
+        if kind == "kw" and text in (
+            "IN", "CONTAINS", "STARTS", "EXISTS", "NOT", "IS",
+        ):
+            # Meilisearch v1.12 feature split: these all belong to the
+            # 'equality' family; ranges and ordered comparisons below
+            # are the 'comparison' family
+            self._require_feature(field, "equality")
+        elif kind == "op":
+            self._require_feature(
+                field, "equality" if text in ("=", "!=") else "comparison"
+            )
+        elif kind in ("word", "str"):
+            # bare value ahead = the 'low TO high' range form
+            self._require_feature(field, "comparison")
         if kind == "op":
             self._next()
             raw = _literal(self._next())
@@ -413,17 +457,24 @@ def parse_filter(
     filterable: "tuple[str, ...]",
     fold_case: bool = False,
     geo: "tuple[str, str] | None" = None,
+    features=None,
 ) -> Column:
     """Compile a Meilisearch filter string to a Catalyst Column,
     enforcing ``filterable_attributes`` membership. ``fold_case``:
     Meilisearch-style case-insensitive string comparison (see module
     docstring for the pushdown trade). ``geo``: the (lat_col, lng_col)
     columns backing the ``_geo`` field — enables _geoRadius /
-    _geoBoundingBox (functions/geo.py)."""
+    _geoBoundingBox (functions/geo.py). ``features``: optional
+    attr -> feature-dict resolver (``IndexConfig.filter_features``)
+    implementing the v1.12 granular filterableAttributes — it then
+    decides membership (None = not filterable) and gates operator
+    families per attribute (equality vs comparison)."""
     tokens = _tokenize(expr)
     if not tokens:
         raise ConfigError("empty filter expression")
-    return _Parser(tokens, filterable, fold_case=fold_case, geo=geo).parse()
+    return _Parser(
+        tokens, filterable, fold_case=fold_case, geo=geo, features=features
+    ).parse()
 
 
 def filter_doc_ids(index, expr: str, fold_case: "bool | None" = None):
@@ -434,10 +485,16 @@ def filter_doc_ids(index, expr: str, fold_case: "bool | None" = None):
     when the index declares ``cfg.geo_attributes``."""
     if fold_case is None:
         fold_case = getattr(index.cfg, "filter_fold_case", False)
+    features = (
+        index.cfg.filter_features
+        if getattr(index.cfg, "filterable_attribute_rules", ())
+        else None
+    )
     col = parse_filter(
         expr,
         tuple(index.cfg.filterable_attributes),
         fold_case=fold_case,
         geo=getattr(index.cfg, "geo_attributes", None),
+        features=features,
     )
     return index.docs.filter(col).select("doc_id")

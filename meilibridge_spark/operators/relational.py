@@ -171,6 +171,20 @@ def facet_search(
             f"facet search is disabled for index {cfg.index_name!r} "
             "(facet_search=False)"
         )
+    if cfg is not None:
+        feats = cfg.filter_features(attr)
+        if feats is not None and not feats.get("facet_search", True):
+            # v1.12 per-attribute feature (invalid_facet_search_facet_name
+            # analog): the attribute's filterableAttributes rule opts it
+            # out of the facet-search endpoint. Undeclared attributes
+            # stay permitted — this operator doubles as a bare
+            # relational primitive (documented relaxation).
+            from meilibridge_spark.config import ConfigError
+
+            raise ConfigError(
+                f"attribute {attr!r} is not facet-searchable: its "
+                "filterableAttributes rule sets facetSearch=false"
+            )
     vals = docs.select(
         "doc_id", F.col(attr).cast("string").alias("value")
     ).where(F.col("value").isNotNull())

@@ -719,7 +719,26 @@ def get_settings(
         "indexUid": meta.get("name"),
         "primaryKey": list(meta.get("primary_key", [])),
         "searchableAttributes": list(meta.get("searchable_attributes", [])),
+        # mixed v1.12 shape: plain strings for legacy entries, the
+        # {"attributePatterns", "features"} object form for granular
+        # rules (feature flags gate filter operator families and the
+        # facet-search endpoint per attribute — config.filter_features)
         "filterableAttributes": list(meta.get("filterable_attributes", []))
+        + [
+            {
+                "attributePatterns": list(pats),
+                "features": {
+                    "facetSearch": bool(fs),
+                    "filter": {
+                        "equality": bool(eq),
+                        "comparison": bool(cmp_),
+                    },
+                },
+            }
+            for pats, fs, eq, cmp_ in (meta.get("config") or {}).get(
+                "filterable_attribute_rules", ()
+            )
+        ]
         + (["_geo"] if geo else []),
         "sortableAttributes": list(meta.get("sortable_attributes", []))
         + (["_geo"] if geo else []),
