@@ -1215,6 +1215,39 @@ def _q_filter_expr(terms_text: str, k: int, expr: str):
     return run
 
 
+def _q_filter_rules(terms_text: str, k: int, expr: str):
+    """Q7 granular filterableAttributes (Meilisearch v1.12): the
+    filtered attribute is declared by an attributePatterns RULE
+    (trailing-``*`` wildcard) whose features allow only the operator
+    families the expression uses — membership and operator gating both
+    resolve through ``IndexConfig.filter_features`` instead of the
+    plain string list (functions/filters.py feature gates)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.search import search
+
+        idx = _docs_index(spark, sf_dir)
+        # n_chars: declared ONLY via the 'n_*' pattern rule, comparison
+        # family only; lang/source stay plain (all features)
+        cfg = dataclasses.replace(
+            idx.cfg,
+            filterable_attributes=("lang", "source"),
+            filterable_attribute_rules=((("n_*",), False, False, True),),
+        )
+        rules_idx = dataclasses.replace(idx, cfg=cfg)
+        filt = filter_doc_ids(rules_idx, expr)
+        return search(rules_idx, terms_text, k, filter_docs=filt).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
 def _q_federated(query: str, k: int, w_plain: float, w_syn: float):
     """Federated multi-search: the same query over the plain and the
     synonym-expanding index, merged on weighted ranking score."""
@@ -2580,7 +2613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # binaryQuantized pool inside hybrid fusion, semantic='binary' —
     # bit pool re-derived from raw sign comparisons through the whole
     # fusion) replaces dedup_exact (r01-verified; dedup keeps
-    # minhash, lsh and clusters in the gate). Entries
+    # minhash, lsh and clusters in the gate); ft_filter_rules (NEW:
+    # v1.12 granular filterableAttributes — the filtered attribute is
+    # declared by an attributePatterns wildcard rule with
+    # comparison-only features, membership + operator gating through
+    # filter_features) replaces point_lookup (r01-verified; the
+    # pushdown family keeps cdc_projection and projection_rename in
+    # the gate, and the point-lookup plan shape stays plan-asserted in
+    # tests/test_plans.py). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2685,6 +2725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "(lang = 'en' OR lang = de) AND n_chars 100 TO 400 "
             "AND source != 'src7'",
         ),
+        "ft_filter_rules": _q_filter_rules(
+            "spark join", 10, "n_chars 150 TO 450 AND lang = 'en'"
+        ),
         "ft_corpus_stats": _q_corpus_stats,
         "ev_windowed_counts": _q_ev_windowed,
         "sim_lsh_buckets": _q_lsh_buckets,
@@ -2768,7 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_fields",
         "view_join_search",
         "ft_term_dictionary",
-        "point_lookup",
+        "ft_filter_rules",
         "projection_rename",
         "rollup_sources",
         "cdc_projection",
@@ -3470,6 +3513,13 @@ ORDER BY exact_form DESC, s DESC, doc_id LIMIT 10
             "FROM scores s JOIN documents d USING (doc_id) "
             "WHERE (d.lang = 'en' OR d.lang = 'de') "
             "AND d.n_chars BETWEEN 100 AND 400 AND d.source <> 'src7' "
+            "ORDER BY s.s DESC, s.doc_id LIMIT 10"
+        ),
+        "ft_filter_rules": (
+            _sql_scores(["spark", "join"])
+            + "SELECT s.doc_id, round(s.s, 4)::DOUBLE AS score "
+            "FROM scores s JOIN documents d USING (doc_id) "
+            "WHERE d.n_chars BETWEEN 150 AND 450 AND d.lang = 'en' "
             "ORDER BY s.s DESC, s.doc_id LIMIT 10"
         ),
         "ft_facet_lang": (
