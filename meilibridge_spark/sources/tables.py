@@ -175,10 +175,32 @@ def stored_index_config(
     return IndexConfig.from_json_dict(cj) if cj else None
 
 
-def delete_index(index_dir: str) -> None:
-    """S16 DeleteIndex analog."""
-    if os.path.isdir(index_dir):
+def delete_index(index_dir: str, keep_instance_files: bool = True) -> None:
+    """S16 DeleteIndex analog. ``keep_instance_files`` preserves the
+    webhook registry + delivery journal through the wipe: Meilisearch
+    webhooks are INSTANCE-level configuration, so deleting (or
+    recreating) an index never unregisters them — this engine keeps
+    both files in the index dir, so the wipe must exempt them. Pass
+    False for a full teardown."""
+    if not os.path.isdir(index_dir):
+        return
+    if not keep_instance_files:
         shutil.rmtree(index_dir)
+        return
+    from meilibridge_spark.sources.webhooks import (
+        DELIVERIES_FILE,
+        WEBHOOKS_FILE,
+    )
+
+    keep = {WEBHOOKS_FILE, DELIVERIES_FILE}
+    for name in os.listdir(index_dir):
+        if name in keep:
+            continue
+        path = os.path.join(index_dir, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
 
 
 def partition_lineage(df: DataFrame) -> "list[dict]":

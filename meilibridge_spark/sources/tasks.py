@@ -209,6 +209,15 @@ def _transition(
             if error is not None:
                 rec["error"] = {"message": error}
         _append(index_dir, rec)
+        if status in _TERMINAL:
+            # /webhooks analog: every terminal task fans out one
+            # delivery record per registered webhook, in journal order
+            # (sources/webhooks.py; no-op without a registry)
+            from meilibridge_spark.sources.webhooks import (
+                deliver_terminal_task,
+            )
+
+            deliver_terminal_task(index_dir, rec)
     return rec
 
 
@@ -385,6 +394,11 @@ def cancel_tasks(index_dir: str, uids: "list[int]") -> dict:
                 rec["status"] = "canceled"
                 rec["finishedAt"] = _now()
                 _append(index_dir, rec)
+                from meilibridge_spark.sources.webhooks import (
+                    deliver_terminal_task,
+                )
+
+                deliver_terminal_task(index_dir, rec)
                 canceled.append(uid)
     cancel_rec = submit_task(
         index_dir,
