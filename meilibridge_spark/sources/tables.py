@@ -158,6 +158,87 @@ def list_indexes(root_dir: str, limit: int = 20, offset: int = 0) -> dict:
     }
 
 
+def index_stats(index_dir: str) -> dict:
+    """``GET /indexes/{uid}/stats`` analog, ZERO Spark jobs: everything
+    answers from the manifest's current snapshot entry + the tasks
+    journal. ``numberOfDocuments`` and the size fields are snapshot
+    metrics recorded at commit time (Meilisearch precomputes its stats
+    the same way — stats read its LMDB metadata, not the documents);
+    ``isIndexing`` is true while any journaled task is enqueued or
+    processing. ``fieldDistribution`` stays the Spark-side
+    ``operators.docs.field_distribution`` (a column scan by nature) —
+    this endpoint analog reports per-field presence only when the
+    caller merges it in."""
+    manifest = _read_manifest(index_dir)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshot in {index_dir}")
+    cur = next(
+        s for s in manifest["snapshots"]
+        if s["snapshot_id"] == manifest["current"]
+    )
+    metrics = cur.get("metrics", {})
+    n_docs = int(cur.get("n_docs", metrics.get("n_docs", 0)))
+    docs_bytes = int(metrics.get("docs_bytes", 0) or 0)
+    from meilibridge_spark.sources.tasks import get_tasks
+
+    active = get_tasks(
+        index_dir, statuses=("enqueued", "processing"), limit=1
+    )["results"]
+    return {
+        "numberOfDocuments": n_docs,
+        "isIndexing": bool(active),
+        # rawDocumentDbSize / avgDocumentSize analogs from the stored
+        # docs table (what Meilisearch's documents DB size reports)
+        "rawDocumentDbSize": docs_bytes,
+        "avgDocumentSize": (docs_bytes // n_docs) if n_docs else 0,
+        "numberOfEmbeddedDocuments": int(
+            metrics.get("n_vectors", 0) or 0
+        ),
+        "snapshotId": cur["snapshot_id"],
+        "updatedAt": cur["created_at"],
+    }
+
+
+def instance_stats(root_dir: str) -> dict:
+    """``GET /stats`` analog over every index under ``root_dir`` (the
+    ``list_indexes`` layout): per-index stats keyed by uid plus the
+    instance aggregates — ``databaseSize`` (all bytes on disk,
+    historical snapshots included), ``usedDatabaseSize`` (current
+    snapshots only, the live analog) and ``lastUpdate``. Driver-side
+    metadata reads only; no Spark session required."""
+    indexes: "dict[str, dict]" = {}
+    database_size = 0
+    used_size = 0
+    last_update: "str | None" = None
+    for name in sorted(os.listdir(root_dir)) if os.path.isdir(root_dir) else []:
+        child = os.path.join(root_dir, name)
+        if not os.path.isdir(child):
+            continue
+        manifest = _read_manifest(child)
+        database_size += _dir_bytes(child)
+        if manifest["current"] is None:
+            continue
+        cur = next(
+            s for s in manifest["snapshots"]
+            if s["snapshot_id"] == manifest["current"]
+        )
+        meta = cur.get("index") or manifest.get("index") or {}
+        stats = index_stats(child)
+        metrics = cur.get("metrics", {})
+        used_size += int(metrics.get("docs_bytes", 0) or 0) + int(
+            metrics.get("postings_bytes", 0) or 0
+        )
+        if last_update is None or stats["updatedAt"] > last_update:
+            last_update = stats["updatedAt"]
+        indexes[meta.get("name", name)] = stats
+    return {
+        "databaseSize": database_size,
+        "usedDatabaseSize": used_size,
+        "lastUpdate": last_update,
+        "indexes": indexes,
+    }
+
+
 def stored_index_config(
     index_dir: str, snapshot_id: "int | None" = None
 ) -> "IndexConfig | None":
