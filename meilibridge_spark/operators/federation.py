@@ -166,3 +166,100 @@ def federated_facets(
         .drop("_rn")
         .orderBy("facet", "value")
     )
+
+
+def network_federated_search(
+    spark,
+    root: str,
+    query: str,
+    targets: "list[dict]",
+    k: "int | None" = None,
+) -> "tuple[DataFrame, dict]":
+    """Remote federated search (the Meilisearch v1.13 ``network``
+    feature): one ``query`` fanned out across indexes that live in
+    OTHER instance roots on shared storage (``sources/network.py``
+    registry — the no-socket analog of Meilisearch's HTTP remotes).
+
+    ``targets``: the federated request's query list —
+    ``{"indexUid": uid, "remote": name | None, "weight": float}``
+    per entry (``remote`` None or equal to the network's ``self``
+    targets the local ``root``). Each resolvable target is loaded
+    from ``{remote_root}/{indexUid}`` with its STORED config
+    (snapshots carry their full build settings) and searched exactly
+    like :func:`federated_search`; the global merge is the same
+    weighted-ranking-score order.
+
+    Returns ``(hits, remote_errors)``: hits carry ``remote`` +
+    ``index_uid`` columns (the endpoint's per-hit ``_federation``
+    object), and ``remote_errors`` maps ``"remote/indexUid"`` to
+    ``{"message", "code"}`` for targets that failed to resolve or
+    load — the endpoint's partial-failure contract (the search
+    succeeds with the remotes that answered; errors are reported,
+    never raised mid-merge).
+
+    Plan shape: identical to :func:`federated_search` — T independent
+    bounded top-k plans + an O(T*k) merge; loading a remote index is
+    a manifest read + lazy parquet scans, so a remote target costs
+    the same as a local one. At 100 TB the remote roots are the SAME
+    object store the local indexes live in — fan-out adds zero data
+    movement beyond each index's own pruned scans.
+    """
+    from meilibridge_spark.sources.network import get_network
+    from meilibridge_spark.sources.tables import (
+        load_snapshot,
+        stored_index_config,
+    )
+
+    if not targets:
+        raise ValueError("network_federated_search needs >= 1 target")
+    net = get_network(root)
+    loaded: "list[tuple[str, InvertedIndex, float]]" = []
+    remote_errors: "dict[str, dict]" = {}
+    for t in targets:
+        uid = t["indexUid"]
+        rname = t.get("remote")
+        label_remote = rname or net.get("self") or "self"
+        label = f"{label_remote}/{uid}"
+        try:
+            if rname is None or rname == net.get("self"):
+                rroot = root
+            else:
+                remotes = net.get("remotes", {})
+                if rname not in remotes:
+                    raise KeyError(
+                        f"remote {rname!r} is not in the network "
+                        f"(have: {sorted(remotes)})"
+                    )
+                rroot = remotes[rname]["root"]
+            index_dir = f"{rroot}/{uid}"
+            cfg = stored_index_config(index_dir)
+            if cfg is None:
+                raise FileNotFoundError(
+                    f"index {uid!r} at remote {label_remote!r} has no "
+                    "stored config (pre-full-config snapshot)"
+                )
+            idx = load_snapshot(spark, index_dir, cfg)
+            loaded.append((label, idx, float(t.get("weight", 1.0))))
+        except Exception as e:  # noqa: BLE001 — the endpoint contract:
+            # per-remote failures become remoteErrors, never a raise
+            remote_errors[label] = {
+                "message": str(e),
+                "code": type(e).__name__,
+            }
+    schema = (
+        "remote string, index_uid string, doc_id long, score double, "
+        "ranking_score double, weighted_ranking_score double"
+    )
+    if not loaded:
+        return spark.createDataFrame([], schema), remote_errors
+    hits = federated_search(loaded, query, k)
+    split = F.split(F.col("index_uid"), "/", 2)
+    hits = hits.select(
+        split.getItem(0).alias("remote"),
+        split.getItem(1).alias("index_uid"),
+        "doc_id",
+        "score",
+        "ranking_score",
+        "weighted_ranking_score",
+    )
+    return hits, remote_errors
