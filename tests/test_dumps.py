@@ -320,7 +320,10 @@ def test_config_round_trip_every_field():
         "proximity_precision": "byAttribute",
         "faceting_max_values": 7,
         "faceting_sort_by": "count",
+        "faceting_sort_by_rules": (("lang", "count"),),
+        "filterable_attribute_rules": ((("turn*",), False, False, True),),
         "embedders": (("default", 16),),
+        "binary_quantized_embedders": ("default",),
         "search_cutoff_ms": 1500,
         "k1": 1.4,
         "b": 0.6,

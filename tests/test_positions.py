@@ -238,7 +238,7 @@ def test_quoted_phrase_query(built):
 def test_quoted_phrase_edge_inputs(built):
     """Degenerate quote placements must not crash and must degrade to
     sensible semantics: empty quotes ignored, all-stop-word phrase
-    constrains nothing, quote-only query returns empty."""
+    constrains nothing, quote-only query = placeholder (all docs)."""
     from meilibridge_spark.operators.positions import (
         parse_quoted,
         search_with_phrases,
@@ -256,8 +256,16 @@ def test_quoted_phrase_edge_inputs(built):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
-    # quote-only query -> no terms -> empty result, no error
-    assert search_with_phrases(idx, '"" "', 10, positions=pos).collect() == []
+    # quote-only query -> no terms -> Meilisearch PLACEHOLDER semantics
+    # (round 5): the endpoint layer matches ALL documents, score 0.0,
+    # doc_id order — not an empty result
+    ph = search_with_phrases(idx, '"" "', 10, positions=pos).collect()
+    n_docs = idx.docs.count()
+    assert [r["doc_id"] for r in ph] == sorted(
+        r["doc_id"] for r in idx.docs.select("doc_id").collect()
+    )[:10]
+    assert len(ph) == min(10, n_docs)
+    assert all(r["score"] == 0.0 for r in ph)
     # stop-word-only phrase: no anchor terms -> constrains nothing
     stop_idx, stop_pos = built  # base fixture has no stop words; use steps
     from meilibridge_spark.operators.positions import phrase_steps
