@@ -2179,6 +2179,17 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (textstats.
+    repetition_signals): per-doc distinct-token, top-token and
+    top-bigram fractions — per-row array expressions, no shuffle."""
+    from meilibridge_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meilibridge_spark.operators.dedup import minhash_signatures
 
@@ -2691,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": _q_quality,
         "ts_lang_id": _q_lang_id,
         "ts_fingerprint": _q_fingerprint,
+        "ts_repetition": _q_repetition,
         "dd_minhash_signatures": _q_minhash,
         "dd_lsh_candidates": _q_lsh_candidates,
         "dd_jaccard_pairs": _q_jaccard_pairs,
@@ -3911,6 +3923,27 @@ FROM s
             f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) "
             "AS fingerprint FROM documents"
         ),
+        "ts_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM t
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+  round(CASE WHEN n > 0 THEN len(list_distinct(toks)) / n::DOUBLE
+        ELSE 0.0 END, 6) AS distinct_frac,
+  round(CASE WHEN n > 0 THEN
+    list_max(list_transform(list_distinct(toks),
+                            x -> len(list_filter(toks, y -> y = x))))
+      / n::DOUBLE ELSE 0.0 END, 6) AS top_token_frac,
+  round(CASE WHEN n > 1 THEN
+    list_max(list_transform(list_distinct(bgs),
+                            x -> len(list_filter(bgs, y -> y = x))))
+      / (n - 1)::DOUBLE ELSE 0.0 END, 6) AS top_bigram_frac
+FROM b
+""",
         "dd_minhash_signatures": (
             f"WITH {_SQL_MINHASH_SIG} SELECT * FROM sig"
         ),

@@ -106,3 +106,67 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     toks = _tokens(text_col)
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    "repetition removal", the standard training-data filter family) ->
+    (id, n_tokens, distinct_frac, top_token_frac, top_bigram_frac):
+
+    - ``distinct_frac``: |distinct tokens| / |tokens| — low values mean
+      the document repeats its vocabulary.
+    - ``top_token_frac``: occurrences of the most frequent token /
+      |tokens| (Gopher's top-1-gram character-fraction analog at word
+      granularity).
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / |bigrams|.
+
+    Fractions are rounded to 6 places (oracle float parity). All three
+    are PER-ROW array expressions over the extracted token list — no
+    explode, no groupBy, no shuffle: the plan stays one codegen'd
+    projection of the scan, so cost is the column read itself at any
+    corpus size. The per-row mode computation is O(distinct x tokens)
+    on short-document corpora (transcript turns, web pages); documents
+    are bounded, corpora are not — the bound belongs on the row.
+    """
+    toks = "regexp_extract_all(lower({c}), '{rx}', 0)".format(
+        c=text_col, rx=TOKEN_RX
+    )
+    n = f"size({toks})"
+    top_tok = (
+        f"aggregate(array_distinct({toks}), 0, "
+        f"(acc, x) -> greatest(acc, size(filter({toks}, y -> y = x))))"
+    )
+    bgs = (
+        f"transform(slice({toks}, 1, greatest({n} - 1, 0)), "
+        f"(x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+    )
+    top_bg = (
+        f"aggregate(array_distinct({bgs}), 0, "
+        f"(acc, x) -> greatest(acc, size(filter({bgs}, y -> y = x))))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(n).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.expr(n) > 0,
+                F.expr(f"size(array_distinct({toks}))") / F.expr(n),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_frac"),
+        F.round(
+            F.when(
+                F.expr(n) > 0, F.expr(top_tok) / F.expr(n)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(
+                F.expr(n) > 1, F.expr(top_bg) / (F.expr(n) - 1)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
