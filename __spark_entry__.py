@@ -1166,12 +1166,17 @@ def _q_crop(terms: "list[str]", k: int, crop_length: int):
 
 
 def _sql_crop(terms: "list[str]", k: int, crop_length: int) -> str:
+    """Best-window crop oracle (matches relational.crop_hits): anchor
+    on the query-term match whose clamped window holds the MOST term
+    occurrences, earliest anchor on ties; independently re-derived
+    with DuckDB list lambdas (1-based indexed list_transform)."""
     half, last = crop_length // 2, crop_length - 1
-    anchor = "least(" + ", ".join(
-        f"nullif(coalesce(list_position(lw, '{t}'), 0), 0)" for t in terms
-    ) + ")" if len(terms) > 1 else (
-        f"nullif(coalesce(list_position(lw, '{terms[0]}'), 0), 0)"
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    # clamped window start for an anchor p (needs n from the row)
+    start_of = (
+        f"least(greatest(1, {{p}} - {half}), greatest(1, n - {last}))"
     )
+    s_p = start_of.format(p="p")
     return (
         _sql_scores(terms)
         + f""",
@@ -1180,11 +1185,29 @@ base AS (
          list_transform(string_split(d.text, ' '), x -> lower(x)) AS lw
   FROM scores s JOIN documents d USING (doc_id)
 ),
-pos AS (
+m AS (
   SELECT doc_id, s, w, len(w) AS n,
-         least(greatest(1, coalesce({anchor}, 1) - {half}),
-               greatest(1, len(w) - {last})) AS start
+         list_filter(
+           list_transform(lw, (x, i) ->
+             CASE WHEN x IN ({in_list}) THEN i ELSE -1 END),
+           p -> p > 0) AS matches
   FROM base
+),
+cnt AS (
+  SELECT doc_id, s, w, n, matches,
+         list_transform(matches, p ->
+           len(list_filter(matches, q ->
+             q >= {s_p} AND q < {s_p} + {crop_length}))) AS counts
+  FROM m
+),
+pos AS (
+  SELECT doc_id, s, w, n,
+         least(greatest(1, coalesce(
+             CASE WHEN len(matches) > 0
+                  THEN matches[list_position(counts, list_max(counts))]
+             END, 1) - {half}),
+               greatest(1, n - {last})) AS start
+  FROM cnt
 )
 SELECT doc_id, round(s, 4)::DOUBLE AS score,
        (CASE WHEN start > 1 THEN '…' ELSE '' END)

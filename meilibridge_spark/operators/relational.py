@@ -517,34 +517,66 @@ def crop_hits(
 ) -> DataFrame:
     """Meilisearch ``attributesToCrop``/``cropLength`` analog: per
     requested attribute, a ``_cropped_<attr>`` column holding a
-    ``crop_length``-word window centered on the FIRST query-term match
+    ``crop_length``-word window around the BEST match window
     (case-insensitive whole-word equality), clamped to the text, with
-    ``crop_marker`` on each truncated side. No match (or no terms) ->
-    the leading ``crop_length`` words. Documented simplification of
-    Meilisearch's multi-match balancing; pure Catalyst array ops
-    (split/transform/array_position/slice) — no UDFs.
+    ``crop_marker`` on each truncated side. "Best" is Meilisearch's
+    multi-match rule made precise: among the query-term match
+    positions, anchor on the one whose (clamped) window contains the
+    MOST term occurrences, earliest anchor on ties — so a document
+    mentioning one term in passing and three terms together crops
+    around the cluster, like the endpoint. No match (or no terms) ->
+    the leading ``crop_length`` words. Pure Catalyst array ops (the
+    densest-window scan is a nested higher-order transform/filter over
+    the per-row match-position array — O(matches²) on a bounded row,
+    no UDFs, no shuffle).
     """
     if crop_length < 1:
         raise ValueError(f"crop_length must be >= 1, got {crop_length}")
     joined = hits_with_docs(hits, docs, list(attributes), hit_bound)
     terms = [t.lower() for t in dict.fromkeys(query_terms) if t]
+    half, last = crop_length // 2, crop_length - 1
     for a in attributes:
         words = F.split(F.col(a), r"\s+")
         n = F.size(words)
         lower = F.transform(words, lambda w: F.lower(w))
         if terms:
-            # first 1-based match position; array_position = 0 when
-            # absent -> NULLed out of least()
-            first = F.least(
-                *[F.nullif(F.array_position(lower, t), F.lit(0)) for t in terms]
-            ) if len(terms) > 1 else F.nullif(
-                F.array_position(lower, terms[0]), F.lit(0)
+            # 1-based positions of every query-term occurrence
+            matches = F.filter(
+                F.transform(
+                    lower,
+                    lambda x, i: F.when(x.isin(terms), i + 1).otherwise(
+                        F.lit(-1)
+                    ),
+                ),
+                lambda p: p > 0,
             )
+
+            def _start_of(anchor_col):
+                s = F.greatest(F.lit(1), anchor_col - F.lit(half))
+                return F.least(s, F.greatest(F.lit(1), n - F.lit(last)))
+
+            # occurrences inside each candidate anchor's clamped window
+            counts = F.transform(
+                matches,
+                lambda p: F.size(
+                    F.filter(
+                        matches,
+                        lambda q: (q >= _start_of(p))
+                        & (q < _start_of(p) + F.lit(crop_length)),
+                    )
+                ),
+            )
+            # densest window, earliest anchor on ties (array_position
+            # returns the FIRST index of the max)
+            best = F.element_at(
+                matches,
+                F.array_position(counts, F.array_max(counts)).cast("int"),
+            )
+            anchor = F.coalesce(best, F.lit(1))
         else:
-            first = F.lit(None).cast("int")
-        anchor = F.coalesce(first, F.lit(1))
-        start = F.greatest(F.lit(1), anchor - F.lit(crop_length // 2))
-        start = F.least(start, F.greatest(F.lit(1), n - F.lit(crop_length - 1)))
+            anchor = F.lit(1)
+        start = F.greatest(F.lit(1), anchor - F.lit(half))
+        start = F.least(start, F.greatest(F.lit(1), n - F.lit(last)))
         body = F.array_join(F.slice(words, start, crop_length), " ")
         pre = F.when(start > 1, F.lit(crop_marker)).otherwise(F.lit(""))
         post = F.when(

@@ -430,6 +430,34 @@ def test_crop_hits(spark):
     assert out[3] == "short text"
 
 
+def test_crop_best_window(spark):
+    """Meilisearch multi-match crop: the window holding the MOST term
+    occurrences wins over the first match; earliest anchor on ties."""
+    from meilibridge_spark.operators.relational import crop_hits
+
+    docs = spark.createDataFrame(
+        [
+            # lone 'alpha' first, 3-term cluster later -> crop the cluster
+            (0, "alpha x x x x x x x x x x x beta gamma alpha end"),
+            # two single matches far apart -> earliest wins the tie
+            (1, "beta a b c d e f g h i j k gamma z z z"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["_cropped_text"]
+        for r in crop_hits(
+            hits, docs, ["alpha", "beta", "gamma"], crop_length=5,
+            hit_bound=2,
+        ).collect()
+    }
+    assert out[0] == "…x x beta gamma alpha…"
+    assert out[1] == "beta a b c d…"
+
+
 def test_crop_validation(spark):
     import pytest as _pytest
 
