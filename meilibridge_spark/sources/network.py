@@ -65,6 +65,14 @@ def set_network(
                 )
             net["self"] = self_name
         for name, spec in (remotes or {}).items():
+            if not isinstance(name, str) or not name or "/" in name:
+                # '/' is the hit-label separator (remote/indexUid in
+                # network_federated_search) — like Meilisearch uids,
+                # remote names are slash-free identifiers
+                raise ValueError(
+                    f"remote names must be non-empty and slash-free, "
+                    f"got {name!r}"
+                )
             if spec is None:
                 net["remotes"].pop(name, None)
                 continue

@@ -30,6 +30,8 @@ def test_registry_patch_semantics(tmp_index_dir):
         set_network(d, self_name="")
     with pytest.raises(ValueError, match="instance root"):
         set_network(d, remotes={"bad": {"url": "http://x"}})
+    with pytest.raises(ValueError, match="slash-free"):
+        set_network(d, remotes={"a/b": {"root": "/data/x"}})
 
 
 @pytest.fixture(scope="module")
