@@ -677,3 +677,172 @@ class IndexConfig:
         """(source_col, out_col) pairs; S7 updateItemKeys semantics:
         keep only listed keys, rename when value non-empty."""
         return [(k, v or k) for k, v in self.fields]
+
+
+#: settings whose change invalidates the stored index bytes in THIS
+#: engine (tokenization inputs + the indexed-text assembly; see
+#: functions/tokenizer.tokenize — stop words, dictionary compounds and
+#: separators apply at BUILD time). Query-time settings (synonyms,
+#: typo, ranking rules, faceting, filterable/sortable, pagination,
+#: prefix/facet search, cutoff) re-apply on the existing snapshot —
+#: Meilisearch reindexes for more of these because its data structures
+#: bake them in; this engine's split is pinned by
+#: tests/test_settings_patch.py.
+REINDEX_SETTINGS = frozenset({
+    "searchableAttributes",
+    "stopWords",
+    "dictionary",
+    "separatorTokens",
+    "nonSeparatorTokens",
+})
+
+
+def apply_settings_patch(
+    cfg: IndexConfig, patch: dict
+) -> "tuple[IndexConfig, bool, list[str]]":
+    """``PATCH /settings`` analog: fold a partial camelCase settings
+    object into ``cfg`` -> ``(new_cfg, reindex_required, changed)``.
+
+    Meilisearch PATCH semantics: only the provided keys change;
+    ``null`` resets a setting to its default (the per-setting DELETE
+    analog). Unknown keys raise (invalid_settings_* analog).
+    ``reindex_required`` is True when any changed key is in
+    :data:`REINDEX_SETTINGS` — the caller then rebuilds (the endpoint
+    enqueues the reindex task itself; here the split is explicit
+    because a 100 TB rebuild is a decision, not a side effect) — or
+    when an embedder flips ``binaryQuantized`` (documented one-way per
+    index build, config docstring). ``changed`` lists the accepted
+    keys whose value actually changed.
+    """
+    import dataclasses
+
+    defaults = IndexConfig(index_name=cfg.index_name)
+    new = cfg
+    changed: "list[str]" = []
+
+    def _set(**kw):
+        nonlocal new
+        new = dataclasses.replace(new, **kw)
+
+    def _val(key, value, default):
+        return default if value is None else value
+
+    for key, value in patch.items():
+        before = new
+        if key == "searchableAttributes":
+            _set(searchable_attributes=tuple(
+                _val(key, value, defaults.searchable_attributes)
+            ))
+        elif key == "displayedAttributes":
+            _set(displayed_attributes=tuple(value or ()))
+        elif key == "filterableAttributes":
+            plain, rules = IndexConfig.parse_filterable_setting(value or ())
+            _set(filterable_attributes=plain,
+                 filterable_attribute_rules=rules)
+        elif key == "sortableAttributes":
+            _set(sortable_attributes=tuple(value or ()))
+        elif key == "distinctAttribute":
+            _set(distinct_attribute=value)
+        elif key == "rankingRules":
+            _set(ranking_rules=tuple(value) if value else None)
+        elif key == "stopWords":
+            _set(analyzer=dataclasses.replace(
+                new.analyzer, stop_words=tuple(value or ())
+            ))
+        elif key == "synonyms":
+            syn = tuple(
+                (w, tuple(alts)) for w, alts in sorted((value or {}).items())
+            )
+            _set(analyzer=dataclasses.replace(new.analyzer, synonyms=syn))
+        elif key == "dictionary":
+            _set(analyzer=dataclasses.replace(
+                new.analyzer, dictionary=tuple(value or ())
+            ))
+        elif key == "separatorTokens":
+            _set(analyzer=dataclasses.replace(
+                new.analyzer, separator_tokens=tuple(value or ())
+            ))
+        elif key == "nonSeparatorTokens":
+            _set(analyzer=dataclasses.replace(
+                new.analyzer, non_separator_tokens=tuple(value or ())
+            ))
+        elif key == "typoTolerance":
+            v = value or {}
+            mw = v.get("minWordSizeForTypos") or {}
+            _set(typo=dataclasses.replace(
+                new.typo if value is not None else defaults.typo,
+                **{
+                    k2: v2 for k2, v2 in {
+                        "enabled": v.get("enabled"),
+                        "one_typo": mw.get("oneTypo"),
+                        "two_typos": mw.get("twoTypos"),
+                        "disable_on_words": (
+                            tuple(v["disableOnWords"])
+                            if "disableOnWords" in v else None
+                        ),
+                        "disable_on_attributes": (
+                            tuple(v["disableOnAttributes"])
+                            if "disableOnAttributes" in v else None
+                        ),
+                        "disable_on_numbers": v.get("disableOnNumbers"),
+                    }.items() if v2 is not None
+                },
+            ))
+        elif key == "faceting":
+            v = value or {}
+            kw = {}
+            if value is None or "maxValuesPerFacet" in v:
+                kw["faceting_max_values"] = (
+                    defaults.faceting_max_values if value is None
+                    else v["maxValuesPerFacet"]
+                )
+            if value is None or "sortFacetValuesBy" in v:
+                m = dict(v.get("sortFacetValuesBy") or {})
+                kw["faceting_sort_by"] = m.pop("*", "alpha")
+                kw["faceting_sort_by_rules"] = tuple(sorted(m.items()))
+            _set(**kw)
+        elif key == "pagination":
+            v = value or {}
+            _set(max_total_hits=(
+                defaults.max_total_hits if value is None
+                else v.get("maxTotalHits", new.max_total_hits)
+            ))
+        elif key == "proximityPrecision":
+            _set(proximity_precision=_val(
+                key, value, defaults.proximity_precision
+            ))
+        elif key == "searchCutoffMs":
+            _set(search_cutoff_ms=value)
+        elif key == "prefixSearch":
+            _set(prefix_search=_val(key, value, defaults.prefix_search))
+        elif key == "facetSearch":
+            _set(facet_search=bool(_val(key, value, defaults.facet_search)))
+        elif key == "embedders":
+            embs, binq = [], []
+            for name, spec in sorted((value or {}).items()):
+                src = (spec or {}).get("source", "userProvided")
+                if src != "userProvided":
+                    raise ConfigError(
+                        f"embedder {name!r}: only source='userProvided' "
+                        f"is supported (got {src!r}) — vectors are "
+                        "inputs, the engine is embedder-model-agnostic"
+                    )
+                embs.append((name, int(spec["dimensions"])))
+                if spec.get("binaryQuantized"):
+                    binq.append(name)
+            _set(embedders=tuple(embs),
+                 binary_quantized_embedders=tuple(binq))
+        else:
+            raise ConfigError(f"unknown setting {key!r}")
+        if new != before:
+            changed.append(key)
+
+    reindex = any(k in REINDEX_SETTINGS for k in changed)
+    if "embedders" in changed and (
+        set(cfg.binary_quantized_embedders)
+        != set(new.binary_quantized_embedders)
+    ):
+        # binaryQuantized is one-way per index build (config docstring)
+        reindex = True
+    new.validate()
+    return new, reindex, changed
