@@ -18,6 +18,9 @@ Usage:
   python -m meilibridge_spark.jobs.admin network get --root DIR
   python -m meilibridge_spark.jobs.admin network set --root DIR \
       [--self NAME] [--remote name=ROOT ...] [--remove-remote NAME ...]
+  python -m meilibridge_spark.jobs.admin settings get --index-dir DIR
+  python -m meilibridge_spark.jobs.admin settings patch --index-dir DIR \
+      --json '{"searchCutoffMs": 800}'   # or --json-file patch.json
 """
 
 from __future__ import annotations
@@ -65,9 +68,42 @@ def main() -> None:
                     help="name=ROOT (that instance's index root)")
     nw.add_argument("--remove-remote", action="append", default=None)
 
+    se = sub.add_parser("settings")
+    se.add_argument("action", choices=("get", "patch"))
+    se.add_argument("--index-dir", required=True)
+    se.add_argument("--json", dest="patch_json", default=None,
+                    help="partial camelCase settings object (PATCH "
+                         "semantics; null values reset)")
+    se.add_argument("--json-file", dest="patch_file", default=None)
+
     args = ap.parse_args()
 
-    if args.cmd == "stats":
+    if args.cmd == "settings":
+        from meilibridge_spark.sources.tables import (
+            get_settings,
+            update_settings,
+        )
+
+        if args.action == "get":
+            out = get_settings(args.index_dir)
+        else:
+            if bool(args.patch_json) == bool(args.patch_file):
+                raise SystemExit(
+                    "settings patch needs exactly one of --json/--json-file"
+                )
+            raw = (
+                args.patch_json
+                if args.patch_json
+                else open(args.patch_file).read()
+            )
+            try:
+                patch = json.loads(raw)
+            except json.JSONDecodeError as e:
+                raise SystemExit(f"invalid settings JSON: {e}") from None
+            if not isinstance(patch, dict):
+                raise SystemExit("settings patch must be a JSON object")
+            out = update_settings(args.index_dir, patch)
+    elif args.cmd == "stats":
         from meilibridge_spark.sources.tables import (
             index_stats,
             instance_stats,

@@ -733,6 +733,12 @@ def load_snapshot(
     # compaction already folded/replaced them).
     vectors = load_vector_index(spark, index_dir)
     for d in chain[1:]:
+        if d.get("settings_only"):
+            # a settings-only commit (update_settings) carries NO data
+            # tables — the parent's bytes serve unchanged; only the
+            # entry's stored config (already adopted above when the
+            # loaded entry is in its chain) differs
+            continue
         t = d["tables"]
         aff = rd(t["affected_terms"])
         postings = fold(postings, aff, rd(t["postings_delta"]), ["term"])
@@ -788,6 +794,112 @@ def load_snapshot(
         # hybrid / similar-docs serving auto-selects the probed path
         vectors=vectors,
     )
+
+
+def update_settings(index_dir: str, patch: dict) -> dict:
+    """``PATCH /indexes/{uid}/settings`` analog, END TO END: fold a
+    partial camelCase settings object into the CURRENT snapshot's
+    stored config and commit the result as a SETTINGS-ONLY snapshot
+    entry — ``delta: True, settings_only: True`` with an empty tables
+    map, so the parent's data bytes serve unchanged and the commit
+    costs one manifest write (the endpoint's settingsUpdate task is
+    likewise metadata-speed for query-time settings). Journaled as a
+    ``settingsUpdate`` task (webhooks fire on completion).
+
+    Settings whose change invalidates stored bytes
+    (:data:`~meilibridge_spark.config.REINDEX_SETTINGS`, plus one-way
+    binaryQuantized flips) raise instead: at 10^12 turns a reindex is
+    an explicit spark-submit decision (``jobs/build_index.py``), never
+    a side effect of a settings call. Earlier snapshots keep their own
+    settings (the per-entry model); ``get_settings`` on the new entry
+    answers with the patched surface. Returns the new manifest entry.
+    """
+    from meilibridge_spark.config import apply_settings_patch
+    from meilibridge_spark.sources.tasks import task_scope
+
+    manifest = _read_manifest(index_dir)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshot in {index_dir}")
+    parent_id = manifest["current"]
+    parent = next(
+        s for s in manifest["snapshots"] if s["snapshot_id"] == parent_id
+    )
+    meta = parent.get("index") or manifest.get("index") or {}
+    if not meta.get("config"):
+        raise ConfigError(
+            f"snapshot {parent_id} in {index_dir} predates full-config "
+            "manifests — rebuild once to enable settings updates"
+        )
+    stored_cfg = IndexConfig.from_json_dict(meta["config"])
+    new_cfg, reindex, changed = apply_settings_patch(stored_cfg, patch)
+    if reindex:
+        from meilibridge_spark.config import REINDEX_SETTINGS
+
+        culprits = sorted(
+            set(changed) & REINDEX_SETTINGS
+        ) or sorted(changed)
+        raise ConfigError(
+            f"settings {culprits} change the stored index bytes — "
+            "rebuild with jobs/build_index.py using the new config "
+            "instead of patching in place"
+        )
+    uid = meta.get("name")
+    with task_scope(index_dir, "settingsUpdate", index_uid=uid) as task:
+        new_meta = dict(meta)
+        new_meta["config"] = new_cfg.to_json_dict()
+        new_meta["searchable_attributes"] = list(
+            new_cfg.searchable_attributes
+        )
+        new_meta["filterable_attributes"] = list(
+            new_cfg.filterable_attributes
+        )
+        new_meta["sortable_attributes"] = list(new_cfg.sortable_attributes)
+        new_meta["distinct_attribute"] = new_cfg.distinct_attribute
+        new_meta["geo_attributes"] = (
+            list(new_cfg.geo_attributes)
+            if new_cfg.geo_attributes is not None
+            else None
+        )
+        entry = {
+            "snapshot_id": parent_id + 1,
+            "parent_snapshot_id": parent_id,
+            "delta": True,
+            "settings_only": True,
+            "created_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "n_docs": parent["n_docs"],
+            "avgdl": parent["avgdl"],
+            "max_ts": parent.get("max_ts"),
+            "index": new_meta,
+            "tables": {},
+            "metrics": {
+                "n_docs": parent["n_docs"],
+                "settings_changed": sorted(changed),
+                "delta_levels": int(
+                    parent.get("metrics", {}).get("delta_levels", 0)
+                ),
+                # size stats carry over — the data bytes ARE the
+                # parent's (index_stats reads them from the current
+                # entry)
+                **{
+                    k: parent["metrics"][k]
+                    for k in ("docs_bytes", "postings_bytes", "n_vectors")
+                    if k in parent.get("metrics", {})
+                },
+            },
+            **(
+                {"vec_base": parent["vec_base"]}
+                if "vec_base" in parent
+                else {}
+            ),
+        }
+        manifest["snapshots"].append(entry)
+        manifest["current"] = entry["snapshot_id"]
+        manifest["index"] = new_meta
+        _write_manifest(index_dir, manifest)
+        task["details"] = {"changed": sorted(changed)}
+    return entry
 
 
 def snapshot_log(index_dir: str) -> "list[dict]":

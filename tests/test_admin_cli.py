@@ -71,3 +71,24 @@ def test_stats_cli(monkeypatch, capsys, spark, tmp_index_dir):
     assert one["numberOfDocuments"] == idx.n_docs
     allstats = _run(monkeypatch, capsys, ["stats", "--root", d])
     assert allstats["indexes"]["s"]["numberOfDocuments"] == idx.n_docs
+
+
+def test_settings_cli(monkeypatch, capsys, spark, tmp_index_dir):
+    from meilibridge_spark.config import IndexConfig
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    d = tmp_index_dir
+    build_and_save(
+        spark,
+        generate_transcripts(spark, n_convs=3, seed=42),
+        IndexConfig(index_name="sc"),
+        d,
+    )
+    entry = _run(monkeypatch, capsys, [
+        "settings", "patch", "--index-dir", d,
+        "--json", '{"searchCutoffMs": 800, "facetSearch": false}',
+    ])
+    assert entry["settings_only"] is True
+    got = _run(monkeypatch, capsys, ["settings", "get", "--index-dir", d])
+    assert got["searchCutoffMs"] == 800 and got["facetSearch"] is False

@@ -132,3 +132,80 @@ def test_unknown_key_and_validation():
         apply_settings_patch(cfg, {
             "separatorTokens": ["-"], "nonSeparatorTokens": ["-"],
         })
+
+
+# --- end-to-end: settings-only snapshot commit ----------------------
+
+def test_update_settings_commit(spark, tmp_index_dir):
+    """update_settings writes a settings-only delta entry: query-time
+    settings change at manifest speed, the parent's data bytes serve
+    unchanged (search results identical), per-snapshot settings stay
+    independent, and the reindex-required settings refuse the patch."""
+    from meilibridge_spark.operators.search import search
+    from meilibridge_spark.plans.build import build_and_save
+    from meilibridge_spark.sources.tables import (
+        get_settings,
+        index_stats,
+        load_snapshot,
+        update_settings,
+    )
+    from meilibridge_spark.sources.tasks import get_tasks
+    from meilibridge_spark.sources.transcripts import generate_transcripts
+
+    d = tmp_index_dir
+    cfg = IndexConfig(index_name="su")
+    idx = build_and_save(
+        spark, generate_transcripts(spark, n_convs=8, seed=51), cfg, d
+    )
+    before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(idx, "baba cedi", 5).collect()
+    ]
+    entry = update_settings(d, {
+        "filterableAttributes": ["role"],
+        "searchCutoffMs": 800,
+    })
+    assert entry["settings_only"] is True and entry["snapshot_id"] == 2
+    assert entry["tables"] == {}
+    # new entry answers the patched surface; snapshot 1 keeps its own
+    s2 = get_settings(d)
+    assert s2["filterableAttributes"] == ["role"]
+    assert s2["searchCutoffMs"] == 800
+    assert get_settings(d, snapshot_id=1)["filterableAttributes"] == []
+    # the loaded index adopts the new settings, data identical
+    idx2 = load_snapshot(spark, d, IndexConfig(index_name="su"))
+    assert idx2.cfg.search_cutoff_ms == 800
+    assert idx2.cfg.filterable_attributes == ("role",)
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(idx2, "baba cedi", 5).collect()
+    ]
+    assert after == before
+    # stats carry the parent's sizes; the task journal records it
+    st = index_stats(d)
+    assert st["numberOfDocuments"] == idx.n_docs
+    assert st["rawDocumentDbSize"] > 0
+    tasks = get_tasks(d, types=["settingsUpdate"])["results"]
+    assert tasks and tasks[0]["status"] == "succeeded"
+    assert tasks[0]["details"]["changed"] == [
+        "filterableAttributes", "searchCutoffMs",
+    ]
+    # reindex-required settings refuse the in-place patch
+    with pytest.raises(ConfigError, match="stored index bytes"):
+        update_settings(d, {"stopWords": ["the"]})
+    # a second patch chains on the first — rankingRules now change the
+    # served ORDER (query-time semantics applied by the loaded index)
+    update_settings(d, {
+        "searchCutoffMs": None,
+        "rankingRules": ["words", "sort", "turn_idx:desc"],
+    })
+    s3 = get_settings(d)
+    assert s3["searchCutoffMs"] is None
+    assert s3["filterableAttributes"] == ["role"]
+    assert s3["rankingRules"] == ["words", "sort", "turn_idx:desc"]
+    idx3 = load_snapshot(spark, d, IndexConfig(index_name="su"))
+    assert idx3.cfg.search_cutoff_ms is None
+    assert idx3.cfg.ranking_rules == ("words", "sort", "turn_idx:desc")
+    # same doc set, rules-list order (turn_idx desc within word groups)
+    ruled = search(idx3, "baba cedi", 5).collect()
+    assert len(ruled) == len(before)
