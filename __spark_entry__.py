@@ -2296,6 +2296,20 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=5)
 
 
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed: pairs
+    are generated only WITHIN a deterministic sign bucket (first 8
+    dims), then exact cosine >= threshold — the scale path for
+    embedding dedup (no all-pairs join; bucket join keys the shuffle).
+    The synthetic embeddings are near-orthogonal (max in-bucket cosine
+    ~0.43), so the test threshold is 0.25 — semantics, not the
+    production 0.95, are what the oracle checks."""
+    from meilibridge_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.25, n_bits=8)
+
+
 def _q_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meilisearch v1.10 ``binaryQuantized: true`` scoring: both sides
     sign-quantized (32 dims per long word), similarity = the +/-1 dot
@@ -2654,7 +2668,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_features) replaces point_lookup (r01-verified; the
     # pushdown family keeps cdc_projection and projection_rename in
     # the gate, and the point-lookup plan shape stays plan-asserted in
-    # tests/test_plans.py). Entries
+    # tests/test_plans.py). dd_embed_neardup (NEW: embedding-cosine
+    # near-duplicate pairs, sign-LSH bucketed — the fourth dedup
+    # modality from the pipeline-ops brief, previously operator+test
+    # only) replaces rollup_sources (r01-verified; the scan/rollup
+    # family keeps cdc_projection, projection_rename and stats_fields
+    # in the gate). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2732,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": _q_dedup_clusters,
         "dd_clusters_star": _q_dedup_clusters_star,
         "dd_simhash32": _q_simhash,
+        "dd_embed_neardup": _q_embed_neardup,
         "sim_cosine_topk": _q_cosine_topk,
         "sim_binary_topk": _q_binary_topk,
         "sim_ivf_topk": _q_ivf_topk,
@@ -2848,7 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_dictionary",
         "ft_filter_rules",
         "projection_rename",
-        "rollup_sources",
+        "dd_embed_neardup",
         "cdc_projection",
         "ev_sessions",
         "ts_token_counts",
@@ -4114,6 +4134,22 @@ SELECT vec_id,
   CAST(list_sum(list_transform(range(0, 8),
        j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN 2**j ELSE 0 END)) AS BIGINT) AS bucket
 FROM embeddings
+""",
+        "dd_embed_neardup": f"""
+WITH wb AS (
+  SELECT vec_id, embedding,
+    CAST(list_sum(list_transform(range(0, 8),
+         j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN 2**j ELSE 0 END)) AS BIGINT) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos
+  FROM wb a JOIN wb b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos
+FROM pairs WHERE cos >= 0.25
 """,
         "mm_features": """
 SELECT doc_id AS asset_id,
