@@ -226,6 +226,36 @@ def _sql_filtered_batch(
     return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
 
 
+def _sql_paged_batch(
+    queries: "list[tuple[str, list[str]]]",
+    page: int,
+    hits_per_page: int,
+    cap: int = 1000,
+) -> str:
+    """Batch exhaustive pagination oracle: per query, rank over the
+    full candidate set, exhaustive total capped at ``cap``
+    (maxTotalHits), slice = ranks ((page-1)*hpp, min(page*hpp, cap)]."""
+    lo = (page - 1) * hits_per_page
+    hi = min(page * hits_per_page, cap)
+    ctes = ",\n".join(
+        _sql_score_cte(f"s_{qid}", terms) for qid, terms in queries
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, doc_id,
+         round(s, 4)::DOUBLE AS score,
+         row_number() OVER (ORDER BY s DESC, doc_id)::INT AS rank,
+         least(count(*) OVER (), {cap})::BIGINT AS total_hits,
+         {page}::INT AS page, {hits_per_page}::INT AS hits_per_page,
+         ceil(least(count(*) OVER (), {cap}) / {hits_per_page}.0)::INT
+           AS total_pages
+  FROM s_{qid}
+) t_{qid} WHERE rank > {lo} AND rank <= {hi}"""
+        for qid, _ in queries
+    )
+    return f"WITH {_sql_tok()},\n{ctes}\n{selects}"
+
+
 def _expand(terms: "list[str]") -> "list[str]":
     out = []
     for t in terms:
@@ -1357,6 +1387,37 @@ def _q_page_exhaustive(terms_text: str, page: int, hits_per_page: int):
             "page",
             "hits_per_page",
             "total_hits",
+            "total_pages",
+        )
+
+    return run
+
+
+def _q_paged_batch(qs: "list[tuple[str, str]]", page: int, hits_per_page: int):
+    """Batch exhaustive pagination (round 5): M queries' page slices +
+    exhaustive totalHits/totalPages in TWO jobs for the whole batch —
+    the top-k scatter-gather sliced to the page plus ONE count pass
+    where each shard emits a single (query, candidate-count) row
+    through the same block exchange (operators/search.py
+    _search_many_paged / search_many_count) — versus one paged job per
+    query through multi_search. rank = absolute pre-slice position."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.operators.search import search_many
+
+        idx = _docs_index(spark, sf_dir)
+        return search_many(
+            idx, qs, page=page, hits_per_page=hits_per_page
+        ).select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "rank",
+            "total_hits",
+            "page",
+            "hits_per_page",
             "total_pages",
         )
 
@@ -2672,14 +2733,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near-duplicate pairs, sign-LSH bucketed — the fourth dedup
     # modality from the pipeline-ops brief, previously operator+test
     # only) replaces rollup_sources (r01-verified; the scan/rollup
-    # family keeps cdc_projection, projection_rename and stats_fields
-    # in the gate). Entries
+    # family keeps projection_rename and stats_fields in the gate).
+    # ft_paged_batch (NEW: batch exhaustive pagination — M queries'
+    # page slices + exhaustive totals in TWO jobs, the count pass
+    # riding the block exchange as one row per (query, shard);
+    # closes the 'search_many stays offset/limit-only' scope note)
+    # replaces cdc_projection (r01-verified; the projection/pushdown
+    # family keeps projection_rename, and the CDC surface stays gated
+    # through the incremental tests' byte-identity suite). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
         "ft_bm25_topk": _q_topk("spark join table", 10),
         "ft_paged": _q_paged("spark join", 10, 10),
         "ft_page_exhaustive": _q_page_exhaustive("spark join", 2, 7),
+        "ft_paged_batch": _q_paged_batch(
+            [("qa", "spark join"), ("qb", "group hash"), ("qc", "vector stream")],
+            2,
+            4,
+        ),
         "ft_placeholder": _q_placeholder(15, "n_chars >= 200"),
         "ft_placeholder_page": _q_placeholder_page(3, 7, "n_chars >= 200"),
         "ft_ranking_score": _q_ranking_score(
@@ -2869,7 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filter_rules",
         "projection_rename",
         "dd_embed_neardup",
-        "cdc_projection",
+        "ft_paged_batch",
         "ev_sessions",
         "ts_token_counts",
         "ft_hybrid_binary",
@@ -3382,6 +3454,15 @@ ORDER BY matched_terms DESC, s DESC, doc_id LIMIT 20
                 "   OR levenshtein(term, 'window') <= 1 "
                 "UNION SELECT 'spakr' UNION SELECT 'jion' UNION SELECT 'window')"
             ),
+        ),
+        "ft_paged_batch": _sql_paged_batch(
+            [
+                ("qa", ["spark", "join"]),
+                ("qb", ["group", "hash"]),
+                ("qc", ["vector", "stream"]),
+            ],
+            2,
+            4,
         ),
         "ft_bm25_filtered_batch": _sql_filtered_batch(
             [

@@ -1203,6 +1203,7 @@ def _score_shard(
         "dict[str, list[tuple[tuple[str, int], ...]]] | None"
     ) = None,
     phrase_pos: "dict[str, tuple[np.ndarray, np.ndarray]] | None" = None,
+    count_only: bool = False,
 ) -> "tuple[list, list, list, dict[str, list]]":
     """Dense scatter-add scoring of one shard for every query; exact
     per-query local top-k. Queries are chunked to bound the dense array
@@ -1240,7 +1241,12 @@ def _score_shard(
     drop order; a doc's level = max drop_rank over groups it does NOT
     satisfy (0 if it satisfies all) — the analog of Meilisearch
     removing words most-frequent-first. level asc is the PRIMARY sort
-    key, ahead of every other criterion."""
+    key, ahead of every other criterion.
+
+    ``count_only`` (batch exhaustive pagination): emit per (query,
+    shard) ONE row whose doc_id is the shard's candidate COUNT after
+    every mask, instead of the local top-k — ranking criteria cannot
+    change WHICH docs are candidates, so the caller forces them off."""
     out_q, out_d, out_s = [], [], []
     extras: "dict[str, list]" = {}
     if freq_groups is not None:
@@ -1378,6 +1384,20 @@ def _score_shard(
                             pres[hit[0]] = True
                     gsat += pres
                 row = np.where(gsat >= len(groups), row, 0.0)
+            if count_only:
+                # batch exhaustive totals (page/hitsPerPage): BM25
+                # impacts are strictly positive (idf > 0, tf >= 1), so
+                # nonzero score == candidate after every shard-local
+                # mask (filter bitmap at decode, negative bans, 'all'
+                # word groups). ONE row per (query, shard) with the
+                # count carried in doc_id — nothing doc-granular ever
+                # leaves the shard, exactly like the top-k rows.
+                n = int(np.count_nonzero(row))
+                if n:
+                    out_q.append(np.repeat(qkey, 1))
+                    out_d.append(np.array([n], dtype=np.int64))
+                    out_s.append(np.zeros(1, dtype=np.float64))
+                continue
             prox_row = None
             if prox_pairs is not None:
                 pairs = prox_pairs.get(qkey)
@@ -1491,6 +1511,7 @@ def _make_shard_scorer(
     forbid_phrases: (
         "dict[str, list[tuple[tuple[str, int], ...]]] | None"
     ) = None,
+    count_only: bool = False,
 ):
     """Per-partition scatter-gather scorer (document-partitioned search,
     the standard sharded-index query architecture).
@@ -1575,6 +1596,7 @@ def _make_shard_scorer(
                 forbid_terms=forbid_terms, ban_src=ban_src,
                 prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
                 crit_order=crit_order, forbid_phrases=forbid_phrases,
+                count_only=count_only,
             )
             if out_q:
                 yield pd.DataFrame(_out_cols(out_q, out_d, out_s, extras))
@@ -1605,6 +1627,7 @@ def _make_filtered_shard_scorer(
     forbid_phrases: (
         "dict[str, list[tuple[tuple[str, int], ...]]] | None"
     ) = None,
+    count_only: bool = False,
 ):
     """Cogrouped variant of the shard scorer for filtered and/or
     proximity-ranked batch search: key = doc-shard; left = the shard's
@@ -1716,7 +1739,7 @@ def _make_filtered_shard_scorer(
             forbid_terms=forbid_terms, ban_src=ban_src,
             prox_pairs=prox_pairs, pos_of=pos_of, prox_attr=prox_attr,
             crit_order=crit_order, forbid_phrases=forbid_phrases,
-            phrase_pos=phrase_pos,
+            phrase_pos=phrase_pos, count_only=count_only,
         )
         if not out_q:
             return empty
@@ -1810,6 +1833,9 @@ def search_many(
     prefix_max_expansions: int = 10,
     ranking_rules: "list[str] | tuple[str, ...] | None" = None,
     sort_params: "list[tuple[str, bool]] | None" = None,
+    page: "int | None" = None,
+    hits_per_page: "int | None" = None,
+    _count_only: bool = False,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
     (query_id, doc_id, score[, matched_terms][, prox_cost]
@@ -1894,6 +1920,22 @@ def search_many(
     position (offset+1..offset+k). Shards rank their local top
     offset+k, the skip is a final rank filter.
 
+    ``page`` / ``hits_per_page`` (Meilisearch EXHAUSTIVE pagination,
+    v0.30+) — batch form: setting either switches EVERY query in the
+    batch to page slices + exhaustive ``total_hits`` / ``total_pages``
+    metadata columns (capped at maxTotalHits), with ``k`` / ``offset``
+    ignored exactly as the endpoint ignores limit/offset in this mode.
+    Cost for M queries: TWO jobs — the normal top-k scatter-gather
+    sliced to the page, plus ONE count pass where each shard emits a
+    single (query, candidate-count) row through the same block
+    exchange (``_count_only`` scorer mode; nothing doc-granular moves)
+    — versus M single-query paged jobs through multi_search.
+    ``hits_per_page=0`` is the count-only batch: one metadata carrier
+    row per query (NULL doc_id/score/rank), the multi-search
+    convention. Queries whose requested page is past the end
+    contribute zero rows (single-path parity). See also
+    :func:`search_many_count` for bare (query_id, total_hits).
+
     ``prefix=True`` (Meilisearch's always-on last-word prefix search):
     each query's final word also matches dictionary terms it prefixes,
     bounded to ``prefix_max_expansions`` lexicographic candidates with
@@ -1951,6 +1993,22 @@ def search_many(
     at 10^12 turns the per-query merge input is n_shards*k rows,
     which a two-level (salted) merge handles the same way.
     """
+    if page is not None or hits_per_page is not None:
+        if _count_only:
+            raise ValueError(
+                "page/hits_per_page cannot combine with _count_only"
+            )
+        return _search_many_paged(
+            index, queries, page, hits_per_page,
+            gather=gather, filter_docs=filter_docs,
+            typo=typo, typo_cfg=typo_cfg,
+            words_rank=words_rank, attribute_rank=attribute_rank,
+            proximity_rank=proximity_rank, exactness_rank=exactness_rank,
+            exact_terms=exact_terms, matching_strategy=matching_strategy,
+            attributes_to_search_on=attributes_to_search_on,
+            prefix=prefix, prefix_max_expansions=prefix_max_expansions,
+            ranking_rules=ranking_rules, sort_params=sort_params,
+        )
     k = k or index.cfg.max_total_hits
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
@@ -1963,12 +2021,29 @@ def search_many(
             "matching_strategy must be 'last', 'all' or 'frequency', "
             f"got {matching_strategy!r}"
         )
+    if _count_only:
+        # batch COUNT mode (exhaustive totals): ranking criteria cannot
+        # change WHICH docs are candidates, only their order — force
+        # them all off so shards do pure mask+count work. The
+        # candidate-SHAPING params (filters, matching strategies,
+        # typo/prefix expansion, attributesToSearchOn, negatives) stay
+        # live — they decide membership. Dedup gets STRONGER here:
+        # queries differing only in ranking inputs (exact form, word
+        # order) legitimately share one count key.
+        words_rank = False
+        attribute_rank = proximity_rank = exactness_rank = False
+        ranking_rules = None
+        sort_params = None
     if words_rank is None:
         words_rank = index.cfg.words_ranking
     rules = (
-        ranking_rules
-        if ranking_rules is not None
-        else index.cfg.ranking_rules
+        None
+        if _count_only
+        else (
+            ranking_rules
+            if ranking_rules is not None
+            else index.cfg.ranking_rules
+        )
     )
     if rules is not None:
         # rules-list mode: the list decides activation and order (see
@@ -2277,9 +2352,11 @@ def search_many(
             (key, terms) for key, terms in plan if key not in unsatisfiable
         ]
     freq_groups: "dict[str, list[tuple[int, list[str]]]] | None" = None
-    if matching_strategy == "frequency":
+    if matching_strategy == "frequency" and not _count_only:
         # per query: (drop_rank, indexed alternates) in df-desc drop
         # order; unindexed groups are pre-dropped inside freq_drop_ranks
+        # (count mode skips this: 'frequency' only RANKS — its
+        # candidate set is the plain OR set)
         freq_groups = {
             key: freq_drop_ranks(gq, idf_map)
             for key, gq in group_sets.items()
@@ -2351,6 +2428,10 @@ def search_many(
         return res.filter(F.col("rank") > offset) if offset else res
 
     if not plan:
+        if _count_only:
+            return _gather_counts(
+                index, None, key_of, filter_docs, neg_only, spark
+            )
         out_schema = (
             "query_id string, doc_id long, score double"
             + "".join(f", {o} int" for _, o, _ in rank_cols)
@@ -2375,6 +2456,7 @@ def search_many(
         forbid_terms=forbid_live,
         forbid_phrases=phrase_live,
         crit_order=[c for c, _, _ in rank_cols],
+        count_only=_count_only,
     )
     if proximity_rank:
         scorer_kw["prox_pairs"] = prox_sets
@@ -2461,6 +2543,10 @@ def search_many(
                 schema=scored_schema,
             )
         )
+        if _count_only:
+            return _gather_counts(
+                index, per_key, key_of, filter_docs, neg_only, spark
+            )
         if need_fields:
             res = _gather_hits_rules(
                 index, per_key, key_of, qkeys, k_all, rank_cols,
@@ -2501,6 +2587,10 @@ def search_many(
         ),
         schema=scored_schema,
     )
+    if _count_only:
+        return _gather_counts(
+            index, per_key, key_of, filter_docs, neg_only, spark
+        )
     if need_fields:
         res = _gather_hits_rules(
             index, per_key, key_of, qkeys, k_all, rank_cols,
@@ -2511,6 +2601,221 @@ def search_many(
             index, per_key, key_of, qkeys, k_all, gather, rank_cols
         )
     return _finish(res)
+
+
+def _gather_counts(
+    index: InvertedIndex,
+    per_key: "DataFrame | None",
+    key_of: "dict[str, str]",
+    filter_docs: "DataFrame | None",
+    neg_only: "dict[str, tuple[list[str], list[str]]]",
+    spark,
+) -> DataFrame:
+    """Batch exhaustive totals -> one (query_id, total_hits) row per
+    input query, capped at maxTotalHits (Meilisearch's bounded-counter
+    contract). Indexed-term queries sum their per-(query, shard)
+    candidate-count rows — counts ride the SAME block exchange the hit
+    rows would, one row per shard, so the reduction input is
+    n_shards rows per query, never doc-granular. Placeholder /
+    negative-only queries count the column-pruned docs scan minus
+    their exclusion set; the pure-placeholder group (identical counts
+    by construction) shares ONE count subplan via a literal-qid cross
+    join. Queries dropped as unsatisfiable under
+    matching_strategy='all' left-join to 0."""
+    cap = index.cfg.max_total_hits
+    out: "DataFrame | None" = None
+    if key_of:
+        mapping = spark.createDataFrame(
+            list(key_of.items()), "query_id string, qkey string"
+        )
+        if per_key is None:
+            out = mapping.select(
+                "query_id", F.lit(0).cast("long").alias("total_hits")
+            )
+        else:
+            totals = per_key.groupBy("qkey").agg(
+                F.sum("doc_id").alias("_n")
+            )
+            out = mapping.join(totals, "qkey", "left").select(
+                "query_id",
+                F.least(
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long"),
+                    F.lit(cap).cast("long"),
+                ).alias("total_hits"),
+            )
+    if neg_only:
+        from meilibridge_spark.operators.positions import (
+            negative_exclusion_docs,
+        )
+
+        docs = index.docs.select("doc_id")
+        extra: "DataFrame | None" = None
+        plain = sorted(
+            q for q, (nw, nps) in neg_only.items() if not nw and not nps
+        )
+        if plain:
+            qdf = spark.createDataFrame(
+                [(q,) for q in plain], "query_id string"
+            )
+            cnt = _count_candidates(docs, filter_docs, None, cap).select(
+                "total_hits"
+            )
+            extra = qdf.crossJoin(cnt)
+        for qid in sorted(neg_only):
+            nw, nps = neg_only[qid]
+            if not nw and not nps:
+                continue
+            excl = negative_exclusion_docs(index, nw, nps)
+            one = _count_candidates(docs, filter_docs, excl, cap).select(
+                F.lit(qid).alias("query_id"), "total_hits"
+            )
+            extra = one if extra is None else extra.unionByName(one)
+        if extra is not None:
+            out = extra if out is None else out.unionByName(extra)
+    if out is None:
+        out = spark.createDataFrame([], "query_id string, total_hits long")
+    return out
+
+
+def search_many_count(
+    index: InvertedIndex,
+    queries: "list[tuple[str, str]]",
+    *,
+    filter_docs: "DataFrame | None" = None,
+    typo: bool = False,
+    typo_cfg=None,
+    matching_strategy: str = "last",
+    attributes_to_search_on: "tuple[str, ...] | None" = None,
+    prefix: bool = False,
+    prefix_max_expansions: int = 10,
+) -> DataFrame:
+    """Exhaustive hit counts for a BATCH of queries in one Spark job ->
+    (query_id, total_hits), total_hits capped at maxTotalHits — the
+    batch form of :func:`search_count` (Meilisearch ``hitsPerPage=0``
+    count-only requests, fanned M-wide). The plan is the search_many
+    scatter-gather with ranking criteria forced off: every
+    candidate-shaping parameter (filter, matchingStrategy, typo/prefix
+    expansion, attributesToSearchOn, negative keywords/phrases,
+    placeholder routing for empty / negative-only queries) composes
+    exactly as in the hit path, and each shard emits ONE count row per
+    query instead of its local top-k. Parity with per-query
+    search_count is tested."""
+    return search_many(
+        index,
+        queries,
+        filter_docs=filter_docs,
+        typo=typo,
+        typo_cfg=typo_cfg,
+        matching_strategy=matching_strategy,
+        attributes_to_search_on=attributes_to_search_on,
+        prefix=prefix,
+        prefix_max_expansions=prefix_max_expansions,
+        _count_only=True,
+    )
+
+
+def _search_many_paged(
+    index: InvertedIndex,
+    queries: "list[tuple[str, str]]",
+    page: "int | None",
+    hits_per_page: "int | None",
+    *,
+    gather: str,
+    filter_docs: "DataFrame | None",
+    typo: bool,
+    typo_cfg,
+    words_rank: "bool | None",
+    attribute_rank: bool,
+    proximity_rank: bool,
+    exactness_rank: bool,
+    exact_terms: "dict[str, list[str]] | None",
+    matching_strategy: str,
+    attributes_to_search_on: "tuple[str, ...] | None",
+    prefix: bool,
+    prefix_max_expansions: int,
+    ranking_rules: "list[str] | tuple[str, ...] | None",
+    sort_params: "list[tuple[str, bool]] | None",
+) -> DataFrame:
+    """Batch exhaustive pagination (``search_many(page=,
+    hits_per_page=)``): the requested page's hits per query with
+    exhaustive total_hits / total_pages / page / hits_per_page
+    metadata columns — TWO jobs for the whole batch (top-k sliced to
+    the page + the shard-count pass), versus one paged job per query
+    through multi_search. Totals are capped at maxTotalHits and pages
+    never reach past the cap (the single-path ``limit(cap)``
+    contract); ``rank`` stays the absolute pre-slice position."""
+    pg = 1 if page is None else page
+    hpp = 20 if hits_per_page is None else hits_per_page
+    if pg < 1:
+        raise ValueError(f"page must be >= 1, got {page}")
+    if hpp < 0:
+        raise ValueError(f"hitsPerPage must be >= 0, got {hits_per_page}")
+    cap = index.cfg.max_total_hits
+    totals = search_many_count(
+        index,
+        queries,
+        filter_docs=filter_docs,
+        typo=typo,
+        typo_cfg=typo_cfg,
+        matching_strategy=matching_strategy,
+        attributes_to_search_on=attributes_to_search_on,
+        prefix=prefix,
+        prefix_max_expansions=prefix_max_expansions,
+    )
+    totals = (
+        totals.withColumn("page", F.lit(pg).cast("int"))
+        .withColumn("hits_per_page", F.lit(hpp).cast("int"))
+        .withColumn(
+            "total_pages",
+            F.ceil(F.col("total_hits") / F.lit(hpp)).cast("int")
+            if hpp
+            else F.lit(0).cast("int"),
+        )
+    )
+    if hpp == 0:
+        # count-only batch: one metadata carrier row per query (NULL
+        # doc columns — the multi-search results-mode convention)
+        return totals.select(
+            "query_id",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("int").alias("rank"),
+            "total_hits",
+            "page",
+            "hits_per_page",
+            "total_pages",
+        )
+    lo = (pg - 1) * hpp
+    k_eff = min(lo + hpp, cap) - lo
+    hits = search_many(
+        index,
+        queries,
+        k=max(k_eff, 1),
+        gather=gather,
+        filter_docs=filter_docs,
+        typo=typo,
+        typo_cfg=typo_cfg,
+        words_rank=words_rank,
+        attribute_rank=attribute_rank,
+        proximity_rank=proximity_rank,
+        exactness_rank=exactness_rank,
+        exact_terms=exact_terms,
+        matching_strategy=matching_strategy,
+        attributes_to_search_on=attributes_to_search_on,
+        offset=lo,
+        prefix=prefix,
+        prefix_max_expansions=prefix_max_expansions,
+        ranking_rules=ranking_rules,
+        sort_params=sort_params,
+    )
+    if k_eff <= 0:
+        # the whole page sits past the maxTotalHits counter: empty,
+        # schema kept (Catalyst folds filter(false) to an empty
+        # relation — no job runs for the hit side)
+        hits = hits.filter(F.lit(False))
+    return hits.join(F.broadcast(totals), "query_id").select(
+        *hits.columns, "total_hits", "page", "hits_per_page", "total_pages"
+    )
 
 
 def _batch_blocks(

@@ -167,3 +167,179 @@ def test_driver_searcher_page_with_filter(built):
         built, "spark", filter_docs=filt, page=2, hits_per_page=4
     ).collect()
     assert [d for d, _ in hits] == [r.doc_id for r in df_rows]
+
+
+# ------------------------------------------------- batch exhaustive pagination
+
+
+def test_batch_paged_matches_single_per_query(built):
+    from meilibridge_spark.operators.search import search_many
+
+    qs = [("a", "spark join"), ("b", "spark"), ("c", "zzznothing")]
+    for page in (1, 2, 3, 9):
+        b = search_many(built, qs, page=page, hits_per_page=4).collect()
+        for qid, text in qs:
+            s = search(built, text, page=page, hits_per_page=4).collect()
+            got = sorted(
+                (r.doc_id, round(r.score, 9), r.total_hits, r.total_pages)
+                for r in b
+                if r.query_id == qid
+            )
+            want = sorted(
+                (r.doc_id, round(r.score, 9), r.total_hits, r.total_pages)
+                for r in s
+            )
+            assert got == want, (page, qid)
+            # rank stays the absolute pre-slice position
+            ranks = sorted(r.rank for r in b if r.query_id == qid)
+            lo = (page - 1) * 4
+            assert ranks == list(range(lo + 1, lo + 1 + len(ranks)))
+
+
+def test_batch_count_parity_with_search_count(built):
+    from meilibridge_spark.operators.search import (
+        search_count,
+        search_many_count,
+    )
+
+    qs = [
+        ("plain", "spark join"),
+        ("one", "join"),
+        ("none", "zzznothing"),
+        ("empty", ""),
+    ]
+    got = {
+        r.query_id: r.total_hits
+        for r in search_many_count(built, qs).collect()
+    }
+    for qid, text in qs:
+        want = search_count(built, text).collect()[0].total_hits
+        assert got[qid] == want, (qid, got[qid], want)
+    assert got["none"] == 0 and got["empty"] == 13
+
+
+def test_batch_count_strategies_and_filter(built, spark):
+    from meilibridge_spark.operators.search import (
+        search_count,
+        search_many_count,
+    )
+
+    filt = built.docs.filter(F.col("doc_id") < 6).select("doc_id")
+    qs = [("a", "spark join"), ("b", "spark zzznothing")]
+    # matching_strategy='all': b has an unsatisfiable word -> 0
+    got = {
+        r.query_id: r.total_hits
+        for r in search_many_count(
+            built, qs, matching_strategy="all", filter_docs=filt
+        ).collect()
+    }
+    for qid, text in qs:
+        want = (
+            search_count(
+                built, text, matching_strategy="all", filter_docs=filt
+            )
+            .collect()[0]
+            .total_hits
+        )
+        assert got[qid] == want, (qid, got[qid], want)
+    assert got["b"] == 0
+
+
+def test_batch_count_negative_and_placeholder(built):
+    from meilibridge_spark.operators.positions import (
+        negative_exclusion_docs,
+    )
+    from meilibridge_spark.operators.search import (
+        search_count,
+        search_many_count,
+    )
+
+    qs = [("neg", "-spark"), ("negpos", "spark -join"), ("ph", "")]
+    got = {
+        r.query_id: r.total_hits
+        for r in search_many_count(built, qs).collect()
+    }
+    excl = negative_exclusion_docs(built, ["spark"], [])
+    want_neg = (
+        search_count(built, "", exclude_docs=excl).collect()[0].total_hits
+    )
+    assert got["neg"] == want_neg == 1  # only doc 20 lacks 'spark'
+    # positive term minus negated docs: 12 spark docs, 5 contain 'join'
+    assert got["negpos"] == 7
+    assert got["ph"] == 13
+
+
+def test_batch_paged_cap_and_past_cap(spark):
+    import dataclasses
+
+    from meilibridge_spark.operators.search import (
+        search_many,
+        search_many_count,
+    )
+    from meilibridge_spark.plans.build import build_index
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    idx = build_index(
+        df, dataclasses.replace(CFG, max_total_hits=7), doc_id_col="doc_id"
+    )
+    qs = [("a", "spark")]
+    out = search_many(idx, qs, page=1, hits_per_page=3).collect()
+    assert out[0].total_hits == 7 and out[0].total_pages == 3
+    # page 3 = ranks 7..9 but the counter caps candidates at 7: one hit
+    p3 = search_many(idx, qs, page=3, hits_per_page=3).collect()
+    assert [r.rank for r in p3] == [7]
+    single = search(idx, "spark", page=3, hits_per_page=3).collect()
+    assert [r.doc_id for r in p3] == [r.doc_id for r in single]
+    # fully past the cap: empty, schema intact
+    p4 = search_many(idx, qs, page=4, hits_per_page=3)
+    assert p4.count() == 0
+    assert {"query_id", "total_hits", "total_pages"} <= set(p4.columns)
+    assert (
+        search_many_count(idx, qs).collect()[0].total_hits == 7
+    )
+
+
+def test_batch_paged_count_only_carrier_rows(built):
+    from meilibridge_spark.operators.search import search_many
+
+    qs = [("a", "spark join"), ("b", "zzznothing"), ("c", "-spark")]
+    rows = {
+        r.query_id: r
+        for r in search_many(built, qs, hits_per_page=0).collect()
+    }
+    assert set(rows) == {"a", "b", "c"}  # zero-hit queries get a row too
+    for r in rows.values():
+        assert r.doc_id is None and r.score is None and r.rank is None
+        assert r.total_pages == 0 and r.hits_per_page == 0
+    assert rows["a"].total_hits == 12
+    assert rows["b"].total_hits == 0
+    assert rows["c"].total_hits == 1
+
+
+def test_batch_count_dedups_rank_divergent_queries(built):
+    # same term set, different word order / exact form: ONE count key
+    from meilibridge_spark.operators.search import search_many_count
+
+    qs = [("x", "spark join"), ("y", "join spark")]
+    got = {
+        r.query_id: r.total_hits
+        for r in search_many_count(built, qs).collect()
+    }
+    assert got["x"] == got["y"] == 12
+
+
+def test_batch_paged_composes_with_criteria(built):
+    # ranking criteria change order, never membership: totals identical
+    # and the paged slice matches the criteria-ranked offset path
+    from meilibridge_spark.operators.search import search_many
+
+    qs = [("a", "spark join")]
+    plain = search_many(built, qs, page=1, hits_per_page=4).collect()
+    ranked = search_many(
+        built, qs, page=1, hits_per_page=4, exactness_rank=True
+    ).collect()
+    assert ranked[0].total_hits == plain[0].total_hits == 12
+    off = search_many(built, qs, k=4, exactness_rank=True).collect()
+    assert [r.doc_id for r in sorted(ranked, key=lambda r: r.rank)] == [
+        r.doc_id for r in sorted(off, key=lambda r: r.rank)
+    ]
