@@ -15,10 +15,15 @@ scores to the max needed depth and each request trims its own rank
 window from the (<= k rows/request) merged output — a broadcast join
 of a request-count-sized bounds table, nothing doc-granular.
 
-Exhaustive-pagination requests (``page`` / ``hits_per_page``) run one
-single-query paged job each — per-request exhaustive totals cannot
-share the batch exchange — and surface their totalHits/totalPages as
-extra nullable columns on the combined output (see multi_search).
+Exhaustive-pagination requests (``page`` / ``hits_per_page``) group
+exactly like offset-mode ones — same option key plus (page,
+hits_per_page) — and each group rides ONE batch paged call
+(``search_many(page=, hits_per_page=)``: the top-k scatter-gather
+sliced to the page plus one shard-count pass through the same block
+exchange, two jobs per group). ``hits_per_page=0`` count-only
+requests ride the same grouping and contribute NULL-doc metadata
+carrier rows. Their totalHits/totalPages surface as extra nullable
+columns on the combined output (see multi_search).
 """
 
 from __future__ import annotations
@@ -61,126 +66,6 @@ _PAGE_META_COLS = (
 )
 
 
-def _count_only_request(index: InvertedIndex, req: dict, req_no: int):
-    """One count-only request (``hits_per_page == 0``, the endpoint's
-    common count/facet-only pattern): answered by the dedicated
-    ``search_count`` plan and carried as a SINGLE metadata row with
-    NULL doc_id/score/rank — the endpoint's response-level
-    ``totalHits`` needs a carrier row in a flattened-rows DataFrame.
-    ``typo`` / ``prefix`` / ``attributes_to_search_on`` / ``proximity``
-    change the candidate set or ranking the count plan doesn't model —
-    rejected loudly (use a positive hitsPerPage)."""
-    from meilibridge_spark.operators.search import search_count
-
-    unsupported = [
-        kk for kk in ("typo", "prefix", "attributes_to_search_on",
-                      "proximity")
-        if req.get(kk)
-    ]
-    if unsupported:
-        raise ValueError(
-            f"request {req_no}: hits_per_page=0 (count-only) does not "
-            f"compose with {unsupported}; use a positive hitsPerPage"
-        )
-    if req.get("matching_strategy", "last") not in ("last", "all"):
-        raise ValueError(
-            f"request {req_no}: hits_per_page=0 (count-only) supports "
-            "matching_strategy 'last' or 'all' only"
-        )
-    filter_docs = None
-    if req.get("filter"):
-        from meilibridge_spark.functions.filters import filter_doc_ids
-
-        filter_docs = filter_doc_ids(index, req["filter"])
-    return search_count(
-        index,
-        req["q"],
-        filter_docs=filter_docs,
-        matching_strategy=req.get("matching_strategy", "last"),
-    ).select(
-        F.lit(None).cast("long").alias("doc_id"),
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("int").alias("rank"),
-        "total_hits",
-        "total_pages",
-        F.lit(req.get("page", 1) or 1).cast("int").alias("page"),
-        F.lit(0).cast("int").alias("hits_per_page"),
-    )
-
-
-def _exhaustive_request(index: InvertedIndex, req: dict, req_no: int):
-    """One exhaustive-pagination request (``page`` / ``hits_per_page``
-    present) answered through the single-query paged path — exhaustive
-    totals are inherently per-request (the endpoint counts each query's
-    own matches), so these never share a scatter-gather job; ``k`` /
-    ``offset`` are ignored in this mode exactly as the endpoint ignores
-    ``limit`` / ``offset``. ``typo`` / ``prefix`` requests pre-expand
-    terms the same way search_typo / search_prefix do (composing BOTH
-    with pagination is rejected loudly — the batch path owns that
-    composition and deliberately never materializes per-query totals).
-    ``hits_per_page == 0`` routes to :func:`_count_only_request`."""
-    from meilibridge_spark.operators.search import (
-        prefix_expand_terms,
-        search,
-    )
-    from meilibridge_spark.functions.tokenizer import parse_query
-
-    if req.get("hits_per_page") == 0:
-        return _count_only_request(index, req, req_no)
-    if req.get("typo") and req.get("prefix"):
-        raise ValueError(
-            f"request {req_no}: typo and prefix together are not "
-            "supported with page/hitsPerPage (exhaustive pagination); "
-            "drop one or use the offset/limit mode"
-        )
-    q_terms = parse_query(req["q"], index.cfg.analyzer)
-    if not q_terms:
-        # empty / stop-word-only q: the endpoint's PLACEHOLDER search
-        # (all documents) composes with exhaustive pagination — same
-        # routing search_with_phrases / search_many apply
-        from meilibridge_spark.operators.search import placeholder_search
-
-        filter_docs = None
-        if req.get("filter"):
-            from meilibridge_spark.functions.filters import filter_doc_ids
-
-            filter_docs = filter_doc_ids(index, req["filter"])
-        return placeholder_search(
-            index,
-            filter_docs=filter_docs,
-            page=req.get("page"),
-            hits_per_page=req.get("hits_per_page"),
-            page_rank_col="rank",
-        )
-    terms, orig, typo_rank = q_terms, None, False
-    if req.get("typo"):
-        from meilibridge_spark.operators.search import typo_expand_terms
-
-        terms = typo_expand_terms(index, q_terms)
-        orig, typo_rank = q_terms, True
-    elif req.get("prefix") and index.cfg.prefix_search != "disabled":
-        terms = prefix_expand_terms(index, q_terms)
-    filter_docs = None
-    if req.get("filter"):
-        from meilibridge_spark.functions.filters import filter_doc_ids
-
-        filter_docs = filter_doc_ids(index, req["filter"])
-    son = req.get("attributes_to_search_on")
-    return search(
-        index,
-        " ".join(terms),
-        filter_docs=filter_docs,
-        orig_terms=orig,
-        typo_rank=typo_rank,
-        matching_strategy=req.get("matching_strategy", "last"),
-        attributes_to_search_on=tuple(son) if son is not None else None,
-        proximity_rank=bool(req.get("proximity")),
-        page=req.get("page"),
-        hits_per_page=req.get("hits_per_page"),
-        page_rank_col="rank",
-    )
-
-
 def multi_search(
     indexes: "dict[str, InvertedIndex]",
     requests: "list[dict]",
@@ -205,20 +90,27 @@ def multi_search(
     (the endpoint 400s).
 
     Requests carrying ``page`` / ``hits_per_page`` (Meilisearch
-    exhaustive pagination) are answered through the single-query paged
-    path — one job each, never grouped, because exhaustive
-    ``totalHits`` is a per-request count the batch top-k exchange
-    deliberately never materializes. When ANY request is paged the
-    output gains nullable ``total_hits`` / ``total_pages`` / ``page`` /
-    ``hits_per_page`` columns (null on offset/limit-mode rows), exactly
-    mirroring the endpoint's per-entry response-shape split; with no
-    paged request the schema is unchanged (MULTI_SEARCH_SCHEMA).
+    exhaustive pagination) group by the same option key plus (page,
+    hits_per_page) and each group is ONE batch paged call —
+    ``search_many(page=, hits_per_page=)``: the shared top-k
+    scatter-gather sliced to the page, plus one shard-count pass
+    through the same block exchange for the per-request exhaustive
+    totals (two jobs per group, not one job per request). When ANY
+    request is paged the output gains nullable ``total_hits`` /
+    ``total_pages`` / ``page`` / ``hits_per_page`` columns (null on
+    offset/limit-mode rows), exactly mirroring the endpoint's
+    per-entry response-shape split; with no paged request the schema
+    is unchanged (MULTI_SEARCH_SCHEMA). The batch path composes typo
+    WITH prefix and every matching strategy under pagination — the
+    earlier single-query-path rejections are lifted.
 
     A request with ``hits_per_page == 0`` (the endpoint's count-only
     entry) contributes ONE metadata carrier row — NULL
-    doc_id/score/rank, ``total_hits``/``total_pages=0`` from the
-    dedicated ``search_count`` plan — instead of silently vanishing
-    from the flattened rows."""
+    doc_id/score/rank, exhaustive ``total_hits``/``total_pages=0``
+    from the same batch count pass — instead of silently vanishing
+    from the flattened rows; count-only requests group and compose
+    (filter / typo / prefix / attributesToSearchOn / any matching
+    strategy) exactly like paged ones."""
     if not requests:
         raise ValueError("multi_search needs at least one request")
     if not indexes:
@@ -314,12 +206,47 @@ def multi_search(
             for col, typ in _PAGE_META_COLS:
                 part = part.withColumn(col, F.lit(None).cast(typ))
         out = part if out is None else out.unionByName(part)
+    paged_groups: "dict[tuple, list[int]]" = {}
     for i in paged_reqs:
         req = requests[i]
-        uid = req["index_uid"]
-        hits = _exhaustive_request(indexes[uid], req, i)
+        son = req.get("attributes_to_search_on")
+        key = (
+            req["index_uid"],
+            req.get("filter"),
+            bool(req.get("typo")),
+            req.get("matching_strategy", "last"),
+            tuple(son) if son is not None else None,
+            bool(req.get("prefix")),
+            bool(req.get("proximity")),
+            req.get("page"),
+            req.get("hits_per_page"),
+        )
+        paged_groups.setdefault(key, []).append(i)
+    for key, req_nos in paged_groups.items():
+        uid, fexpr, typo, mstrat, son, pfx, prox, pg, hpp = key
+        index = indexes[uid]
+        filter_docs = None
+        if fexpr:
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            filter_docs = filter_doc_ids(index, fexpr)
+        batch = [(f"r{i}", requests[i]["q"]) for i in req_nos]
+        hits = search_many(
+            index,
+            batch,
+            page=pg,
+            hits_per_page=hpp,
+            filter_docs=filter_docs,
+            typo=typo,
+            matching_strategy=mstrat,
+            attributes_to_search_on=son,
+            prefix=pfx,
+            proximity_rank=prox,
+        )
         part = hits.select(
-            F.lit(i).cast("int").alias("request_no"),
+            F.expr("cast(substring(query_id, 2) as int)").alias(
+                "request_no"
+            ),
             F.lit(uid).alias("index_uid"),
             "doc_id",
             "score",

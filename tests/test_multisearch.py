@@ -357,15 +357,29 @@ def test_multi_search_paged_empty_query_keeps_schema(idxs):
 
 
 def test_multi_search_paged_validation(idxs):
-    with pytest.raises(ValueError, match="typo and prefix"):
-        multi_search(idxs, [{
-            "index_uid": "a", "q": "join", "typo": True, "prefix": True,
-            "page": 1,
-        }])
     with pytest.raises(ValueError, match="page must be >= 1"):
         multi_search(idxs, [
             {"index_uid": "a", "q": "join", "page": 0},
         ]).collect()
+
+
+def test_multi_search_paged_typo_with_prefix(idxs):
+    """typo + prefix compose under pagination through the batch path
+    (the old single-query-path rejection is lifted): same hits as the
+    equivalent search_many(page=) call."""
+    from meilibridge_spark.operators.search import search_many
+
+    rows = multi_search(idxs, [{
+        "index_uid": "a", "q": "joni spar", "typo": True, "prefix": True,
+        "page": 1, "hits_per_page": 4,
+    }]).collect()
+    want = search_many(
+        idxs["a"], [("r0", "joni spar")], typo=True, prefix=True,
+        page=1, hits_per_page=4,
+    ).collect()
+    assert sorted((r["doc_id"], r["rank"], r["total_hits"]) for r in rows) \
+        == sorted((r.doc_id, r.rank, r.total_hits) for r in want)
+    assert rows  # the typo-corrected prefix query really matches
 
 
 def test_multi_search_count_only_request(idxs):
@@ -393,13 +407,28 @@ def test_multi_search_count_only_request(idxs):
     assert len([r for r in rows if r["request_no"] == 0]) == 2
 
 
-def test_multi_search_count_only_validation(idxs):
-    for bad in (
-        {"index_uid": "a", "q": "join", "hits_per_page": 0, "typo": True},
-        {"index_uid": "a", "q": "join", "hits_per_page": 0,
-         "prefix": True},
-        {"index_uid": "a", "q": "join", "hits_per_page": 0,
+def test_multi_search_count_only_compositions(idxs):
+    """Count-only requests now compose with typo / prefix / every
+    matching strategy through the batch count pass (the old
+    search_count-path rejections are lifted): they group with other
+    paged requests and report exhaustive totals."""
+    rows = multi_search(idxs, [
+        {"index_uid": "a", "q": "join", "hits_per_page": 0},
+        {"index_uid": "a", "q": "sparl", "hits_per_page": 0,
+         "typo": True},
+        {"index_uid": "a", "q": "joi", "hits_per_page": 0, "prefix": True},
+        {"index_uid": "a", "q": "spark join", "hits_per_page": 0,
          "matching_strategy": "frequency"},
-    ):
-        with pytest.raises(ValueError, match="count-only"):
-            multi_search(idxs, [bad])
+    ]).collect()
+    by = {r["request_no"]: r for r in rows}
+    assert len(by) == 4
+    plain = by[0]["total_hits"]
+    assert plain == 4  # docs 0,2,3,5 contain 'join'
+    # typo-corrected 'sparl' -> spark: the spark docs (0,1,3,4)
+    assert by[1]["total_hits"] == 4
+    # prefix 'joi' expands to join/joins: docs 0,2,3,4,5,6
+    assert by[2]["total_hits"] == 6
+    # 'frequency' only RANKS; its candidate set is the plain OR set
+    assert by[3]["total_hits"] >= plain
+    for r in by.values():
+        assert r["doc_id"] is None and r["total_pages"] == 0
