@@ -169,6 +169,17 @@ def main() -> None:
     n_hits = search_many(idx, queries, k=10).count()
     timings["query_batch"] = time.time() - t0
 
+    # --- batch exhaustive pagination (page/hitsPerPage over the whole
+    # reference set): the page-2 slice of every query plus exhaustive
+    # per-query totals — the top-k scatter-gather sliced to the page +
+    # ONE shard-count pass riding the same block exchange (two jobs
+    # for the 50 queries, vs 50 single-query paged jobs)
+    t0 = time.time()
+    n_paged_hits = search_many(
+        idx, queries, page=2, hits_per_page=10
+    ).count()
+    timings["query_batch_paged"] = time.time() - t0
+
     # --- filtered batch (doc-shard bitmap cogroup path)
     from pyspark.sql import functions as F
 
@@ -344,6 +355,10 @@ def main() -> None:
         "positions_turns_per_sec": round(n_turns / timings["build_positions"], 1),
         "n_position_rows": n_pos_rows,
         "batch_queries_per_sec": round(len(queries) / timings["query_batch"], 2),
+        "paged_batch_queries_per_sec": round(
+            len(queries) / timings["query_batch_paged"], 2
+        ),
+        "paged_batch_hits": n_paged_hits,
         "filtered_batch_queries_per_sec": round(
             len(queries) / timings["query_batch_filtered"], 2
         ),
