@@ -171,12 +171,17 @@ def main() -> None:
     if args.queries_file and args.cutoff_ms is not None:
         ap.error("--cutoff-ms applies to --query only: batch Spark jobs "
                  "have no per-query interrupt point (COVERAGE.md Q15)")
-    if (args.page is not None or args.hits_per_page is not None) and (
-        args.queries_file or args.embeddings
-    ):
-        ap.error("--page/--hits-per-page apply to single keyword "
-                 "queries only (exhaustive totals need the per-query "
-                 "candidate count, which batch jobs never materialize)")
+    if (
+        args.page is not None or args.hits_per_page is not None
+    ) and args.embeddings:
+        ap.error("--page/--hits-per-page apply to keyword queries "
+                 "only, not hybrid --embeddings mode")
+    if (
+        args.page is not None or args.hits_per_page is not None
+    ) and args.offset:
+        ap.error("--offset does not compose with --page/--hits-per-page "
+                 "(the endpoint ignores offset in exhaustive mode); "
+                 "drop one")
     if args.facets and (args.queries_file or args.embeddings):
         ap.error("--facets applies to single keyword queries only")
     if (args.sort or args.distinct or args.distinct_attr) and (
@@ -360,6 +365,48 @@ def main() -> None:
         filt = make_filter()
         if filt is None:
             prepare_serving(index)  # shuffle-free only helps unfiltered
+        if args.page is not None or args.hits_per_page is not None:
+            # batch exhaustive pagination: every query's page slice +
+            # exhaustive totals in two jobs (search_many(page=));
+            # carrier rows keep totals for empty pages so every query
+            # gets a full response, like the endpoint
+            rows = search_many(
+                index, batch, filter_docs=filt, typo=args.typo,
+                matching_strategy=args.matching_strategy,
+                attributes_to_search_on=search_on,
+                prefix=args.prefix, proximity_rank=args.proximity,
+                page=args.page, hits_per_page=args.hits_per_page,
+                carrier_empty_pages=True,
+            ).collect()
+            by_q: "dict[str, list]" = {qid: [] for qid, _ in batch}
+            meta: "dict[str, tuple]" = {}
+            for r in rows:
+                meta[r["query_id"]] = (
+                    r["total_hits"], r["total_pages"],
+                    r["page"], r["hits_per_page"],
+                )
+                if r["doc_id"] is not None:
+                    by_q[r["query_id"]].append(r)
+            for qid, text in batch:
+                th, tp, pg, hpp = meta[qid]
+                hits_out = [
+                    {
+                        "doc_id": r["doc_id"],
+                        "score": round(r["score"], 6),
+                        **(
+                            {"prox_cost": r["prox_cost"]}
+                            if args.proximity
+                            else {}
+                        ),
+                    }
+                    for r in sorted(by_q[qid], key=lambda r: r["rank"])
+                ]
+                print(json.dumps({
+                    "query_id": qid, "query": text, "page": pg,
+                    "hitsPerPage": hpp, "totalHits": th,
+                    "totalPages": tp, "hits": hits_out,
+                }))
+            return
         rows = search_many(
             index, batch, k=args.k, filter_docs=filt, typo=args.typo,
             matching_strategy=args.matching_strategy,
@@ -387,32 +434,46 @@ def main() -> None:
     count_only = args.hits_per_page == 0
     if args.matching_strategy in ("all", "frequency"):
         if args.page is not None or args.hits_per_page is not None:
-            # exhaustive pagination rides the single-query DataFrame
-            # path; the one composition the count plan models is the
-            # count-only 'all' request (search_count word groups)
-            if count_only and args.matching_strategy == "all" and not (
-                args.typo or args.prefix or search_on or args.facets
-            ):
-                from meilibridge_spark.operators.search import search_count
-
-                r = search_count(
-                    index, args.query, filter_docs=make_filter(),
-                    matching_strategy="all",
-                ).collect()[0]
-                print(json.dumps({
-                    "query": args.query, "hits": [],
-                    "page": 1 if args.page is None else args.page,
-                    "hitsPerPage": 0,
-                    "totalHits": r["total_hits"],
-                    "totalPages": r["total_pages"],
-                }))
-                return
-            ap.error(
-                "--page/--hits-per-page do not compose with "
-                "--matching-strategy all|frequency (batch path), except "
-                "count-only --hits-per-page 0 with --matching-strategy "
-                "all (and no --typo/--prefix/--search-on/--facets)"
-            )
+            # exhaustive pagination composes with both strategies via
+            # the batch paged path (search_many(page=) — the top-k
+            # scatter-gather sliced to the page plus the shard-count
+            # pass); --typo/--prefix/--search-on all ride natively,
+            # hitsPerPage=0 is the count-only response shape
+            if args.facets:
+                ap.error(
+                    "--facets does not compose with --matching-strategy "
+                    "all|frequency under --page/--hits-per-page"
+                )
+            if '"' in query_text:
+                ap.error(
+                    "quoted/negative phrases do not compose with "
+                    "--matching-strategy all|frequency (phrases need "
+                    "the positional single-query path)"
+                )
+            rows = search_many(
+                index, [("q", args.query)], filter_docs=make_filter(),
+                typo=args.typo,
+                matching_strategy=args.matching_strategy,
+                attributes_to_search_on=search_on, prefix=args.prefix,
+                page=args.page, hits_per_page=args.hits_per_page,
+                carrier_empty_pages=True,
+            ).collect()
+            meta = rows[0]  # the carrier guarantees >= 1 row
+            out = [
+                {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+                for r in sorted(
+                    (r for r in rows if r["doc_id"] is not None),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            print(json.dumps({
+                "query": args.query, "hits": out,
+                "page": meta["page"],
+                "hitsPerPage": meta["hits_per_page"],
+                "totalHits": meta["total_hits"],
+                "totalPages": meta["total_pages"],
+            }))
+            return
         # the batch path owns the word-group machinery (synonyms + typo
         # alternates satisfying their word); singles ride it. '-word'
         # negatives are native to search_many; quoted (and negative)

@@ -1835,6 +1835,7 @@ def search_many(
     sort_params: "list[tuple[str, bool]] | None" = None,
     page: "int | None" = None,
     hits_per_page: "int | None" = None,
+    carrier_empty_pages: bool = False,
     _count_only: bool = False,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text) in one Spark job ->
@@ -2008,6 +2009,7 @@ def search_many(
             attributes_to_search_on=attributes_to_search_on,
             prefix=prefix, prefix_max_expansions=prefix_max_expansions,
             ranking_rules=ranking_rules, sort_params=sort_params,
+            carrier_empty_pages=carrier_empty_pages,
         )
     k = k or index.cfg.max_total_hits
     if offset < 0:
@@ -2735,6 +2737,7 @@ def _search_many_paged(
     prefix_max_expansions: int,
     ranking_rules: "list[str] | tuple[str, ...] | None",
     sort_params: "list[tuple[str, bool]] | None",
+    carrier_empty_pages: bool = False,
 ) -> DataFrame:
     """Batch exhaustive pagination (``search_many(page=,
     hits_per_page=)``): the requested page's hits per query with
@@ -2743,7 +2746,13 @@ def _search_many_paged(
     the page + the shard-count pass), versus one paged job per query
     through multi_search. Totals are capped at maxTotalHits and pages
     never reach past the cap (the single-path ``limit(cap)``
-    contract); ``rank`` stays the absolute pre-slice position."""
+    contract); ``rank`` stays the absolute pre-slice position.
+
+    ``carrier_empty_pages``: a query with NO hits on the requested
+    page contributes one NULL-doc metadata carrier row instead of
+    vanishing — the endpoint always answers with totals; callers that
+    need a full response per query (the query CLI) opt in, while the
+    default keeps single-path parity (zero rows for empty pages)."""
     pg = 1 if page is None else page
     hpp = 20 if hits_per_page is None else hits_per_page
     if pg < 1:
@@ -2813,6 +2822,17 @@ def _search_many_paged(
         # schema kept (Catalyst folds filter(false) to an empty
         # relation — no job runs for the hit side)
         hits = hits.filter(F.lit(False))
+    if carrier_empty_pages:
+        # totals-preserved outer join: queries with no hits on this
+        # page keep one NULL-doc carrier row (both sides bounded —
+        # M rows and <= M*hpp rows — AQE picks the broadcast)
+        return totals.join(hits, "query_id", "left").select(
+            *hits.columns,
+            "total_hits",
+            "page",
+            "hits_per_page",
+            "total_pages",
+        )
     return hits.join(F.broadcast(totals), "query_id").select(
         *hits.columns, "total_hits", "page", "hits_per_page", "total_pages"
     )

@@ -41,6 +41,18 @@ def _run_cli(monkeypatch, capsys, *args: str) -> dict:
     return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
 
+def _run_cli_lines(monkeypatch, capsys, *args: str) -> "list[dict]":
+    """Batch mode: one JSON response line per query."""
+    from meilibridge_spark.jobs import query as qjob
+
+    monkeypatch.setattr(sys, "argv", ["query.py", *args])
+    qjob.main()
+    return [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+
+
 def test_distinct_attr_matches_library_path(
     saved, spark, monkeypatch, capsys
 ):
@@ -180,7 +192,6 @@ def test_count_only_rejects_incompatible_options(saved, monkeypatch, capsys):
     for extra in (
         ["--search-on", "text"],
         ["--facets", "role", "--matching-strategy", "all"],
-        ["--matching-strategy", "frequency"],
     ):
         with pytest.raises(SystemExit):
             _run_cli(
@@ -189,3 +200,85 @@ def test_count_only_rejects_incompatible_options(saved, monkeypatch, capsys):
                 "--hits-per-page", "0", *extra,
             )
         capsys.readouterr()
+
+
+def test_count_only_frequency_strategy(saved, monkeypatch, capsys):
+    """hitsPerPage=0 + matchingStrategy=frequency rides the batch count
+    pass (the old rejection is lifted): 'frequency' only re-ranks, so
+    its exhaustive count equals the default OR candidate count."""
+    from meilibridge_spark.operators.search import search_count
+
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--hits-per-page", "0", "--matching-strategy", "frequency",
+    )
+    want = search_count(saved, QUERY).collect()[0]
+    assert resp["hits"] == [] and resp["totalHits"] == want.total_hits
+    assert resp["totalPages"] == 0
+
+
+def test_strategy_all_with_pagination(saved, monkeypatch, capsys):
+    """--matching-strategy all + --page rides the batch paged path
+    (the old rejection is lifted): page slice + exhaustive totals."""
+    from meilibridge_spark.operators.search import search_many
+
+    resp = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--matching-strategy", "all", "--page", "1",
+        "--hits-per-page", "3",
+    )
+    want = search_many(
+        saved, [("q", QUERY)], matching_strategy="all",
+        page=1, hits_per_page=3, carrier_empty_pages=True,
+    ).collect()
+    lib_hits = [r for r in want if r.doc_id is not None]
+    assert [h["doc_id"] for h in resp["hits"]] == [
+        r.doc_id for r in sorted(lib_hits, key=lambda r: r.rank)
+    ]
+    assert resp["totalHits"] == want[0].total_hits
+    assert resp["totalPages"] == want[0].total_pages
+
+
+def test_batch_file_with_pagination(saved, monkeypatch, capsys, tmp_path):
+    """--queries-file + --page: every query gets a full paged response
+    (totals even for empty pages, via the carrier rows) matching the
+    single-query paged path."""
+    qf = tmp_path / "qs.txt"
+    qf.write_text(f"{QUERY}\nzzznothing\n")
+    out = _run_cli_lines(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--queries-file", str(qf),
+        "--page", "1", "--hits-per-page", "4",
+    )
+    assert len(out) == 2
+    single = _run_cli(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--query", QUERY,
+        "--page", "1", "--hits-per-page", "4",
+    )
+    assert [h["doc_id"] for h in out[0]["hits"]] == [
+        h["doc_id"] for h in single["hits"]
+    ]
+    assert out[0]["totalHits"] == single["totalHits"]
+    assert out[0]["totalPages"] == single["totalPages"]
+    # the no-hit query still reports exhaustive totals
+    assert out[1]["hits"] == [] and out[1]["totalHits"] == 0
+    assert out[1]["page"] == 1 and out[1]["hitsPerPage"] == 4
+
+
+def test_batch_file_count_only(saved, monkeypatch, capsys, tmp_path):
+    from meilibridge_spark.operators.search import search_count
+
+    qf = tmp_path / "qs.txt"
+    qf.write_text(f"{QUERY}\n")
+    out = _run_cli_lines(
+        monkeypatch, capsys,
+        "--index-dir", saved.index_dir, "--queries-file", str(qf),
+        "--hits-per-page", "0",
+    )
+    want = search_count(saved, QUERY).collect()[0]
+    assert out[0]["hits"] == []
+    assert out[0]["totalHits"] == want.total_hits
+    assert out[0]["totalPages"] == 0
