@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meilibridge_spark.operators.search import InvertedIndex, search, search_many
-from meilibridge_spark.operators.similarity import _cos
+from meilibridge_spark.operators.similarity import _cos, _cos_pre, _with_norm
 
 
 def search_hybrid(
@@ -65,6 +65,14 @@ def search_hybrid(
     if pool < k:
         raise ValueError(f"pool ({pool}) must be >= k ({k})")
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    # the query norm is a CONSTANT: the same left-to-right float64
+    # accumulation _norm's aggregate performs, done driver-side —
+    # bit-identical, and the scan pays one aggregate per row (the doc
+    # norm) instead of three per row
+    _qs = 0.0
+    for _x in query_vec:
+        _qs = _qs + float(_x) * float(_x)
+    qn = F.lit(_qs**0.5)
 
     # 1. keyword pool: engine scatter-gather, already top-`pool` bounded.
     kw_pool = search(index, query, k=pool).select(
@@ -74,9 +82,12 @@ def search_hybrid(
 
     # 2. semantic pool: one scan -> TakeOrdered(pool). Column-pruned to
     #    (id, vec); zero-norm vectors yield NULL cosine and are dropped.
-    sem_scored = emb.select(
+    sem_scored = _with_norm(emb, vec_col).select(
         F.col(id_col).alias("doc_id"),
-        ((F.lit(1.0) + _cos(F.col(vec_col), qv)) / F.lit(2.0)).alias("sem"),
+        (
+            (F.lit(1.0) + _cos_pre(F.col(vec_col), qv, F.col("_nv"), qn))
+            / F.lit(2.0)
+        ).alias("sem"),
     ).filter(F.col("sem").isNotNull())
     sem_pool = sem_scored.orderBy(F.col("sem").desc(), F.col("doc_id")).limit(pool)
 
@@ -96,11 +107,17 @@ def search_hybrid(
     # joins are tiny-vs-tiny (<= 2*pool rows each side) with the right
     # side broadcast. Docs missing an embedding fall back to sem = 0.
     sem_cand = (
-        emb.select(F.col(id_col).alias("doc_id"), vec_col)
+        _with_norm(emb.select(F.col(id_col).alias("doc_id"), vec_col), vec_col)
         .join(F.broadcast(cand), "doc_id")
         .select(
             "doc_id",
-            ((F.lit(1.0) + _cos(F.col(vec_col), qv)) / F.lit(2.0)).alias("sem"),
+            (
+                (
+                    F.lit(1.0)
+                    + _cos_pre(F.col(vec_col), qv, F.col("_nv"), qn)
+                )
+                / F.lit(2.0)
+            ).alias("sem"),
         )
         .filter(F.col("sem").isNotNull())
     )
@@ -244,6 +261,10 @@ def search_hybrid_many(
         [(qid, [float(x) for x in query_vecs[qid]]) for qid, _ in queries],
         schema="query_id string, qv array<double>",
     )
+    # query norms ride the (tiny, broadcast) panel so the corpus scan
+    # pays ONE aggregate per row — the doc norm — instead of three per
+    # (row, query) pair; bit-identical values (see similarity._cos_pre)
+    qdfn = _with_norm(qdf, "qv", "_nq")
 
     if score_mode == "ranking_score":
         from meilibridge_spark.functions.tokenizer import parse_query
@@ -335,7 +356,9 @@ def search_hybrid_many(
                 if probe_ids
                 else assigned.filter(F.lit(False))
             )
-            base = pruned.join(F.broadcast(probes), "centroid_id")
+            base = _with_norm(pruned, vec_col).join(
+                F.broadcast(_with_norm(probes, "qv", "_nq")), "centroid_id"
+            )
         else:
             q_probe = qdf.crossJoin(F.broadcast(cents)).select(
                 "query_id",
@@ -351,7 +374,9 @@ def search_hybrid_many(
                 .filter(F.col("_rn") <= n_probe)
                 .select("query_id", "qv", "centroid_id")
             )
-            base = assigned.join(F.broadcast(probes), "centroid_id")
+            base = _with_norm(assigned, vec_col).join(
+                F.broadcast(_with_norm(probes, "qv", "_nq")), "centroid_id"
+            )
     elif semantic == "binary":
         # binaryQuantized pool: Hamming bit scan over packed sign words
         # finds the top-pool candidates per query (bit_count(xor),
@@ -397,19 +422,34 @@ def search_hybrid_many(
             .select("query_id", "doc_id")
         )
         base = (
-            emb.select(F.col(id_col).alias("doc_id"), vec_col)
+            _with_norm(
+                emb.select(F.col(id_col).alias("doc_id"), vec_col), vec_col
+            )
             .join(F.broadcast(bit_pool), "doc_id")
-            .join(F.broadcast(qdf), "query_id")
-            .select("query_id", F.col("doc_id").alias(id_col), vec_col, "qv")
+            .join(F.broadcast(qdfn), "query_id")
+            .select(
+                "query_id",
+                F.col("doc_id").alias(id_col),
+                vec_col,
+                "qv",
+                "_nv",
+                "_nq",
+            )
         )
     else:
-        base = emb.crossJoin(F.broadcast(qdf))
+        base = _with_norm(emb, vec_col).crossJoin(F.broadcast(qdfn))
     sem_scored = base.select(
         "query_id",
         F.col(id_col).alias("doc_id"),
-        ((F.lit(1.0) + _cos(F.col(vec_col), F.col("qv"))) / F.lit(2.0)).alias(
-            "sem"
-        ),
+        (
+            (
+                F.lit(1.0)
+                + _cos_pre(
+                    F.col(vec_col), F.col("qv"), F.col("_nv"), F.col("_nq")
+                )
+            )
+            / F.lit(2.0)
+        ).alias("sem"),
     ).filter(F.col("sem").isNotNull())
     w_sem = Window.partitionBy("query_id").orderBy(
         F.col("sem").desc(), F.col("doc_id")
@@ -434,14 +474,24 @@ def search_hybrid_many(
         # full pass above exists only to FIND the top-pool, not to
         # serve lookups. Same _cos arithmetic -> identical values.
         sem_cand = (
-            emb.select(F.col(id_col).alias("doc_id"), vec_col)
+            _with_norm(
+                emb.select(F.col(id_col).alias("doc_id"), vec_col), vec_col
+            )
             .join(F.broadcast(cand), "doc_id")
-            .join(F.broadcast(qdf), "query_id")
+            .join(F.broadcast(qdfn), "query_id")
             .select(
                 "query_id",
                 "doc_id",
                 (
-                    (F.lit(1.0) + _cos(F.col(vec_col), F.col("qv")))
+                    (
+                        F.lit(1.0)
+                        + _cos_pre(
+                            F.col(vec_col),
+                            F.col("qv"),
+                            F.col("_nv"),
+                            F.col("_nq"),
+                        )
+                    )
                     / F.lit(2.0)
                 ).alias("sem"),
             )
