@@ -325,6 +325,19 @@ def main() -> None:
         searcher.search(q, 10)
     timings["query_wand_warm"] = time.time() - t0
 
+    # --- batched prewarm (serving-replica startup): a FRESH searcher
+    # prefetches all 50 queries' terms in ONE pruned scan (warm()),
+    # then serves the same set — one job replaces the cold pass's 50
+    t0 = time.time()
+    searcher2 = DriverSearcher(idx)
+    searcher2.warm([q for _, q in queries])
+    timings["wand_prewarm"] = time.time() - t0
+    t0 = time.time()
+    for _, q in queries:
+        searcher2.search(q, 10)
+    timings["query_wand_prewarmed"] = time.time() - t0
+    del searcher2
+
     # --- round-5 FILTERED serving: the tenant-token shape — the forced
     # filter (same predicate as query_batch_filtered) resolved ONCE to
     # a bounded sorted allowed-id array (prepare_filter, one Spark
@@ -389,6 +402,9 @@ def main() -> None:
         ),
         "wand_warm_queries_per_sec": round(
             len(queries) / timings["query_wand_warm"], 2
+        ),
+        "wand_prewarmed_queries_per_sec": round(
+            len(queries) / timings["query_wand_prewarmed"], 2
         ),
         "wand_filtered_queries_per_sec": round(
             len(queries) / timings["query_wand_filtered"], 2

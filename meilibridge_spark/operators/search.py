@@ -3790,6 +3790,28 @@ class DriverSearcher:
             return dense_topk(tps, k, n, self.index.avgdl, cfg.k1, cfg.b)
         return wand_topk(tps, k, self.index.avgdl, cfg.k1, cfg.b)
 
+    def warm(self, queries: "list[str]") -> int:
+        """Prefetch every query's term postings in ONE Spark scan — the
+        serving-replica startup path. Cold serving pays one pruned
+        postings scan per query's first touch (N queries = N jobs);
+        ``warm(queries)`` resolves the batch's distinct terms' dfs and
+        raw blocks together (one ``isin``-pruned scan each), after
+        which every listed query serves at zero Spark jobs. LRU
+        capacity still bounds memory — warming more distinct terms
+        than ``cache_capacity`` keeps only the most recent. Returns
+        the number of terms newly fetched into the cache."""
+        terms = sorted(
+            {
+                t
+                for q in queries
+                for t in parse_query(q, self.index.cfg.analyzer)
+            }
+        )
+        known = self._dfs(terms)
+        missing = [t for t in known if t not in self._cache]
+        self._get_raw(sorted(known))
+        return sum(1 for t in missing if t in self._cache)
+
     def _term_postings(
         self,
         query: str,

@@ -152,6 +152,29 @@ def test_driver_searcher_matches_wand(built, oracle):
         assert got2 == got
 
 
+def test_driver_searcher_warm_batch_prefetch(built, oracle, monkeypatch):
+    """warm(queries) prefetches every query's terms in one pass; the
+    queries then serve with ZERO further fetches (asserted by making
+    _fetch_raw raise) and rank-identical to the cold path."""
+    from meilibridge_spark.operators import search as search_mod
+    from meilibridge_spark.operators.search import DriverSearcher
+
+    s = DriverSearcher(built)
+    n_fetched = s.warm(QUERIES)
+    assert n_fetched > 0
+    # a second warm is a no-op — everything is already cached
+    assert s.warm(QUERIES) == 0
+
+    def _boom(index, terms):
+        raise AssertionError(f"unexpected fetch after warm: {terms}")
+
+    monkeypatch.setattr(search_mod, "_fetch_raw", _boom)
+    for q in QUERIES:
+        want = oracle.topk(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"query={q!r}"
+
+
 def test_driver_searcher_large_vocab_guard(built, oracle):
     """Above max_prefetch_terms the searcher must NOT collect the whole
     vocabulary (driver-OOM hazard at 10^9 terms); it falls back to the
