@@ -1480,6 +1480,29 @@ def _q_facet_search(terms_text: str, attr: str, facet_query: str):
     return run
 
 
+def _q_facet_search_typo(attr: str, facet_query: str):
+    """Facet search with the index's typoTolerance applied to the
+    facet query (Meilisearch facet-search behavior, late round 5): a
+    query >= minWordSizeForTypos.oneTypo chars also matches values
+    whose same-length prefix is within the edit budget
+    (operators/relational.facet_search, whole-index no-q form). The
+    chosen query has ZERO exact-prefix matches at sf0.01 — every
+    returned value exists only through the typo budget."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from meilibridge_spark.config import IndexConfig
+
+        from meilibridge_spark.operators.relational import facet_search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cfg = IndexConfig(index_name="facets")
+        return facet_search(
+            None, docs, attr, facet_query=facet_query, cfg=cfg
+        )
+
+    return run
+
+
 def _q_facet_multi(terms_text: str, attrs: "tuple[str, ...]", max_values: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from meilibridge_spark.operators.relational import facet_distribution
@@ -2740,7 +2763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # closes the 'search_many stays offset/limit-only' scope note)
     # replaces cdc_projection (r01-verified; the projection/pushdown
     # family keeps projection_rename, and the CDC surface stays gated
-    # through the incremental tests' byte-identity suite). Entries
+    # through the incremental tests' byte-identity suite).
+    # ft_facet_search_typo (NEW: Meilisearch facet-search typo
+    # tolerance — the facet query's edit budget from
+    # minWordSizeForTypos; the entry's query has ZERO exact-prefix
+    # matches, every hit exists only through the budget) replaces
+    # ft_term_dictionary (r01-verified; the dictionary machinery stays
+    # gated through ft_separator_tokens and the typo entries). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2862,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": _q_mm_resize_plan,
         "mm_frame_plan": _q_mm_frame_plan,
         "ft_facet_search": _q_facet_search("spark join", "lang", "E"),
+        "ft_facet_search_typo": _q_facet_search_typo("text", "kev agg "),
         "ft_crop": _q_crop(["spark", "join"], 5, 8),
         "ft_negative_batch": _q_negative_batch(
             [
@@ -2927,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_on",
         "ft_bm25_filtered_batch",
         "ft_facet_search",
+        "ft_facet_search_typo",
         "ft_facet_exhaustive",
         "ft_geo_radius",
         "sim_binary_topk",
@@ -2937,7 +2968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fetch",
         "stats_fields",
         "view_join_search",
-        "ft_term_dictionary",
         "ft_filter_rules",
         "projection_rename",
         "dd_embed_neardup",
@@ -3870,6 +3900,13 @@ FROM scores ORDER BY s DESC, doc_id LIMIT 15
             "WHERE d.lang IS NOT NULL AND lower(d.lang) LIKE 'e%' "
             "GROUP BY d.lang ORDER BY value LIMIT 100"
         ),
+        "ft_facet_search_typo": """
+SELECT text::VARCHAR AS value, count(*)::BIGINT AS count
+FROM documents
+WHERE text IS NOT NULL
+  AND levenshtein(lower(substr(text, 1, 8)), 'kev agg ') <= 1
+GROUP BY text ORDER BY value LIMIT 100
+""",
         "ft_facet_stats": (
             fs
             + "SELECT min(d.n_chars) AS facet_min, max(d.n_chars) AS facet_max, "

@@ -135,6 +135,11 @@ def facet_search(
     diacritic folding is out of scope for this ASCII corpus), each with
     its matching-document count -> (value, count), <= ``max_values``
     (the endpoint's hard 100-value cap is the caller's default).
+    With ``cfg``, the index's typoTolerance applies to the facet query
+    exactly like the endpoint: a query >= minWordSizeForTypos.oneTypo
+    chars also matches values whose same-length prefix is within the
+    1-or-2-edit budget (disableOnWords / disableOnNumbers zero it;
+    body comment records the whole-query-budget simplification).
 
     ``hits=None`` is the no-``q`` form of the endpoint: values counted
     over the whole index. With ``hits``, counts are restricted to the
@@ -189,9 +194,41 @@ def facet_search(
         "doc_id", F.col(attr).cast("string").alias("value")
     ).where(F.col("value").isNotNull())
     if facet_query:
-        vals = vals.where(
-            F.lower(F.col("value")).startswith(facet_query.lower())
-        )
+        # Meilisearch facet search honors the index's typoTolerance:
+        # the typo budget comes from the QUERY's length against
+        # minWordSizeForTypos (0 under one_typo, 1 under two_typos,
+        # else 2), disableOnWords/disableOnNumbers zero it. A value
+        # matches when its len(q)-char prefix is within the budget of
+        # the query (values shorter than q accrue the missing chars as
+        # edits, so they only match within budget). Simplification vs
+        # the endpoint (recorded): the budget is whole-query, not
+        # per-word charabia segmentation. budget=0 keeps the plain
+        # startswith predicate (scan-pushable); a positive budget pays
+        # one levenshtein per distinct value row — the typo price.
+        q = facet_query.lower()
+        budget = 0
+        tcfg = cfg.typo if cfg is not None else None
+        if tcfg is not None and tcfg.enabled:
+            if q in tcfg.disable_on_words:
+                budget = 0
+            elif tcfg.disable_on_numbers and any(
+                ch.isdigit() for ch in q
+            ):
+                budget = 0
+            elif len(q) >= tcfg.two_typos:
+                budget = 2
+            elif len(q) >= tcfg.one_typo:
+                budget = 1
+        if budget:
+            vals = vals.where(
+                F.levenshtein(
+                    F.lower(F.substring(F.col("value"), 1, len(q))),
+                    F.lit(q),
+                )
+                <= budget
+            )
+        else:
+            vals = vals.where(F.lower(F.col("value")).startswith(q))
     if hits is not None:
         vals = _maybe_broadcast(hits.select("doc_id"), hit_bound).join(
             vals, "doc_id"

@@ -536,6 +536,68 @@ def test_facet_search_prefix_and_whole_index(spark):
         facet_search(None, docs, "lang", sort_by="size")
 
 
+def test_facet_search_typo_tolerance(spark):
+    """Meilisearch facet search honors typoTolerance: a query >= the
+    oneTypo threshold matches values whose same-length prefix is
+    within the edit budget; short queries, disableOnWords entries and
+    (with disableOnNumbers) digit-carrying queries stay exact-prefix;
+    cfg=None (bare primitive) never typo-matches."""
+    from meilibridge_spark.config import (
+        IndexConfig,
+        TypoToleranceConfig,
+    )
+    from meilibridge_spark.operators.relational import facet_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "science fiction"),
+            (1, "sciense fiction"),
+            (2, "history"),
+            (3, "sci"),
+            (4, "spruncetastic"),
+        ],
+        "doc_id long, genre string",
+    )
+    cfg = IndexConfig(index_name="fs")
+
+    def vals(q, c=cfg):
+        return sorted(
+            r["value"]
+            for r in facet_search(None, docs, "genre", facet_query=q, cfg=c).collect()
+        )
+
+    # len('scienc') = 6 >= oneTypo 5: budget 1 -> the typo'd value and
+    # the exact one both match; 'sci' (shorter than q) accrues the
+    # missing chars as edits and stays out
+    assert vals("scienc") == ["science fiction", "sciense fiction"]
+    # bare primitive (cfg=None): exact prefix only
+    assert vals("scienc", None) == ["science fiction"]
+    # short query (< oneTypo): exact prefix only ('scie' prefixes both)
+    assert vals("scie") == ["science fiction", "sciense fiction"]
+    assert vals("scien") == ["science fiction", "sciense fiction"]  # b=1
+    # >= twoTypos chars (10 >= 9): budget 2 — both fiction values are
+    # within 2 edits of the query on their 10-char prefix;
+    # 'spruncetastic' needs more and stays out
+    assert vals("scrence fi") == ["science fiction", "sciense fiction"]
+    # disableOnWords zeroes the budget for that exact query
+    c2 = IndexConfig(
+        index_name="fs",
+        typo=TypoToleranceConfig.make(disable_on_words=("scienc",)),
+    )
+    assert vals("scienc", c2) == ["science fiction"]
+    # disableOnNumbers: digit-carrying queries stay exact
+    c3 = IndexConfig(
+        index_name="fs",
+        typo=TypoToleranceConfig.make(disable_on_numbers=True),
+    )
+    assert vals("scienc3", c3) == []
+    # typoTolerance disabled entirely
+    c4 = IndexConfig(
+        index_name="fs", typo=TypoToleranceConfig.make(enabled=False)
+    )
+    assert vals("scienc", c4) == ["science fiction"]
+
+
 def test_ranking_scores_subscores_and_threshold(spark):
     """showRankingScore analog: per-rule subscores in [0,1], mean as
     _ranking_score, threshold drops below-par hits, and columns the
