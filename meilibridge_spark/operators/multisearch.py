@@ -47,7 +47,24 @@ _ALLOWED_KEYS = {
     "proximity",
     "page",
     "hits_per_page",
+    "vector",
+    "hybrid",
 }
+
+#: options that do not compose with vector/hybrid requests (the hybrid
+#: fusion operator owns its own candidate machinery; loud beats a
+#: silently dropped option)
+_HYBRID_INCOMPATIBLE = (
+    "filter",
+    "typo",
+    "prefix",
+    "proximity",
+    "matching_strategy",
+    "attributes_to_search_on",
+    "page",
+    "hits_per_page",
+    "offset",
+)
 
 MULTI_SEARCH_SCHEMA = (
     "request_no int, index_uid string, doc_id long, score double, rank int"
@@ -70,6 +87,7 @@ def multi_search(
     indexes: "dict[str, InvertedIndex]",
     requests: "list[dict]",
     default_k: int = 10,
+    embeddings: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Answer ``requests`` (each a dict with ``index_uid`` + ``q`` and
     optional ``k``/``offset``/``filter`` (Meilisearch filter string)/
@@ -110,13 +128,30 @@ def multi_search(
     from the same batch count pass — instead of silently vanishing
     from the flattened rows; count-only requests group and compose
     (filter / typo / prefix / attributesToSearchOn / any matching
-    strategy) exactly like paged ones."""
+    strategy) exactly like paged ones.
+
+    HYBRID requests (late round 5): ``vector`` (the already-embedded
+    query — this engine is model-agnostic like the reference, which
+    delegates embedding to Meilisearch's configured embedder) plus
+    optional ``hybrid: {semanticRatio, embedder, pool}`` fuse keyword
+    and semantic rankings; requests group by (index, semanticRatio,
+    pool) and each group is ONE ``search_hybrid_many`` batch call.
+    ``vector`` WITHOUT ``q`` is the endpoint's pure semantic search —
+    stored-IVF probed when the index carries a vector layout, exact
+    cosine otherwise, score = (1 + cos) / 2 (the semantic
+    rankingScore). Embeddings resolve from the ``embeddings`` map
+    (index_uid -> DataFrame with vec_id/embedding) or the index's
+    stored vector layout; the hybrid fusion owns its candidate
+    machinery, so filter/typo/prefix/search-on/strategies/pagination
+    are rejected loudly on vector requests."""
     if not requests:
         raise ValueError("multi_search needs at least one request")
     if not indexes:
         raise ValueError("multi_search needs at least one index")
     groups: "dict[tuple, list[int]]" = {}
     paged_reqs: "list[int]" = []
+    hybrid_groups: "dict[tuple, list[int]]" = {}
+    vector_groups: "dict[str, list[int]]" = {}
     for i, req in enumerate(requests):
         unknown = set(req) - _ALLOWED_KEYS
         if unknown:
@@ -124,9 +159,10 @@ def multi_search(
                 f"request {i}: unknown key(s) {sorted(unknown)}; "
                 f"supported: {sorted(_ALLOWED_KEYS)}"
             )
-        for required in ("index_uid", "q"):
-            if required not in req:
-                raise ValueError(f"request {i}: missing {required!r}")
+        required = ("index_uid",) if "vector" in req else ("index_uid", "q")
+        for name in required:
+            if name not in req:
+                raise ValueError(f"request {i}: missing {name!r}")
         uid = req["index_uid"]
         if uid not in indexes:
             raise KeyError(
@@ -135,6 +171,39 @@ def multi_search(
             )
         if req.get("offset", 0) < 0 or req.get("k", default_k) < 1:
             raise ValueError(f"request {i}: k must be >= 1, offset >= 0")
+        if "hybrid" in req and "vector" not in req:
+            raise ValueError(
+                f"request {i}: 'hybrid' needs a 'vector' (the "
+                "endpoint's missing 'vector' error; this engine is "
+                "model-agnostic — embed upstream)"
+            )
+        if "vector" in req:
+            bad = [kk for kk in _HYBRID_INCOMPATIBLE if req.get(kk)]
+            if bad:
+                raise ValueError(
+                    f"request {i}: vector/hybrid does not compose "
+                    f"with {bad}; drop them or use a keyword request"
+                )
+            hy = req.get("hybrid") or {}
+            unknown_h = set(hy) - {"semanticRatio", "embedder", "pool"}
+            if unknown_h:
+                raise ValueError(
+                    f"request {i}: unknown hybrid key(s) "
+                    f"{sorted(unknown_h)}; supported: 'semanticRatio', "
+                    "'embedder' (accepted, informational — embedding "
+                    "happens upstream), 'pool'"
+                )
+            if req.get("q"):
+                key = (
+                    uid,
+                    float(hy.get("semanticRatio", 0.5)),
+                    hy.get("pool"),
+                )
+                hybrid_groups.setdefault(key, []).append(i)
+            else:
+                # vector without q: the endpoint's PURE SEMANTIC search
+                vector_groups.setdefault(uid, []).append(i)
+            continue
         if req.get("page") is not None or req.get("hits_per_page") is not None:
             paged_reqs.append(i)
             continue
@@ -257,5 +326,111 @@ def multi_search(
             F.col("hits_per_page").cast("int").alias("hits_per_page"),
         )
         out = part if out is None else out.unionByName(part)
+    def _emb_for(uid: str, req_no: int) -> DataFrame:
+        if embeddings and uid in embeddings:
+            return embeddings[uid]
+        v = getattr(indexes[uid], "vectors", None)
+        if v is not None:
+            return v.assigned  # stored layout: emb columns + centroid_id
+        raise ValueError(
+            f"request {req_no}: index {uid!r} has no embeddings — pass "
+            "embeddings={'" + uid + "': df} or build a stored vector "
+            "layout (jobs/build_vectors.py)"
+        )
+
+    for (uid, ratio, pool_opt), req_nos in hybrid_groups.items():
+        from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+        index = indexes[uid]
+        emb = _emb_for(uid, req_nos[0])
+        k_call = max(requests[i].get("k", default_k) for i in req_nos)
+        pool = max(
+            int(pool_opt) if pool_opt is not None else max(30, k_call),
+            k_call,
+        )
+        batch = [(f"r{i}", requests[i]["q"]) for i in req_nos]
+        vecs = {f"r{i}": requests[i]["vector"] for i in req_nos}
+        hits = search_hybrid_many(
+            index, emb, batch, vecs,
+            k=k_call, semantic_ratio=ratio, pool=pool,
+        )
+        bounds = spark.createDataFrame(
+            [(f"r{i}", int(requests[i].get("k", default_k))) for i in req_nos],
+            "query_id string, _k int",
+        )
+        part = (
+            hits.join(F.broadcast(bounds), "query_id")
+            .filter(F.col("rank") <= F.col("_k"))
+            .select(
+                F.expr("cast(substring(query_id, 2) as int)").alias(
+                    "request_no"
+                ),
+                F.lit(uid).alias("index_uid"),
+                "doc_id",
+                # the fused score IS the request's ranking score (both
+                # sides blend on the [0, 1] _rankingScore scale)
+                F.col("hybrid").alias("score"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+        if paged_reqs:
+            for col, typ in _PAGE_META_COLS:
+                part = part.withColumn(col, F.lit(None).cast(typ))
+        out = part if out is None else out.unionByName(part)
+
+    for uid, req_nos in vector_groups.items():
+        # vector without q: the endpoint's pure semantic search —
+        # stored-IVF probing when the index carries a vector layout,
+        # exact cosine otherwise; score = (1 + cos) / 2, Meilisearch's
+        # semantic rankingScore
+        from meilibridge_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        index = indexes[uid]
+        emb = _emb_for(uid, req_nos[0])
+        k_call = max(requests[i].get("k", default_k) for i in req_nos)
+        qdf = spark.createDataFrame(
+            [
+                (f"r{i}", [float(x) for x in requests[i]["vector"]])
+                for i in req_nos
+            ],
+            "query_id string, query_vec array<double>",
+        )
+        v = getattr(index, "vectors", None)
+        if v is not None and not (embeddings and uid in embeddings):
+            hits = ivf_topk(
+                emb, qdf, k=k_call,
+                n_centroids=v.n_centroids, n_probe=v.n_probe,
+                centroids=v.centroids, assigned=v.assigned,
+                exclude_self=False,
+            )
+        else:
+            hits = cosine_topk(emb, qdf, k=k_call, exclude_self=False)
+        bounds = spark.createDataFrame(
+            [(f"r{i}", int(requests[i].get("k", default_k))) for i in req_nos],
+            "query_id string, _k int",
+        )
+        part = (
+            hits.join(F.broadcast(bounds), "query_id")
+            .filter(F.col("rank") <= F.col("_k"))
+            .select(
+                F.expr("cast(substring(query_id, 2) as int)").alias(
+                    "request_no"
+                ),
+                F.lit(uid).alias("index_uid"),
+                F.col("vec_id").alias("doc_id"),
+                F.round((F.lit(1.0) + F.col("cos")) / F.lit(2.0), 6).alias(
+                    "score"
+                ),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+        if paged_reqs:
+            for col, typ in _PAGE_META_COLS:
+                part = part.withColumn(col, F.lit(None).cast(typ))
+        out = part if out is None else out.unionByName(part)
+
     # <= sum(k_i) rows total: the final order is a bounded sort
     return out.orderBy("request_no", "rank")

@@ -78,12 +78,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
     -> (query_id, vec_id, cos) with rank <= k, excluding self-matches
     when ids collide. Broadcast the (small) query side; one pass over
-    the embeddings."""
+    the embeddings. ``exclude_self=False`` skips the id comparison —
+    required when query ids are NOT corpus ids (e.g. multi-search's
+    string request ids: an ANSI-mode string-vs-long compare would
+    throw, and a search query has no self in the corpus anyway)."""
     scored = _with_norm(emb, vec_col).crossJoin(
         F.broadcast(
             _with_norm(
@@ -103,7 +107,12 @@ def cosine_topk(
         ).alias("cos"),
     )
     scored = scored.filter(
-        (F.col(query_id_col) != F.col(id_col)) & F.col("cos").isNotNull()
+        F.col("cos").isNotNull()
+        & (
+            F.lit(True)
+            if not exclude_self
+            else (F.col(query_id_col) != F.col(id_col))
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -413,6 +422,7 @@ def ivf_topk(
     centroids: "DataFrame | None" = None,
     assigned: "DataFrame | None" = None,
     round_cos: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate cosine top-k: exact scoring restricted to the
     vectors whose IVF list is among the query's ``n_probe`` closest
@@ -463,7 +473,12 @@ def ivf_topk(
         ).alias("cos"),
     )
     scored = scored.filter(
-        (F.col(query_id_col) != F.col(id_col)) & F.col("cos").isNotNull()
+        F.col("cos").isNotNull()
+        & (
+            F.lit(True)
+            if not exclude_self
+            else (F.col(query_id_col) != F.col(id_col))
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()

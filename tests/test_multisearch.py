@@ -432,3 +432,101 @@ def test_multi_search_count_only_compositions(idxs):
     assert by[3]["total_hits"] >= plain
     for r in by.values():
         assert r["doc_id"] is None and r["total_pages"] == 0
+
+
+# ------------------------------------------------- hybrid / vector requests
+
+
+HY_EMB = [
+    (0, [0.0, 1.0]),
+    (1, [0.5, 0.5]),
+    (2, [1.0, 0.05]),
+    (3, [0.0, 0.0]),
+    (4, [0.9, 0.1]),
+]
+HY_QV = [1.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def emb_a(spark):
+    e = spark.createDataFrame(
+        HY_EMB, "vec_id long, embedding array<double>"
+    ).persist()
+    e.count()
+    return e
+
+
+def test_multi_search_hybrid_matches_library_path(idxs, emb_a):
+    from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+    rows = multi_search(
+        idxs,
+        [
+            {"index_uid": "a", "q": "spark join", "vector": HY_QV,
+             "hybrid": {"semanticRatio": 0.5, "embedder": "default"},
+             "k": 4},
+            {"index_uid": "a", "q": "join order", "vector": [0.0, 1.0],
+             "hybrid": {"semanticRatio": 0.5}, "k": 3},
+            {"index_uid": "a", "q": "spark", "k": 2},  # keyword rides along
+        ],
+        embeddings={"a": emb_a},
+    ).collect()
+    want = search_hybrid_many(
+        idxs["a"], emb_a,
+        [("r0", "spark join"), ("r1", "join order")],
+        {"r0": HY_QV, "r1": [0.0, 1.0]},
+        k=4, semantic_ratio=0.5,
+    ).collect()
+    for req_no, kk in ((0, 4), (1, 3)):
+        got = sorted(
+            (r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in rows
+            if r["request_no"] == req_no
+        )
+        exp = sorted(
+            (r.doc_id, round(r.hybrid, 9), r.rank)
+            for r in want
+            if r.query_id == f"r{req_no}" and r.rank <= kk
+        )
+        assert got == exp, req_no
+    assert [r["doc_id"] for r in rows if r["request_no"] == 2]
+
+
+def test_multi_search_vector_only_pure_semantic(idxs, emb_a):
+    """vector without q = the endpoint's pure semantic search: cosine
+    order, score = (1 + cos) / 2, zero-norm vectors never hits."""
+    rows = [
+        r
+        for r in multi_search(
+            idxs,
+            [{"index_uid": "a", "vector": HY_QV, "k": 3}],
+            embeddings={"a": emb_a},
+        ).collect()
+    ]
+    # cos vs (1, 0): doc 2 = .9988, doc 4 = .9939, doc 1 = .7071
+    assert [r["doc_id"] for r in rows] == [2, 4, 1]
+    assert rows[0]["score"] == pytest.approx((1 + 0.998752) / 2, abs=1e-5)
+    assert all(r["index_uid"] == "a" for r in rows)
+
+
+def test_multi_search_vector_validation(idxs, emb_a):
+    with pytest.raises(ValueError, match="'hybrid' needs a 'vector'"):
+        multi_search(idxs, [
+            {"index_uid": "a", "q": "join",
+             "hybrid": {"semanticRatio": 0.5}},
+        ], embeddings={"a": emb_a})
+    with pytest.raises(ValueError, match="does not compose"):
+        multi_search(idxs, [
+            {"index_uid": "a", "q": "join", "vector": HY_QV,
+             "filter": "lang = 'en'"},
+        ], embeddings={"a": emb_a})
+    with pytest.raises(ValueError, match="unknown hybrid key"):
+        multi_search(idxs, [
+            {"index_uid": "a", "q": "join", "vector": HY_QV,
+             "hybrid": {"ratio": 0.5}},
+        ], embeddings={"a": emb_a})
+    with pytest.raises(ValueError, match="no embeddings"):
+        multi_search(idxs, [
+            {"index_uid": "b", "q": "join", "vector": HY_QV,
+             "hybrid": {"semanticRatio": 0.5}},
+        ])
