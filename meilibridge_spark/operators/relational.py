@@ -566,13 +566,39 @@ def crop_hits(
     densest-window scan is a nested higher-order transform/filter over
     the per-row match-position array — O(matches²) on a bounded row,
     no UDFs, no shuffle).
+
+    Each entry in ``attributes`` may carry the endpoint's per-attribute
+    length suffix (``attributesToCrop: ["text:5", "title"]``):
+    ``"attr:N"`` crops that attribute to N words, overriding
+    ``crop_length`` exactly like Meilisearch.
     """
     if crop_length < 1:
         raise ValueError(f"crop_length must be >= 1, got {crop_length}")
-    joined = hits_with_docs(hits, docs, list(attributes), hit_bound)
-    terms = [t.lower() for t in dict.fromkeys(query_terms) if t]
-    half, last = crop_length // 2, crop_length - 1
+    parsed: "list[tuple[str, int]]" = []
     for a in attributes:
+        name, sep, ln = str(a).partition(":")
+        if sep:
+            try:
+                a_len = int(ln)
+            except ValueError:
+                raise ValueError(
+                    f"attributesToCrop entry {a!r}: the ':N' suffix "
+                    "must be an integer word count"
+                ) from None
+            if a_len < 1:
+                raise ValueError(
+                    f"attributesToCrop entry {a!r}: crop length must "
+                    "be >= 1"
+                )
+        else:
+            a_len = crop_length
+        parsed.append((name, a_len))
+    joined = hits_with_docs(
+        hits, docs, [name for name, _ in parsed], hit_bound
+    )
+    terms = [t.lower() for t in dict.fromkeys(query_terms) if t]
+    for a, crop_length in parsed:
+        half, last = crop_length // 2, crop_length - 1
         words = F.split(F.col(a), r"\s+")
         n = F.size(words)
         lower = F.transform(words, lambda w: F.lower(w))

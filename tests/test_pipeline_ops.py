@@ -430,6 +430,32 @@ def test_crop_hits(spark):
     assert out[3] == "short text"
 
 
+def test_crop_per_attribute_lengths(spark):
+    """Meilisearch's attributesToCrop ':N' suffix: 'attr:N' overrides
+    cropLength for that attribute only; bad suffixes error loudly."""
+    import pytest as _pytest
+
+    from meilibridge_spark.operators.relational import crop_hits
+
+    docs = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 SPARK w6 w7 w8 w9 w10",
+          "a1 a2 spark a4 a5 a6 a7 a8")],
+        "doc_id long, text string, title string",
+    )
+    hits = spark.createDataFrame([(0, 1.0)], "doc_id long, score double")
+    row = crop_hits(
+        hits, docs, ["spark"], attributes=("text:4", "title"),
+        crop_length=6, hit_bound=1,
+    ).collect()[0]
+    # text cropped to its own 4; title falls back to crop_length=6
+    assert row["_cropped_text"] == "…w3 w4 SPARK w6…"
+    assert row["_cropped_title"] == "a1 a2 spark a4 a5 a6…"
+    with _pytest.raises(ValueError, match="integer word count"):
+        crop_hits(hits, docs, ["spark"], attributes=("text:big",))
+    with _pytest.raises(ValueError, match=">= 1"):
+        crop_hits(hits, docs, ["spark"], attributes=("text:0",))
+
+
 def test_crop_best_window(spark):
     """Meilisearch multi-match crop: the window holding the MOST term
     occurrences wins over the first match; earliest anchor on ties."""
