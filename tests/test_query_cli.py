@@ -282,3 +282,68 @@ def test_batch_file_count_only(saved, monkeypatch, capsys, tmp_path):
     assert out[0]["hits"] == []
     assert out[0]["totalHits"] == want.total_hits
     assert out[0]["totalPages"] == 0
+
+
+# ------------------------------------------------- multi-search CLI
+
+
+def test_multi_search_cli_endpoint_body(
+    spark, saved, monkeypatch, capsys, tmp_path
+):
+    """jobs/multi_search.py speaks the endpoint's POST body: camelCase
+    keys, {'queries': [...]} wrapper, per-request limit/offset or
+    page/hitsPerPage response shapes, results in request order."""
+    import os
+    import shutil
+
+    from meilibridge_spark.jobs import multi_search as msjob
+
+    root = tmp_path / "root"
+    root.mkdir()
+    shutil.copytree(saved.index_dir, os.path.join(root, "a"))
+    body = {
+        "queries": [
+            {"indexUid": "a", "q": "baba cedi", "limit": 3},
+            {"indexUid": "a", "q": "baba cedi", "page": 1,
+             "hitsPerPage": 2},
+            {"indexUid": "a", "q": "baba", "hitsPerPage": 0},
+        ]
+    }
+    bf = tmp_path / "body.json"
+    bf.write_text(json.dumps(body))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multi_search.py", "--root", str(root),
+         "--requests-file", str(bf)],
+    )
+    msjob.main()
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    r0, r1, r2 = resp["results"]
+    assert r0["indexUid"] == "a" and len(r0["hits"]) == 3
+    assert r0["limit"] == 3 and r0["offset"] == 0
+    assert r1["page"] == 1 and r1["hitsPerPage"] == 2
+    assert r1["totalHits"] > 2 and len(r1["hits"]) == 2
+    # count-only entry: empty hits, exhaustive totals
+    assert r2["hits"] == [] and r2["totalHits"] > 0
+    assert r2["totalPages"] == 0
+    # the offset-mode and paged hits agree on the top docs
+    assert [h["doc_id"] for h in r1["hits"]] == [
+        h["doc_id"] for h in r0["hits"][:2]
+    ]
+
+
+def test_multi_search_cli_translate_validation():
+    from meilibridge_spark.jobs.multi_search import translate_requests
+
+    with pytest.raises(ValueError, match="queries"):
+        translate_requests({"foo": []})
+    with pytest.raises(ValueError, match="unknown key"):
+        translate_requests([{"indexUid": "a", "q": "x", "facets": []}])
+    out = translate_requests(
+        {"queries": [{"indexUid": "a", "q": "x", "limit": 5,
+                      "matchingStrategy": "all", "hitsPerPage": 3}]}
+    )
+    assert out == [{
+        "index_uid": "a", "q": "x", "k": 5,
+        "matching_strategy": "all", "hits_per_page": 3,
+    }]
