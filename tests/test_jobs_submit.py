@@ -81,6 +81,29 @@ def test_build_then_query_via_spark_submit(tmp_path):
         (h["doc_id"], h["score"]) for h in res["hits"]
     ]
 
+    # multi-search job: the endpoint's POST body over the same root
+    # (indexUid 'idx' resolves to tmp_path/idx)
+    body = {"queries": [
+        {"indexUid": "idx", "q": "baba cedi", "limit": 3},
+        {"indexUid": "idx", "q": "baba cedi", "page": 1,
+         "hitsPerPage": 2},
+    ]}
+    bf = str(tmp_path / "body.json")
+    with open(bf, "w") as f:
+        json.dump(body, f)
+    ms = json.loads(_submit(
+        zip_path, "multi_search.py",
+        "--root", str(tmp_path), "--requests-file", bf,
+    ))
+    r0, r1 = ms["results"]
+    assert [h["doc_id"] for h in r0["hits"]] == [
+        h["doc_id"] for h in res["hits"]
+    ]
+    assert r1["totalHits"] >= 2 and r1["totalPages"] >= 1
+    assert [h["doc_id"] for h in r1["hits"]] == [
+        h["doc_id"] for h in r0["hits"][:2]
+    ]
+
 
 @pytest.mark.skipif(
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
