@@ -300,6 +300,9 @@ def multi_search(
 
             filter_docs = filter_doc_ids(index, fexpr)
         batch = [(f"r{i}", requests[i]["q"]) for i in req_nos]
+        # carrier_empty_pages: a request whose page holds no hits still
+        # answers with its exhaustive totals (one NULL-doc row) — the
+        # endpoint always returns totalHits/totalPages per request
         hits = search_many(
             index,
             batch,
@@ -311,6 +314,7 @@ def multi_search(
             attributes_to_search_on=son,
             prefix=pfx,
             proximity_rank=prox,
+            carrier_empty_pages=True,
         )
         part = hits.select(
             F.expr("cast(substring(query_id, 2) as int)").alias(

@@ -346,14 +346,17 @@ def test_multi_search_schema_unchanged_without_paged_request(idxs):
 
 
 def test_multi_search_paged_empty_query_keeps_schema(idxs):
-    """A paged request whose terms are unindexed hits the empty early
-    return — its schema must still union with live paged results."""
+    """A paged request whose terms are unindexed still answers with its
+    exhaustive totals — one NULL-doc carrier row (the endpoint always
+    returns totalHits per request), unioned with live paged results."""
     rows = multi_search(idxs, [
         {"index_uid": "a", "q": "zzznothing", "page": 1, "hits_per_page": 3},
         {"index_uid": "a", "q": "join", "page": 1, "hits_per_page": 3},
     ]).collect()
-    assert [r["request_no"] for r in rows] == [1, 1, 1]
-    assert all(r["total_hits"] == 4 for r in rows)  # docs 0,2,3,5
+    assert [r["request_no"] for r in rows] == [0, 1, 1, 1]
+    carrier = rows[0]
+    assert carrier["doc_id"] is None and carrier["total_hits"] == 0
+    assert all(r["total_hits"] == 4 for r in rows[1:])  # docs 0,2,3,5
 
 
 def test_multi_search_paged_validation(idxs):
