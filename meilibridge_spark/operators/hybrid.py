@@ -51,6 +51,7 @@ def search_hybrid(
     pool: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Blend BM25 and cosine rankings -> (doc_id, kw, sem, hybrid).
 
@@ -59,11 +60,23 @@ def search_hybrid(
     (embedding happens upstream — the engine is model-agnostic, like
     the reference which delegates embedding to Meilisearch's
     configured embedder).
+
+    ``filter_docs`` (the endpoint's ``filter`` + ``hybrid``
+    combination): both pools restrict to the allowed doc ids — the
+    keyword side through search's shard-local bitmap, the semantic
+    side by a left-semi join on the embeddings scan BEFORE scoring.
+    BM25 stats stay corpus-global (Meilisearch filter semantics).
     """
     if not 0.0 <= semantic_ratio <= 1.0:
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
     if pool < k:
         raise ValueError(f"pool ({pool}) must be >= k ({k})")
+    if filter_docs is not None:
+        emb = emb.join(
+            filter_docs.select(F.col("doc_id").cast("long").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     # the query norm is a CONSTANT: the same left-to-right float64
     # accumulation _norm's aggregate performs, done driver-side —
@@ -75,7 +88,7 @@ def search_hybrid(
     qn = F.lit(_qs**0.5)
 
     # 1. keyword pool: engine scatter-gather, already top-`pool` bounded.
-    kw_pool = search(index, query, k=pool).select(
+    kw_pool = search(index, query, k=pool, filter_docs=filter_docs).select(
         "doc_id", F.col("score").alias("kw_raw")
     )
     kw_max = kw_pool.agg(F.max("kw_raw").alias("kw_max"))
@@ -155,9 +168,17 @@ def search_hybrid_many(
     centroids: "DataFrame | None" = None,
     assigned: "DataFrame | None" = None,
     score_mode: str = "normalized",
+    filter_docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Batch hybrid search, ONE Spark job for M queries ->
     (query_id, doc_id, kw, sem, hybrid, rank <= k).
+
+    ``filter_docs`` (the endpoint's ``filter`` + ``hybrid``): the
+    allowed doc ids restrict BOTH sides for every query in the batch —
+    the keyword pools through search_many's shard-local bitmap
+    cogroup, the semantic side by a left-semi join on the embeddings
+    (and, on the ivf path, the assigned-lists) scan before scoring.
+    BM25 stats stay corpus-global (Meilisearch filter semantics).
 
     Rank-identical per query to :func:`search_hybrid` (tested). The
     per-query driver loop pays Spark's fixed plan/schedule cost per
@@ -253,6 +274,13 @@ def search_hybrid_many(
             f"score_mode must be 'normalized' or 'ranking_score', "
             f"got {score_mode!r}"
         )
+    if filter_docs is not None:
+        allowed = filter_docs.select(
+            F.col("doc_id").cast("long").alias(id_col)
+        )
+        emb = emb.join(allowed, id_col, "left_semi")
+        if assigned is not None:
+            assigned = assigned.join(allowed, id_col, "left_semi")
     missing = [qid for qid, _ in queries if qid not in query_vecs]
     if missing:
         raise ValueError(f"query_vecs missing ids: {missing}")
@@ -269,7 +297,10 @@ def search_hybrid_many(
     if score_mode == "ranking_score":
         from meilibridge_spark.functions.tokenizer import parse_query
 
-        kw_hits = search_many(index, queries, k=pool, words_rank=True)
+        kw_hits = search_many(
+            index, queries, k=pool, words_rank=True,
+            filter_docs=filter_docs,
+        )
         nq = spark.createDataFrame(
             [
                 (qid, len(parse_query(q, index.cfg.analyzer)))
@@ -289,7 +320,9 @@ def search_hybrid_many(
         )
         kw = kw_scored.select("query_id", "doc_id")
     else:
-        kw_raw = search_many(index, queries, k=pool).select(
+        kw_raw = search_many(
+            index, queries, k=pool, filter_docs=filter_docs
+        ).select(
             "query_id", "doc_id", F.col("score").alias("kw_raw")
         )
         kw_max = kw_raw.groupBy("query_id").agg(

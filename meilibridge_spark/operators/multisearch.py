@@ -55,7 +55,6 @@ _ALLOWED_KEYS = {
 #: fusion operator owns its own candidate machinery; loud beats a
 #: silently dropped option)
 _HYBRID_INCOMPATIBLE = (
-    "filter",
     "typo",
     "prefix",
     "proximity",
@@ -135,15 +134,18 @@ def multi_search(
     delegates embedding to Meilisearch's configured embedder) plus
     optional ``hybrid: {semanticRatio, embedder, pool}`` fuse keyword
     and semantic rankings; requests group by (index, semanticRatio,
-    pool) and each group is ONE ``search_hybrid_many`` batch call.
-    ``vector`` WITHOUT ``q`` is the endpoint's pure semantic search —
-    stored-IVF probed when the index carries a vector layout, exact
-    cosine otherwise, score = (1 + cos) / 2 (the semantic
-    rankingScore). Embeddings resolve from the ``embeddings`` map
-    (index_uid -> DataFrame with vec_id/embedding) or the index's
-    stored vector layout; the hybrid fusion owns its candidate
-    machinery, so filter/typo/prefix/search-on/strategies/pagination
-    are rejected loudly on vector requests."""
+    pool, filter) and each group is ONE ``search_hybrid_many`` batch
+    call. ``vector`` WITHOUT ``q`` is the endpoint's pure semantic
+    search — stored-IVF probed when the index carries a vector layout,
+    exact cosine otherwise, score = (1 + cos) / 2 (the semantic
+    rankingScore). ``filter`` composes with both forms (the endpoint's
+    filter + hybrid combination): the allowed ids restrict the keyword
+    pools shard-locally and left-semi-restrict the embeddings /
+    assigned-lists scans before scoring. Embeddings resolve from the
+    ``embeddings`` map (index_uid -> DataFrame with vec_id/embedding)
+    or the index's stored vector layout; the remaining keyword-only
+    options (typo/prefix/search-on/strategies/pagination) are rejected
+    loudly on vector requests."""
     if not requests:
         raise ValueError("multi_search needs at least one request")
     if not indexes:
@@ -198,11 +200,14 @@ def multi_search(
                     uid,
                     float(hy.get("semanticRatio", 0.5)),
                     hy.get("pool"),
+                    req.get("filter"),
                 )
                 hybrid_groups.setdefault(key, []).append(i)
             else:
                 # vector without q: the endpoint's PURE SEMANTIC search
-                vector_groups.setdefault(uid, []).append(i)
+                vector_groups.setdefault(
+                    (uid, req.get("filter")), []
+                ).append(i)
             continue
         if req.get("page") is not None or req.get("hits_per_page") is not None:
             paged_reqs.append(i)
@@ -342,11 +347,16 @@ def multi_search(
             "layout (jobs/build_vectors.py)"
         )
 
-    for (uid, ratio, pool_opt), req_nos in hybrid_groups.items():
+    for (uid, ratio, pool_opt, fexpr), req_nos in hybrid_groups.items():
         from meilibridge_spark.operators.hybrid import search_hybrid_many
 
         index = indexes[uid]
         emb = _emb_for(uid, req_nos[0])
+        filter_docs = None
+        if fexpr:
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            filter_docs = filter_doc_ids(index, fexpr)
         k_call = max(requests[i].get("k", default_k) for i in req_nos)
         pool = max(
             int(pool_opt) if pool_opt is not None else max(30, k_call),
@@ -357,6 +367,7 @@ def multi_search(
         hits = search_hybrid_many(
             index, emb, batch, vecs,
             k=k_call, semantic_ratio=ratio, pool=pool,
+            filter_docs=filter_docs,
         )
         bounds = spark.createDataFrame(
             [(f"r{i}", int(requests[i].get("k", default_k))) for i in req_nos],
@@ -382,11 +393,12 @@ def multi_search(
                 part = part.withColumn(col, F.lit(None).cast(typ))
         out = part if out is None else out.unionByName(part)
 
-    for uid, req_nos in vector_groups.items():
+    for (uid, fexpr), req_nos in vector_groups.items():
         # vector without q: the endpoint's pure semantic search —
         # stored-IVF probing when the index carries a vector layout,
         # exact cosine otherwise; score = (1 + cos) / 2, Meilisearch's
-        # semantic rankingScore
+        # semantic rankingScore. A filter left-semi-restricts the
+        # embeddings (and assigned-lists) scan before scoring.
         from meilibridge_spark.operators.similarity import (
             cosine_topk,
             ivf_topk,
@@ -394,6 +406,14 @@ def multi_search(
 
         index = indexes[uid]
         emb = _emb_for(uid, req_nos[0])
+        allowed = None
+        if fexpr:
+            from meilibridge_spark.functions.filters import filter_doc_ids
+
+            allowed = filter_doc_ids(index, fexpr).select(
+                F.col("doc_id").cast("long").alias("vec_id")
+            )
+            emb = emb.join(allowed, "vec_id", "left_semi")
         k_call = max(requests[i].get("k", default_k) for i in req_nos)
         qdf = spark.createDataFrame(
             [
@@ -404,10 +424,13 @@ def multi_search(
         )
         v = getattr(index, "vectors", None)
         if v is not None and not (embeddings and uid in embeddings):
+            assigned = v.assigned
+            if allowed is not None:
+                assigned = assigned.join(allowed, "vec_id", "left_semi")
             hits = ivf_topk(
                 emb, qdf, k=k_call,
                 n_centroids=v.n_centroids, n_probe=v.n_probe,
-                centroids=v.centroids, assigned=v.assigned,
+                centroids=v.centroids, assigned=assigned,
                 exclude_self=False,
             )
         else:

@@ -521,7 +521,7 @@ def test_multi_search_vector_validation(idxs, emb_a):
     with pytest.raises(ValueError, match="does not compose"):
         multi_search(idxs, [
             {"index_uid": "a", "q": "join", "vector": HY_QV,
-             "filter": "lang = 'en'"},
+             "typo": True},
         ], embeddings={"a": emb_a})
     with pytest.raises(ValueError, match="unknown hybrid key"):
         multi_search(idxs, [
@@ -533,3 +533,63 @@ def test_multi_search_vector_validation(idxs, emb_a):
             {"index_uid": "b", "q": "join", "vector": HY_QV,
              "hybrid": {"semanticRatio": 0.5}},
         ])
+
+
+def test_multi_search_hybrid_with_filter(idxs, emb_a):
+    """filter + hybrid (the endpoint combination): both pools restrict
+    to the allowed ids — parity with search_hybrid_many(filter_docs=),
+    and every hit satisfies the filter."""
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.operators.hybrid import search_hybrid_many
+
+    rows = multi_search(
+        idxs,
+        [{"index_uid": "a", "q": "spark join", "vector": HY_QV,
+          "hybrid": {"semanticRatio": 0.5}, "filter": "lang = 'en'",
+          "k": 5}],
+        embeddings={"a": emb_a},
+    ).collect()
+    fd = filter_doc_ids(idxs["a"], "lang = 'en'")
+    want = search_hybrid_many(
+        idxs["a"], emb_a, [("r0", "spark join")], {"r0": HY_QV},
+        k=5, semantic_ratio=0.5, filter_docs=fd,
+    ).collect()
+    assert sorted((r["doc_id"], round(r["score"], 9)) for r in rows) == \
+        sorted((r.doc_id, round(r.hybrid, 9)) for r in want)
+    en_docs = {0, 1, 4, 5}
+    assert {r["doc_id"] for r in rows} <= en_docs and rows
+
+
+def test_multi_search_vector_only_with_filter(idxs, emb_a):
+    rows = multi_search(
+        idxs,
+        [{"index_uid": "a", "vector": HY_QV, "k": 5,
+          "filter": "lang = 'en'"}],
+        embeddings={"a": emb_a},
+    ).collect()
+    # en docs with embeddings: 0, 1, 4 — cosine order vs (1,0):
+    # doc 4 (.9939) > doc 1 (.7071) > doc 0 (0 -> sem 0.5)
+    assert [r["doc_id"] for r in rows] == [4, 1, 0]
+
+
+def test_hybrid_filter_single_batch_parity(idxs, emb_a):
+    from meilibridge_spark.functions.filters import filter_doc_ids
+    from meilibridge_spark.operators.hybrid import (
+        search_hybrid,
+        search_hybrid_many,
+    )
+
+    fd = filter_doc_ids(idxs["a"], "lang = 'de'")
+    single = search_hybrid(
+        idxs["a"], emb_a, "spark join", HY_QV, k=5, filter_docs=fd
+    ).collect()
+    batch = search_hybrid_many(
+        idxs["a"], emb_a, [("q", "spark join")], {"q": HY_QV},
+        k=5, filter_docs=fd,
+    ).collect()
+    assert [(r.doc_id, round(r.hybrid, 9)) for r in single] == [
+        (r.doc_id, round(r.hybrid, 9))
+        for r in sorted(batch, key=lambda r: r.rank)
+    ]
+    de_docs = {2, 3, 6}
+    assert {r.doc_id for r in single} <= de_docs and single
