@@ -326,6 +326,39 @@ def _q_hybrid(terms_text: str, k: int, ratio: float, pool: int, qvec_id: int):
     return run
 
 
+def _q_hybrid_filtered(
+    terms_text: str, k: int, ratio: float, pool: int, qvec_id: int,
+    filter_expr: str,
+):
+    """The endpoint's ``filter`` + ``hybrid`` combination (second r5
+    session): the allowed doc ids restrict BOTH pools — keyword via
+    the shard-local bitmap, semantic via a left-semi join on the
+    embeddings scan before scoring (operators/hybrid.search_hybrid
+    ``filter_docs=``); BM25 stats stay corpus-global."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from meilibridge_spark.functions.filters import filter_doc_ids
+        from meilibridge_spark.operators.hybrid import search_hybrid
+
+        idx = _docs_index(spark, sf_dir, "plain")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
+        hits = search_hybrid(
+            idx, emb, terms_text, list(qv), k=k, semantic_ratio=ratio,
+            pool=pool, filter_docs=filter_doc_ids(idx, filter_expr),
+        )
+        return hits.select(
+            "doc_id",
+            F.round("kw", 4).alias("kw"),
+            F.round("sem", 4).alias("sem"),
+            F.round("hybrid", 4).alias("hybrid"),
+        )
+
+    return run
+
+
 _HYBRID_BATCH_SPECS = [
     ("hq0", "spark join table", 3),
     ("hq1", "customer window", 11),
@@ -2769,7 +2802,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minWordSizeForTypos; the entry's query has ZERO exact-prefix
     # matches, every hit exists only through the budget) replaces
     # ft_term_dictionary (r01-verified; the dictionary machinery stays
-    # gated through ft_separator_tokens and the typo entries). Entries
+    # gated through ft_separator_tokens and the typo entries).
+    # ft_hybrid_filtered (NEW: the endpoint's filter + hybrid
+    # combination — both pools restricted to the allowed ids) replaces
+    # dd_lsh_candidates (r04-verified; the dedup family keeps
+    # dd_minhash_signatures, dd_clusters and dd_embed_neardup in the
+    # gate, and the LSH machinery stays gated through
+    # dd_embed_neardup's sign-bucket join). Entries
     # after the 50th remain fully oracle-checked by
     # tests/test_entry_oracle.py, which runs ALL entries every round.
     entries = {
@@ -2870,6 +2909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid": _q_hybrid("spark join table", 10, 0.5, 30, 7),
         "ft_hybrid_binary": _q_hybrid_binary(
             _HYBRID_BATCH_SPECS, 5, 0.4, 20
+        ),
+        "ft_hybrid_filtered": _q_hybrid_filtered(
+            "spark join table", 10, 0.5, 30, 7, "lang = 'en'"
         ),
         "ft_bm25_typo": _q_typo("spakr jion window", 10),
         "ft_phrase": _q_phrase("spark join", 10),
@@ -2976,7 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_token_counts",
         "ft_hybrid_binary",
         "dd_minhash_signatures",
-        "dd_lsh_candidates",
+        "ft_hybrid_filtered",
         "dd_clusters",
         "sim_similar_docs",
         "mm_features",
@@ -3340,6 +3382,37 @@ semok AS (
   SELECT doc_id, sem FROM (
     SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
     FROM embeddings e CROSS JOIN q
+  ) t WHERE sem IS NOT NULL
+),
+sempool AS (SELECT doc_id FROM semok ORDER BY sem DESC, doc_id LIMIT 30),
+cand AS (SELECT doc_id FROM kwpool UNION SELECT doc_id FROM sempool),
+fused AS (
+  SELECT c.doc_id,
+         coalesce(k.s / (SELECT m FROM kwmax), 0.0) AS kw,
+         coalesce(s.sem, 0.0) AS sem
+  FROM cand c
+  LEFT JOIN kwpool k USING (doc_id)
+  LEFT JOIN semok s USING (doc_id)
+)
+SELECT doc_id, round(kw, 4)::DOUBLE AS kw, round(sem, 4)::DOUBLE AS sem,
+       round(0.5 * kw + 0.5 * sem, 4)::DOUBLE AS hybrid
+FROM fused ORDER BY 0.5 * kw + 0.5 * sem DESC, doc_id LIMIT 10
+""",
+        "ft_hybrid_filtered": f"""
+WITH {_sql_tok()},
+{_sql_score_cte("s_kw", ["spark", "join", "table"])},
+allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+kwpool AS (
+  SELECT k.doc_id, k.s FROM s_kw k JOIN allowed USING (doc_id)
+  ORDER BY k.s DESC, k.doc_id LIMIT 30
+),
+kwmax AS (SELECT max(s) AS m FROM kwpool),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+semok AS (
+  SELECT doc_id, sem FROM (
+    SELECT e.vec_id AS doc_id, (1.0 + {_SQL_COS}) / 2.0 AS sem
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id IN (SELECT doc_id FROM allowed)
   ) t WHERE sem IS NOT NULL
 ),
 sempool AS (SELECT doc_id FROM semok ORDER BY sem DESC, doc_id LIMIT 30),
