@@ -37,6 +37,10 @@ def federated_search(
     query: str,
     k: "int | None" = None,
     per_index_kwargs: "dict[str, dict] | None" = None,
+    query_vec: "list[float] | None" = None,
+    embeddings: "dict[str, DataFrame] | None" = None,
+    semantic_ratio: float = 0.5,
+    pool: int = 30,
 ) -> DataFrame:
     """One ``query`` across ``targets`` = [(index_uid, index, weight)]
     -> global top-k (index_uid, doc_id, score, ranking_score,
@@ -48,6 +52,19 @@ def federated_search(
     extra search() options (filter_docs, attributes_to_search_on, ...)
     to specific targets by uid, like per-query options in the
     multi-search body.
+
+    HYBRID federation (second r5 session — Meilisearch v1.10 federated
+    hybrid): with ``query_vec`` set, every target that has an entry in
+    ``embeddings`` (uid -> embeddings DataFrame) answers through
+    :func:`~meilibridge_spark.operators.hybrid.search_hybrid` and its
+    FUSED [0, 1] score plays the ranking-score role in the weighted
+    merge — exactly Meilisearch's contract, where a hybrid query's
+    ``_rankingScore`` IS the fused score. Targets without embeddings
+    stay keyword-only (mixed federations merge on the shared [0, 1]
+    scale); a target whose analyzer yields no tokens serves
+    PURE-SEMANTIC hits ((1 + cos) / 2) instead of being skipped. A
+    per-target ``filter_docs`` in ``per_index_kwargs`` composes with
+    the hybrid form too.
     """
     if not targets:
         raise ValueError("federated_search needs at least one target")
@@ -61,6 +78,47 @@ def federated_search(
         kk = k or index.cfg.max_total_hits
         kw = (per_index_kwargs or {}).get(uid, {})
         n_q = len(parse_query(query, index.cfg.analyzer))
+        emb = (embeddings or {}).get(uid) if query_vec is not None else None
+        if emb is not None:
+            from meilibridge_spark.operators.hybrid import search_hybrid
+            from meilibridge_spark.operators.similarity import cosine_topk
+
+            if n_q == 0:
+                # no indexable tokens: the target serves pure semantic
+                # hits — (1 + cos) / 2 is its ranking score
+                qdf = emb.sparkSession.createDataFrame(
+                    [("q", [float(x) for x in query_vec])],
+                    "query_id string, query_vec array<double>",
+                )
+                sem = cosine_topk(
+                    emb, qdf, k=kk, exclude_self=False
+                ).select(
+                    F.col("vec_id").alias("doc_id"),
+                    ((F.lit(1.0) + F.col("cos")) / F.lit(2.0)).alias(
+                        "_rs"
+                    ),
+                )
+            else:
+                hy = search_hybrid(
+                    index, emb, query, list(query_vec), k=kk,
+                    semantic_ratio=semantic_ratio, pool=max(pool, kk),
+                    filter_docs=kw.get("filter_docs"),
+                )
+                sem = hy.select(
+                    "doc_id", F.col("hybrid").alias("_rs")
+                )
+            parts.append(
+                sem.select(
+                    F.lit(uid).alias("index_uid"),
+                    "doc_id",
+                    F.col("_rs").alias("score"),
+                    F.col("_rs").alias("ranking_score"),
+                    (F.col("_rs") * F.lit(float(weight))).alias(
+                        "weighted_ranking_score"
+                    ),
+                )
+            )
+            continue
         if n_q == 0:
             continue
         hits = search(index, query, kk, **kw)

@@ -593,3 +593,65 @@ def test_hybrid_filter_single_batch_parity(idxs, emb_a):
     ]
     de_docs = {2, 3, 6}
     assert {r.doc_id for r in single} <= de_docs and single
+
+
+def test_federated_hybrid_targets(idxs, emb_a):
+    """Federated hybrid (v1.10): targets with embeddings answer through
+    search_hybrid and merge on their FUSED score times the federation
+    weight; keyword-only targets share the [0,1] scale; weight boosts
+    reorder the merged list."""
+    from meilibridge_spark.operators.federation import federated_search
+    from meilibridge_spark.operators.hybrid import search_hybrid
+
+    targets = [("a", idxs["a"], 1.0), ("b", idxs["b"], 1.0)]
+    rows = federated_search(
+        targets, "spark join", k=5,
+        query_vec=HY_QV, embeddings={"a": emb_a},
+    ).collect()
+    # target 'a' rows carry the fused score as ranking_score
+    want = {
+        r.doc_id: round(r.hybrid, 9)
+        for r in search_hybrid(
+            idxs["a"], emb_a, "spark join", HY_QV, k=5, pool=30
+        ).collect()
+    }
+    a_rows = [r for r in rows if r.index_uid == "a"]
+    assert a_rows
+    for r in a_rows:
+        assert round(r.ranking_score, 9) == want[r.doc_id]
+        assert r.weighted_ranking_score == r.ranking_score  # weight 1
+    # keyword target 'b' still contributes ranking-score rows
+    assert any(r.index_uid == "b" for r in rows)
+    # ordering: weighted score desc
+    ws = [r.weighted_ranking_score for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    # a weight boost on 'b' reorders the merge
+    boosted = federated_search(
+        [("a", idxs["a"], 0.1), ("b", idxs["b"], 2.0)], "spark join",
+        k=5, query_vec=HY_QV, embeddings={"a": emb_a},
+    ).collect()
+    assert boosted[0].index_uid == "b"
+
+
+def test_federated_hybrid_semantic_only_target(idxs, emb_a):
+    """A hybrid target whose query yields NO analyzer tokens (empty q
+    — the n_q == 0 branch) serves PURE semantic hits instead of being
+    skipped; unindexed-but-tokenizable words take the hybrid path with
+    an empty keyword pool and land in the same cosine order."""
+    from meilibridge_spark.operators.federation import federated_search
+
+    # empty q: the pure-semantic branch proper
+    rows = federated_search(
+        [("a", idxs["a"], 1.0)], "", k=3,
+        query_vec=HY_QV, embeddings={"a": emb_a},
+    ).collect()
+    # cosine order vs (1, 0): docs 2, 4, 1
+    assert [r.doc_id for r in rows] == [2, 4, 1]
+    assert all(0.0 <= r.ranking_score <= 1.0 for r in rows)
+    # unindexed words: hybrid path, kw pool empty -> sem-only ranking,
+    # scores scaled by the semantic ratio
+    rows2 = federated_search(
+        [("a", idxs["a"], 1.0)], "zzznothing qqqnope", k=3,
+        query_vec=HY_QV, embeddings={"a": emb_a},
+    ).collect()
+    assert [r.doc_id for r in rows2] == [2, 4, 1]
