@@ -277,3 +277,35 @@ def test_count_single_term_reads_block_metadata_only(saved):
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "term" in m.group(1), plan
     assert "mapinpandas" not in plan.lower()
+
+
+def test_batch_count_plan_no_topk_machinery(saved):
+    """search_many_count's plan: the shard scorers emit one
+    (query, candidate-count) row each, summed by a partial-aggregated
+    groupBy — no Window / row_number / sort-based top-k anywhere, and
+    the count reduction input is shard-granular, never doc-granular."""
+    from meilibridge_spark.operators.search import search_many_count
+
+    plan = _explain(
+        search_many_count(saved, [("a", "baba cedi"), ("b", "dog")])
+    )
+    low = plan.lower()
+    assert "window" not in low, plan
+    assert "row_number" not in low, plan
+    assert "takeordered" not in low, plan
+    # the per-qkey sum is a two-phase hash aggregate (partial on the
+    # scorer output, final after the qkey exchange)
+    assert low.count("hashaggregate") >= 2, plan
+
+
+def test_batch_paged_plan_bounded_and_two_sided(saved):
+    """search_many(page=, hits_per_page=): the hit side stays the
+    bounded scatter-gather (rank window over n_shards*k rows), the
+    totals side joins in as a broadcast — no doc-granular join key
+    materialization beyond the page slice."""
+    from meilibridge_spark.operators.search import search_many
+
+    plan = _explain(
+        search_many(saved, [("a", "baba cedi")], page=2, hits_per_page=3)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
